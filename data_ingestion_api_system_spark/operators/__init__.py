@@ -1,0 +1,39 @@
+"""Query capability layer (SURVEY.md §2 Part C + BASELINE.json north star).
+
+Each module exposes two dicts:
+- ``QUERIES``: name → callable(spark, sf_dir) → DataFrame
+- ``ORACLE``:  name → equivalent DuckDB SQL (omitted for ops that are not
+  SQL-expressible; the driver then records a rows-only check)
+
+``__spark_entry__.py`` aggregates them all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Runtime confs every query needs regardless of who built the session:
+    UTC so timestamp semantics match the DuckDB oracle; AQE on so small-SF
+    runs coalesce their shuffles and large-SF runs split skew."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark
+
+
+def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Aggregate QUERIES/ORACLE across all operator modules."""
+    from . import dedup, events, pipeline, relational, similarity, text, windows
+
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+    for mod in (pipeline, relational, windows, events, text, dedup, similarity):
+        queries.update(mod.QUERIES)
+        oracle.update(mod.ORACLE)
+    return queries, oracle

@@ -1,0 +1,61 @@
+"""Loaders for the driver-provided parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale design: parquet scans here are the leaves of every plan, so what
+matters at 100 TB is that Catalyst can (a) push predicates into the scan,
+(b) prune columns, and (c) prune partitions. We read with
+``spark.read.parquet`` (no schema inference cost — parquet is self
+describing) and *never* cache eagerly: each operator composes lazily so the
+scan only materializes the columns/rows its plan needs. On a real cluster
+the same tables would be written partitioned (e.g. lineitem by
+``l_shipdate`` month) and bucketed by join key (``l_orderkey``) to turn the
+big orders⋈lineitem shuffle into a co-located join; with a single driver
+file per table here, AQE handles split sizing via
+``spark.sql.files.maxPartitionBytes``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; choose from {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL-flavored operators)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
