@@ -63,6 +63,54 @@ def sql_exact_avg(expr: str, scale: int = 4, round_to: int = 6) -> str:
     )
 
 
+def decimal_col(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Cast a raw parquet double column to DECIMAL. Safe because the
+    source columns are generated with 2-decimal precision: their doubles
+    are nowhere near a scale-2/scale-4 rounding boundary, so both engines
+    produce the identical decimal."""
+    return _col(col).cast(f"decimal({precision},{scale})")
+
+
+def exact_sum_dec(expr: Column, round_to: int = 2) -> Column:
+    """SUM of an already-exact DECIMAL expression → rounded DOUBLE.
+
+    Use for PRODUCTS of columns: ``price*(1-disc)`` computed in doubles has
+    a long binary expansion whose double→decimal cast can round differently
+    across engines (Java casts via the shortest string repr; DuckDB via the
+    full binary expansion). Multiplying decimal-cast *factors* keeps every
+    intermediate exact, so there is no boundary to disagree on. Keep factor
+    precisions small enough that Spark never hits the 38-digit cap (which
+    would trigger silent scale reduction: decimalOperations.allowPrecisionLoss).
+    """
+    return F.round(F.sum(expr), round_to).cast("double")
+
+
+def sql_exact_sum_dec(expr: str, round_to: int = 2) -> str:
+    """DuckDB twin of :func:`exact_sum_dec`."""
+    return f"CAST(ROUND(SUM({expr}), {round_to}) AS DOUBLE)"
+
+
+# The canonical TPC-H revenue/charge expressions as exact decimals, Spark and
+# DuckDB sides. Factor precisions: price < 10^10 → DECIMAL(12,2);
+# discount/tax in [0,1) → DECIMAL(4,2).
+def revenue_dec() -> Column:
+    return decimal_col("l_extendedprice", 12, 2) * (
+        F.lit(1) - decimal_col("l_discount", 4, 2)
+    )
+
+
+SQL_REVENUE_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def charge_dec() -> Column:
+    return revenue_dec() * (F.lit(1) + decimal_col("l_tax", 4, 2))
+
+
+SQL_CHARGE_DEC = f"{SQL_REVENUE_DEC} * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
 def cosine_similarity(a: Column | str, b: Column | str, round_to: int = 6) -> Column:
     """Cosine similarity between two array<float|double> columns, entirely in
     JVM array expressions (zip_with product + sequential aggregate fold) —

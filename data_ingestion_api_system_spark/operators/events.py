@@ -1,4 +1,237 @@
-"""Placeholder — populated incrementally this round."""
+"""Event-stream analytics over the ``events`` table (SURVEY.md §2 Part C:
+streaming formalisms, evaluated batch-mode here; the same logic runs as a
+real Structured Streaming query in ``..streaming`` with watermarks).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Timestamps: events.ts arrives as parquet TIMESTAMP(NANOS); the loader
+truncates to microseconds identically to DuckDB (see tables._load_events).
+All second-granularity outputs use floor semantics on both engines.
+
+Scale: time-bucketed aggregations shuffle on (bucket, key) — uniform by
+construction (time advances, keys hash) — and pre-aggregate map-side. In
+streaming form the same plans run incrementally with watermark-bounded
+state instead of a full shuffle per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
+from ..tables import load_table
+from . import tune
+
+SESSION_GAP_SECONDS = 1800  # 30 min
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event_type via ``F.window`` — the
+    batch twin of the streaming tumbling aggregation. Window start is
+    emitted as epoch seconds (timezone-proof across engines)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+_ORACLE_TUMBLING = f"""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): every event lands
+    in exactly two windows. Spark's ``window(ts, len, slide)`` expands
+    in-place (a generator, not a join) — the oracle reproduces it with an
+    explicit two-offset unnest."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_avg("value").alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+_ORACLE_SLIDING = f"""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - off AS bucket_start,
+       count(*) AS n_events,
+       {sql_exact_avg('value')} AS avg_value
+FROM events, (VALUES (0), (300)) AS offsets(off)
+GROUP BY 1
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds 30 minutes — lag + conditional
+    cumulative sum, the classic two-window composition. Gap math runs in
+    integer MICROSECONDS (exact on both engines). The streaming twin is
+    ``session_window(ts, '30 minutes')`` (see streaming module)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap_us = us - F.unix_micros(F.lag("ts", 1).over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000.0)
+            .alias("duration_seconds"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "n_events",
+            F.round("duration_seconds", 6).alias("duration_seconds"),
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts, 1) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       round((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0, 6) AS duration_seconds,
+       {sql_exact_sum('value')} AS sum_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column (``get_json_object`` — JVM-side JSON path, no UDF), bucket it,
+    aggregate. The 100 TB version would parse once with ``from_json`` into
+    a struct column at ingest, not per-query."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", (F.col("k") - (F.col("k") % 10)).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_ORACLE_JSON = f"""
+SELECT event_type,
+       (k - (k % 10)) AS k_bucket,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS sum_value,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k, value FROM events)
+GROUP BY 1, 2
+"""
+
+
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily profile: counts, exact value stats, distinct users,
+    first/last event epoch — the monitoring rollup a pipeline dashboards."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum("value").alias("sum_value"),
+            exact_avg("value").alias("avg_value"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+
+
+_ORACLE_TYPE_STATS = f"""
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS event_day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {sql_exact_sum('value')} AS sum_value,
+       {sql_exact_avg('value')} AS avg_value,
+       min(epoch_us(ts)) AS first_us,
+       max(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_tumbling_window": q_events_tumbling,
+    "events_sliding_window": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "events_json_extract": q_events_json_extract,
+    "events_type_stats": q_events_type_stats,
+}
+
+ORACLE = {
+    "events_tumbling_window": _ORACLE_TUMBLING,
+    "events_sliding_window": _ORACLE_SLIDING,
+    "events_sessionize": _ORACLE_SESSIONIZE,
+    "events_json_extract": _ORACLE_JSON,
+    "events_type_stats": _ORACLE_TYPE_STATS,
+}

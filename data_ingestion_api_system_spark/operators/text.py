@@ -1,4 +1,289 @@
-"""Placeholder — populated incrementally this round."""
+"""Text-analysis operators over ``documents`` (BASELINE.json north star:
+language-ID, quality scoring, token counting, fingerprinting — the
+building blocks of an LLM training-data pipeline).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Everything here is JVM-side string/array expressions (split, transform,
+filter, aggregate) — zero Python UDFs — so at 100 TB the per-document work
+rides whole-stage codegen and the only shuffles are the final small
+aggregations. Per-document operators are embarrassingly parallel: documents
+hash-partition freely, no skew (docs are size-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact_avg, sql_exact_avg, tokens
+from ..tables import load_table
+from . import tune
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# marker words per language for the n-gram/stopword lang-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "y"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens, non-space char count,
+    average token length, stopword ratio. The per-doc row is the unit of
+    downstream quality filtering."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_nonspace.cast("bigint").alias("n_nonspace_chars"),
+        F.round(n_nonspace / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+_SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+_ORACLE_TOKEN_STATS = f"""
+SELECT doc_id, lang, source,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len({_SQL_TOKS}), 6) AS avg_token_len,
+       ROUND(CAST(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOPLIST})) AS DOUBLE)
+             / len({_SQL_TOKS}), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document: length band + stopword presence
+    + mean-token-length band, the C4/Gopher-style rule stack reduced to
+    deterministic arithmetic. Emitted per doc with a quality bucket, plus
+    the score components so downstream filters can re-weight."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    avg_tok = n_nonspace / n_tokens
+    stop_ratio = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))) / n_tokens
+    length_ok = (n_tokens >= 20) & (n_tokens <= 1000)
+    tok_len_ok = (avg_tok >= 2.5) & (avg_tok <= 12.0)
+    has_stop = stop_ratio > 0.01
+    score = (
+        length_ok.cast("int") + tok_len_ok.cast("int") + has_stop.cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        score.alias("quality_score"),
+        F.when(score >= 3, "high").when(score >= 2, "medium").otherwise("low").alias(
+            "quality_bucket"
+        ),
+        length_ok.cast("int").alias("length_ok"),
+        tok_len_ok.cast("int").alias("tok_len_ok"),
+        has_stop.cast("int").alias("has_stopwords"),
+    )
+
+
+_ORACLE_QUALITY = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len({_SQL_TOKS}) AS n_tokens,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           / len({_SQL_TOKS}) AS avg_tok,
+         CAST(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOPLIST})) AS DOUBLE)
+           / len({_SQL_TOKS}) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, lang,
+       (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+        + CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END) AS quality_score,
+       CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+                  + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+                  + CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END) >= 3 THEN 'high'
+            WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+                  + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+                  + CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END) >= 2 THEN 'medium'
+            ELSE 'low' END AS quality_bucket,
+       CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS length_ok,
+       CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END AS tok_len_ok,
+       CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END AS has_stopwords
+FROM scored
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic → confusion matrix against the
+    labeled ``lang``. Ties resolve in fixed precedence (en>es>de>fr) and
+    zero evidence maps to 'und'; both engines apply the identical CASE
+    chain so the prediction is deterministic."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]) & (scores["es"] > 0), "es")
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] > 0), "de")
+        .when(scores["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _sql_marker_count(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(list_transform({_SQL_TOKS}, x -> lower(x)), x -> x IN ({lst})))"
+
+
+_ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT lang,
+         {_sql_marker_count(LANG_MARKERS['en'])} AS s_en,
+         {_sql_marker_count(LANG_MARKERS['es'])} AS s_es,
+         {_sql_marker_count(LANG_MARKERS['de'])} AS s_de,
+         {_sql_marker_count(LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang,
+       count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def q_text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word frequency: explode tokens → count → top 50. The
+    explode multiplies rows ~#tokens-per-doc; partial aggregation collapses
+    them map-side before the shuffle, so shuffled bytes ≈ vocabulary size,
+    not corpus size — the property that keeps this viable at 100 TB."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .select(F.lower("word").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(50)
+    )
+
+
+_ORACLE_WORD_FREQ = f"""
+SELECT lower(word) AS word, count(*) AS n_occurrences
+FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+GROUP BY 1
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 50
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text (lowercase,
+    whitespace collapsed) plus a sorted-token 'bag fingerprint' that is
+    invariant to word order — the exact-dedup keys. md5 is identical across
+    engines, making this fully oracle-checkable."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    bag = F.array_join(F.array_sort(F.transform(tokens("text"), lambda t: F.lower(t))), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_fingerprint"),
+        F.md5(bag).alias("bag_fingerprint"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+_ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fingerprint,
+       md5(array_to_string(list_sort(list_transform({_SQL_TOKS}, x -> lower(x))), ' ')) AS bag_fingerprint,
+       CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS norm_len
+FROM documents
+"""
+
+
+def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram profile per language: total and distinct shingle
+    counts plus per-doc averages — the feature base for n-gram similarity
+    and lang-ID at scale."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # substr with a dynamic start position needs the SQL expr form
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))"
+    )
+    ex = docs.select("lang", "doc_id", F.explode(shingles).alias("shingle"))
+    return ex.groupBy("lang").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct_shingles"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.count("*") / F.countDistinct("doc_id"), 6).alias("avg_shingles_per_doc"),
+    )
+
+
+_ORACLE_NGRAM = """
+WITH ex AS (
+  SELECT lang, doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                               i -> substr(text, CAST(i AS INT), 3))) AS shingle
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_shingles,
+       count(DISTINCT shingle) AS n_distinct_shingles,
+       count(DISTINCT doc_id) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 6) AS avg_shingles_per_doc
+FROM ex
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality_score": q_text_quality_score,
+    "text_lang_id": q_text_lang_id,
+    "text_word_freq": q_text_word_freq,
+    "text_fingerprint": q_text_fingerprint,
+    "text_ngram_profile": q_text_ngram_profile,
+}
+
+ORACLE = {
+    "text_token_stats": _ORACLE_TOKEN_STATS,
+    "text_quality_score": _ORACLE_QUALITY,
+    "text_lang_id": _ORACLE_LANG_ID,
+    "text_word_freq": _ORACLE_WORD_FREQ,
+    "text_fingerprint": _ORACLE_FINGERPRINT,
+    "text_ngram_profile": _ORACLE_NGRAM,
+}

@@ -46,7 +46,25 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; choose from {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default.
+    Read it as raw nanos (``legacy.parquet.nanosAsLong``) and truncate to
+    microseconds with integer division — NOT float division, which loses
+    precision above 2^53 ns — exactly matching DuckDB's nanos→micros
+    truncation, so both engines see identical instants."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -28,7 +28,8 @@ TABLES = (
 def normalize(df):
     import pandas as pd
 
-    df = df[sorted(df.columns)].copy()
+    df = df[sorted(df.columns)].copy().astype(object)
+    df = df.where(pd.notna(df), None)
 
     def norm_cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -41,9 +42,8 @@ def normalize(df):
             return round(v, 10)
         return v
 
-    for c in df.columns:
-        df[c] = df[c].map(norm_cell)
-    rows = sorted(df.itertuples(index=False, name=None), key=lambda r: tuple(map(str, r)))
+    raw = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows = sorted(raw, key=lambda r: tuple(map(str, r)))
     return list(df.columns), rows
 
 
