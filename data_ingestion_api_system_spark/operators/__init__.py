@@ -29,11 +29,32 @@ def tune(spark: SparkSession) -> SparkSession:
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate QUERIES/ORACLE across all operator modules."""
-    from . import dedup, events, pipeline, relational, similarity, text, windows
+    from . import (
+        dedup,
+        events,
+        multimodal,
+        pipeline,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
+
+    from ..streaming import jobs as streaming_jobs
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (pipeline, relational, windows, events, text, dedup, similarity):
+    for mod in (
+        pipeline,
+        relational,
+        windows,
+        events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        streaming_jobs,
+    ):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle

@@ -1,4 +1,306 @@
-"""Placeholder — populated incrementally this round."""
+"""Deduplication operators over ``documents`` (BASELINE.json north star:
+exact, MinHash+LSH, SimHash, n-gram Jaccard — the LLM-corpus dedup stack).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Engineering choices that make these oracle-checkable AND scale-correct:
+
+- Hashes are md5 (identical across engines). MinHash uses the
+  *lexicographic* min of fixed-width hex substrings — equivalent to numeric
+  min, but needs no hex→int conversion (which DuckDB lacks).
+- Pairwise comparisons are always blocked (same lang, bounded length gap)
+  — never a full cross join. At 100 TB the block key bounds each join
+  bucket; the MinHash-LSH path replaces blocked-pairwise entirely:
+  candidates come from band-bucket equality (an equi-join that shuffles
+  only (band_key) groups), then exact Jaccard verifies the tiny candidate
+  set. That is the textbook MinHash→band→bucket-join→verify pipeline.
+- Everything is JVM array/string expressions — per-doc signature work is
+  embarrassingly parallel, no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import tune
+
+SHINGLE_LEN = 4
+N_BANDS = 2
+ROWS_PER_BAND = 4  # 8 minhashes total, banded (4,4): collision prob ≈ j^4
+JACCARD_THRESHOLD = 0.35
+
+_SPARK_SHINGLES = (
+    f"array_distinct(transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 0)),"
+    f" i -> substr(text, i, {SHINGLE_LEN})))"
+)
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 2}, 1)),"
+    f" i -> substr(text, CAST(i AS INT), {SHINGLE_LEN})))"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 of lowercased,
+    whitespace-collapsed text): each doc maps to its group's canonical
+    (min) doc_id and a duplicate flag. One hash-groupBy shuffle on the
+    fingerprint — the exact-dedup plan at any scale."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        "canonical_doc_id",
+        "group_size",
+        (F.col("doc_id") != F.col("canonical_doc_id")).cast("int").alias("is_duplicate"),
+    )
+
+
+_ORACLE_EXACT = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+),
+groups AS (
+  SELECT fingerprint, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint, g.canonical_doc_id, g.group_size,
+       CASE WHEN f.doc_id <> g.canonical_doc_id THEN 1 ELSE 0 END AS is_duplicate
+FROM fp f JOIN groups g USING (fingerprint)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise near-dup: within (lang, length-band) blocks, exact
+    Jaccard over distinct char-4-gram sets; emit pairs over threshold.
+
+    Scale note: the block key caps each join bucket; this is the
+    verify-everything baseline the MinHash-LSH query approximates. At
+    100 TB run LSH first and feed only candidates through this verifier.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") - (F.col("n_chars") % 100)).alias("len_band"),
+        F.expr(_SPARK_SHINGLES).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         n_chars - (n_chars % 100) AS len_band,
+         {_SQL_SHINGLES} AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a
+JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _spark_minhash(idx: int) -> str:
+    """Minhash #idx as the lexicographic min over shingles of a fixed-width
+    md5 hex slice — numeric-min equivalent, engine-portable."""
+    return (
+        f"array_min(transform(shingles, s -> substr(md5(concat('{idx}', ':', s)), 1, 16)))"
+    )
+
+
+def _sql_minhash(idx: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, s -> substr(md5('{idx}' || ':' || s), 1, 16)))"
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pipeline: shingle → 8 minhashes → 4 bands of
+    2 → candidate pairs share ≥1 band bucket (equi-join on band_key) →
+    verified with exact Jaccard. Emits verified pairs with their Jaccard.
+
+    This is the 100 TB dedup plan: signature computation is per-row
+    (narrow), the bucket join shuffles only band keys, and exact
+    verification touches only candidates. Banding (b=2, r=4) makes the
+    match probability 1-(1-j^4)^2 — near zero below j≈0.4, so a
+    self-similar corpus cannot explode the candidate set.
+
+    Shuffle discipline: the band join and pair-dedup run on BARE
+    (doc_a, doc_b) pairs; shingle arrays are re-joined only for the final
+    verification — never carried through the wide shuffle.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    band_exprs = [
+        F.concat_ws(
+            "|",
+            *[
+                F.expr(_spark_minhash(b * ROWS_PER_BAND + r))
+                for r in range(ROWS_PER_BAND)
+            ],
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sh.select(
+        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sha, "doc_a").join(shb, "doc_b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+_ORACLE_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles
+  FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+banded AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
+           ELSE {_sql_minhash(4)} || '|' || {_sql_minhash(5)} || '|' || {_sql_minhash(6)} || '|' || {_sql_minhash(7)}
+         END AS band_key
+  FROM sh, (VALUES (0), (1)) AS b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+FROM verified
+WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / len(list_distinct(list_concat(sh_a, sh_b))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash (16-bit): bit j is the sign of the sum over
+    tokens of ±1 derived from the parity of md5-hex nibble j. Near-dup
+    docs differ in few bits; the signature is groupable/bucketable at
+    scale. Emitted as a bitstring plus the size of its signature bucket.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, '\\\\s+'), t -> length(t) > 0)"
+    # bit_j vote per token: parity of hex nibble j of md5(token) → ±1
+    bits = ", ".join(
+        f"case when aggregate({toks}, 0, (acc, t) -> acc + "
+        f"(CASE WHEN (position(substr(md5(t), {j + 1}, 1) IN '0123456789abcdef') - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) >= 0 then '1' else '0' end"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = docs.select(
+        "doc_id", "lang", F.expr(f"concat({bits})").alias("simhash")
+    )
+    buckets = sig.groupBy("simhash").agg(F.count("*").alias("bucket_size"))
+    return sig.join(buckets, "simhash").select(
+        "doc_id", "lang", "simhash", "bucket_size"
+    )
+
+
+def _sql_simhash_bits() -> str:
+    toks = "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
+    parts = []
+    for j in range(SIMHASH_BITS):
+        parts.append(
+            f"CASE WHEN list_sum(list_transform({toks}, t -> "
+            f"CASE WHEN (strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+_ORACLE_SIMHASH = f"""
+WITH sig AS (
+  SELECT doc_id, lang, {_sql_simhash_bits()} AS simhash
+  FROM documents
+),
+buckets AS (
+  SELECT simhash, count(*) AS bucket_size FROM sig GROUP BY simhash
+)
+SELECT s.doc_id, s.lang, s.simhash, b.bucket_size
+FROM sig s JOIN buckets b USING (simhash)
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": _ORACLE_EXACT,
+    "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _ORACLE_MINHASH,
+    "dedup_simhash": _ORACLE_SIMHASH,
+}

@@ -1,0 +1,80 @@
+"""Multimodal query entries — drive ``sources.multimodal`` end-to-end.
+
+The Spark side exercises the REAL Pandas-UDF path (binary column through
+``mapInPandas`` with Arrow batches); the DuckDB oracle recomputes the same
+features relationally (md5 of the identical utf-8 bytes, octet length,
+first/second byte arithmetic), proving the batch plumbing preserves values
+row-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.multimodal import binary_documents, extract_features
+from . import tune
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction → typed columns."""
+    tune(spark)
+    feats = extract_features(binary_documents(spark, sf_dir))
+    return feats.select(
+        "doc_id", "mime", "byte_len", "payload_md5", "fake_width", "fake_height",
+        "decode_status",
+    )
+
+
+_ORACLE_FEATURES = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5,
+       CASE WHEN octet_length(encode(text)) > 0
+            THEN (ascii(substr(text, 1, 1)) % 64) + 1 ELSE 0 END AS fake_width,
+       CASE WHEN octet_length(encode(text)) > 1
+            THEN (ascii(substr(text, 2, 1)) % 64) + 1 ELSE 0 END AS fake_height,
+       'stubbed' AS decode_status
+FROM documents
+"""
+
+
+def q_multimodal_size_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over extracted features (UDF output feeding a relational
+    agg — the full modality pipeline shape): payload-size histogram."""
+    tune(spark)
+    feats = extract_features(binary_documents(spark, sf_dir))
+    return feats.groupBy(
+        (F.col("byte_len") - (F.col("byte_len") % 100)).alias("size_bucket")
+    ).agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("payload_md5").alias("n_distinct"),
+    )
+
+
+_ORACLE_SIZE_ROLLUP = """
+WITH f AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS payload_md5
+  FROM documents
+)
+SELECT byte_len - (byte_len % 100) AS size_bucket,
+       count(*) AS n_payloads,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       count(DISTINCT payload_md5) AS n_distinct
+FROM f
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "multimodal_size_rollup": q_multimodal_size_rollup,
+}
+
+ORACLE = {
+    "multimodal_features": _ORACLE_FEATURES,
+    "multimodal_size_rollup": _ORACLE_SIZE_ROLLUP,
+}

@@ -1,4 +1,297 @@
-"""Placeholder — populated incrementally this round."""
+"""Similarity search over ``embeddings`` (BASELINE.json north star:
+brute-force cosine top-k baseline + LSH-bucketed ANN as the scale path).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Numeric determinism: dot products and norms are computed as *sequential
+left-to-right folds* over the same element order in both engines
+(``F.aggregate`` in Spark, ``list_sum(list_transform(...))`` in DuckDB) —
+verified bit-identical — and cosines are rounded to 6 decimals with a
+vec_id tiebreak before any top-k, so ordering can never diverge on ulps.
+
+Scale: brute-force top-k against one query is a narrow map + TakeOrdered —
+fine at any corpus size for one query, O(n·d) work. For query *batches* at
+100 TB the LSH variant prunes: sign-random-projection buckets (equi-join on
+an 8-bit signature) restrict each query to ~1/256 of the corpus; recall is
+tunable by bits/tables. Signatures are md5-parity-derived so both engines
+build the identical hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import tune
+
+N_LSH_BITS = 8
+DIMS = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    )
+
+
+# Spark arrays are 0-based in SQL exprs; DuckDB lists are 1-based.
+_SPARK_DOT = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+_SPARK_NORM = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
+_SQL_DOT = (
+    f"list_sum(list_transform(range(1, {DIMS + 1}), i -> av[CAST(i AS INT)] * bv[CAST(i AS INT)]))"
+)
+
+
+def _sql_norm(col: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {DIMS + 1}),"
+        f" i -> {col}[CAST(i AS INT)] * {col}[CAST(i AS INT)])))"
+    )
+
+
+_SQL_EMB = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the query vector (vec_id=0) — the
+    exact baseline every ANN variant is measured against. The query vector
+    broadcasts (1 row); the corpus never shuffles."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("bv")))
+    cand = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("v").alias("av")
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    return (
+        cand.crossJoin(q)
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_ORACLE_COSINE_TOPK = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT v AS bv FROM e WHERE vec_id = 0),
+cand AS (SELECT vec_id, label, v AS av FROM e WHERE vec_id <> 0)
+SELECT vec_id, label,
+       ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine
+FROM cand, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN: top-3 neighbors for each of 8 query vectors in
+    one pass — a broadcast of the query batch against the corpus, ranked
+    per query with a window. This is the shape of a real retrieval batch:
+    queries broadcast, corpus stays put, shuffle only (query, candidate)
+    scores for the per-query top-k."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    queries = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("bv")
+        )
+    )
+    cand = e.select("vec_id", F.col("v").alias("av"))
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = (
+        cand.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+_ORACLE_KNN_JOIN = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT vec_id AS query_id, v AS bv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine
+  FROM (SELECT vec_id, v AS av FROM e) c, q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
+def q_sim_intra_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise intra-label cosine statistics: per label, the pair count and
+    mean cosine (rounded cosines summed in DECIMAL → order-independent).
+    The all-pairs join is blocked by label — the 100 TB version replaces it
+    with centroid-based or sampled estimation; this is the exact verifier.
+    """
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("label"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("v").alias("bv"))
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("ida") < F.col("idb")))
+        .select("label", cos.alias("cosine"))
+    )
+    return pairs.groupBy("label").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cosine").cast("decimal(20,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_cosine"),
+        F.max("cosine").alias("max_cosine"),
+        F.min("cosine").alias("min_cosine"),
+    )
+
+
+_ORACLE_INTRA_LABEL = f"""
+WITH e AS ({_SQL_EMB}),
+pairs AS (
+  SELECT a.label,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine
+  FROM (SELECT vec_id AS ida, label, v AS av FROM e) a
+  JOIN (SELECT vec_id AS idb, label AS lb, v AS bv FROM e) b
+    ON a.label = b.lb AND a.ida < b.idb
+)
+SELECT label, count(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(cosine AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_cosine,
+       max(cosine) AS max_cosine,
+       min(cosine) AS min_cosine
+FROM pairs
+GROUP BY label
+"""
+
+
+def _spark_lsh_bucket(vcol: str) -> str:
+    """8-bit sign-random-projection signature. Hyperplane j's component i is
+    ±1 from the parity of the first hex nibble of md5('h<j>:<i>') — a fixed,
+    engine-portable pseudo-random matrix. Spark arrays are 0-based."""
+    bits = []
+    for j in range(N_LSH_BITS):
+        bits.append(
+            f"case when aggregate(sequence(0, {DIMS - 1}), 0D, (acc, i) -> acc + "
+            f"(case when (position(substr(md5(concat('h{j}:', i)), 1, 1) IN '0123456789abcdef') - 1) % 2 = 1 "
+            f"then 1.0 else -1.0 end) * {vcol}[i]) >= 0 then '1' else '0' end"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _sql_lsh_bucket(vcol: str) -> str:
+    bits = []
+    for j in range(N_LSH_BITS):
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(0, {DIMS}), i -> "
+            f"(CASE WHEN (strpos('0123456789abcdef', substr(md5('h{j}:' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END) * {vcol}[CAST(i + 1 AS INT)])) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH: bucket every vector by its 8-bit signature, then
+    search the query's bucket only — top-5 by exact cosine within it. The
+    bucket equi-join replaces the corpus scan; at 100 TB add more tables
+    (independent hyperplane sets) for recall."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    sig = e.select(
+        "vec_id", "label", "v", F.expr(_spark_lsh_bucket("v")).alias("bucket")
+    )
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") == 0).select(
+            F.col("bucket").alias("qbucket"), F.col("v").alias("bv")
+        )
+    )
+    cand = sig.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("v").alias("av"), "bucket"
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    return (
+        cand.join(q, F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", "bucket", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+_ORACLE_LSH_ANN = f"""
+WITH e AS ({_SQL_EMB}),
+sig AS (SELECT vec_id, label, v, {_sql_lsh_bucket('v')} AS bucket FROM e),
+q AS (SELECT bucket AS qbucket, v AS bv FROM sig WHERE vec_id = 0),
+cand AS (SELECT vec_id, label, v AS av, bucket FROM sig WHERE vec_id <> 0)
+SELECT vec_id, label, bucket,
+       ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine
+FROM cand, q
+WHERE bucket = qbucket
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+def q_sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket size distribution — the health check for the ANN index
+    (skewed buckets = bad hyperplanes or correlated data)."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    sig = e.select("vec_id", F.expr(_spark_lsh_bucket("v")).alias("bucket"))
+    return sig.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+_ORACLE_LSH_STATS = f"""
+WITH e AS ({_SQL_EMB}),
+sig AS (SELECT vec_id, {_sql_lsh_bucket('v')} AS bucket FROM e)
+SELECT bucket, count(*) AS n_vecs,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+FROM sig
+GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_knn_join": q_sim_knn_join,
+    "sim_intra_label_stats": q_sim_intra_label_stats,
+    "sim_lsh_ann": q_sim_lsh_ann,
+    "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
+}
+
+ORACLE = {
+    "sim_cosine_topk": _ORACLE_COSINE_TOPK,
+    "sim_knn_join": _ORACLE_KNN_JOIN,
+    "sim_intra_label_stats": _ORACLE_INTRA_LABEL,
+    "sim_lsh_ann": _ORACLE_LSH_ANN,
+    "sim_lsh_bucket_stats": _ORACLE_LSH_STATS,
+}

@@ -1,0 +1,335 @@
+"""The reference's stateful drain loop (src/app.js:61-103) re-expressed on
+Spark: SURVEY.md §2 operators A7 (top-1 dequeue), A8 (existence guard),
+A9/A11 (status transitions), A10 (per-ID external call), A12 (5 s
+gap-after-work pacing), A13 (serialization).
+
+Design (SURVEY §3.4, §4.3):
+
+- **State = tables, not mutable maps.** ``ingestions`` and ``batches`` are
+  append-only parquet; status transitions append to a ``batch_log``
+  (batch_id, status, log_seq) and current status is the latest log entry —
+  the recompute-from-log design that makes every transition idempotent
+  under retries (the exactly-once concern Delta MERGE would otherwise
+  cover; the reference gets this for free by being single-threaded).
+- **The queue is a query.** There is no queue data structure: pending =
+  ``batches ⟕ latest-log WHERE status='yet_to_start' ORDER BY
+  priority_level DESC, created_at ASC, request_seq ASC, batch_seq ASC
+  LIMIT 1`` evaluated per trigger — identical preemption semantics to the
+  reference's sort-on-insert queue (test/test_api.js:216-267: HIGH
+  submitted later overtakes queued LOW), and on Spark it executes as
+  TakeOrderedAndProject (per-partition heap + driver merge, no global
+  sort), which is why the same plan is fine with 10^9 pending batches.
+- **Mutual exclusion (A13) is structural**: one drain loop per pipeline
+  object; in the Structured Streaming deployment one query = one active
+  trigger at a time.
+- **Pacing (A12) is injectable**: ``DrainConfig(per_id_delay=0.5,
+  batch_gap=5.0)`` reproduces the reference's wall-clock arithmetic
+  (full-batch cycle 6.5 s — BASELINE.md); tests run with zeros and step
+  the loop deterministically (SURVEY §5.2.1), so correctness never depends
+  on sleeps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..ingestion.core import priority_level
+from ..schemas import (
+    BATCH_SIZE,
+    MAX_ID,
+    MIN_ID,
+    STATUS_COMPLETED,
+    STATUS_TRIGGERED,
+    STATUS_YET_TO_START,
+    VALID_PRIORITIES,
+)
+
+
+class InvalidRequest(ValueError):
+    """The 400 path (src/app.js:115)."""
+
+
+class NotFound(KeyError):
+    """The 404 path (src/app.js:161-163)."""
+
+
+def default_external_call(id_: int) -> dict:
+    """The simulated external API (src/app.js:28-34): returns
+    {id, data:'processed'} after ``per_id_delay`` (the delay itself is
+    applied by the caller so tests can zero it)."""
+    return {"id": id_, "data": "processed"}
+
+
+@dataclass
+class DrainConfig:
+    per_id_delay: float = 0.0  # reference fidelity: 0.5 (src/app.js:32)
+    batch_gap: float = 0.0  # reference fidelity: 5.0 (src/app.js:92-94)
+    external_call: Callable[[int], dict] = default_external_call
+
+
+_BATCH_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("log_seq", T.LongType(), False),
+    ]
+)
+
+_PROCESSED_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("data", T.StringType(), False),
+    ]
+)
+
+_BATCHES_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("ingestion_id", T.StringType(), False),
+        T.StructField("request_seq", T.LongType(), False),
+        T.StructField("batch_seq", T.IntegerType(), False),
+        T.StructField("ids", T.ArrayType(T.LongType()), False),
+        T.StructField("priority", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+_INGESTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("ingestion_id", T.StringType(), False),
+        T.StructField("request_seq", T.LongType(), False),
+        T.StructField("priority", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+
+class IngestionPipeline:
+    """Library-first ingest/status API (SURVEY §7.2 M3) + drain loop (M2).
+
+    Mirrors the two REST routes:
+    - ``ingest(ids, priority)``  → POST /ingest  (src/app.js:106-155)
+    - ``status(ingestion_id)``   → GET /status/:id (src/app.js:158-187)
+    plus ``drain_step()`` / ``drain_all()`` = one / all cycles of
+    processBatches (src/app.js:61-103).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        config: DrainConfig | None = None,
+        clock: Callable[[], datetime] | None = None,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.config = config or DrainConfig()
+        self.clock = clock or (lambda: datetime.now(timezone.utc))
+        self._request_seq = 0
+        self._log_seq = 0
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state table helpers -------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _read(self, name: str, schema: T.StructType) -> DataFrame:
+        path = self._path(name)
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except Exception:  # no data yet
+            return self.spark.createDataFrame([], schema)
+
+    def _append(self, name: str, rows: list, schema: T.StructType) -> None:
+        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._path(name))
+
+    # -- A2-A5: ingest -------------------------------------------------------
+
+    def ingest(self, ids: list, priority: str) -> str:
+        """Validate (A2), key-gen (A3), timestamp (A4), chunk (A5), persist.
+        Returns the ingestion_id; raises InvalidRequest on the 400 path."""
+        if (
+            not isinstance(ids, list)
+            or any(
+                not isinstance(i, int) or isinstance(i, bool) or not (MIN_ID <= i <= MAX_ID)
+                for i in ids
+            )
+            or priority not in VALID_PRIORITIES
+        ):
+            raise InvalidRequest("Invalid input")
+        ingestion_id = str(uuid.uuid4())
+        created_at = self.clock()
+        seq = self._request_seq
+        self._request_seq += 1
+        batch_rows = [
+            Row(
+                batch_id=str(uuid.uuid4()),
+                ingestion_id=ingestion_id,
+                request_seq=seq,
+                batch_seq=bi,
+                ids=[int(x) for x in ids[i : i + BATCH_SIZE]],
+                priority=priority,
+                created_at=created_at,
+            )
+            for bi, i in enumerate(range(0, len(ids), BATCH_SIZE))
+        ]
+        self._append(
+            "ingestions",
+            [
+                Row(
+                    ingestion_id=ingestion_id,
+                    request_seq=seq,
+                    priority=priority,
+                    created_at=created_at,
+                )
+            ],
+            _INGESTIONS_SCHEMA,
+        )
+        if batch_rows:
+            self._append("batches", batch_rows, _BATCHES_SCHEMA)
+        return ingestion_id
+
+    # -- status overlay ------------------------------------------------------
+
+    def _batches_with_status(self) -> DataFrame:
+        """batches ⟕ latest batch_log entry, default yet_to_start (the A15
+        coalesce). The log dedup is a per-key max — at scale a compacted
+        state table; here a window-free groupBy."""
+        batches = self._read("batches", _BATCHES_SCHEMA)
+        log = self._read("batch_log", _BATCH_LOG_SCHEMA)
+        latest = (
+            log.groupBy("batch_id")
+            .agg(F.max(F.struct("log_seq", "status")).alias("m"))
+            .select("batch_id", F.col("m.status").alias("log_status"))
+        )
+        return (
+            batches.join(latest, "batch_id", "left")
+            .withColumn("status", F.coalesce("log_status", F.lit(STATUS_YET_TO_START)))
+            .drop("log_status")
+        )
+
+    # -- A14-A17: status -----------------------------------------------------
+
+    def status(self, ingestion_id: str) -> dict:
+        """GET /status/:id — point lookup (A14), child join (A15), rollup
+        (A16), nested response projection (A17)."""
+        ing = (
+            self._read("ingestions", _INGESTIONS_SCHEMA)
+            .filter(F.col("ingestion_id") == ingestion_id)
+            .head(1)
+        )
+        if not ing:
+            raise NotFound(ingestion_id)
+        rows = (
+            self._batches_with_status()
+            .filter(F.col("ingestion_id") == ingestion_id)
+            .orderBy("batch_seq")
+            .select("batch_id", "ids", "status")
+            .collect()
+        )
+        statuses = [r.status for r in rows]
+        if all(s == STATUS_COMPLETED for s in statuses):  # vacuously true if empty
+            overall = STATUS_COMPLETED
+        elif any(s == STATUS_TRIGGERED for s in statuses):
+            overall = STATUS_TRIGGERED
+        else:
+            overall = STATUS_YET_TO_START
+        return {
+            "ingestion_id": ingestion_id,
+            "status": overall,
+            "batches": [
+                {"batch_id": r.batch_id, "ids": list(r.ids), "status": r.status}
+                for r in rows
+            ],
+        }
+
+    # -- A6-A13: drain -------------------------------------------------------
+
+    def _next_pending(self) -> Row | None:
+        """A6+A7: top-1 of the pending set under (priority DESC, created_at
+        ASC, request_seq ASC, batch_seq ASC) — TakeOrderedAndProject, not a
+        global sort."""
+        rows = (
+            self._batches_with_status()
+            .filter(F.col("status") == STATUS_YET_TO_START)
+            .withColumn("priority_level", priority_level("priority"))
+            .orderBy(
+                F.desc("priority_level"),
+                F.asc("created_at"),
+                F.asc("request_seq"),
+                F.asc("batch_seq"),
+            )
+            .head(1)
+        )
+        return rows[0] if rows else None
+
+    def _log(self, batch_id: str, status: str) -> None:
+        self._append(
+            "batch_log",
+            [Row(batch_id=batch_id, status=status, log_seq=self._log_seq)],
+            _BATCH_LOG_SCHEMA,
+        )
+        self._log_seq += 1
+
+    def drain_step(self) -> str | None:
+        """One drain cycle (one loop body of src/app.js:65-96). Returns the
+        processed batch_id, or None if the queue was empty."""
+        batch = self._next_pending()
+        if batch is None:
+            return None
+        self._log(batch.batch_id, STATUS_TRIGGERED)  # A9
+        results = []
+        for id_ in batch.ids:  # A10: strictly sequential per-ID calls
+            if self.config.per_id_delay:
+                time.sleep(self.config.per_id_delay)
+            out = self.config.external_call(int(id_))
+            results.append(
+                Row(batch_id=batch.batch_id, id=int(out["id"]), data=str(out["data"]))
+            )
+        if results:
+            self._append("processed", results, _PROCESSED_SCHEMA)
+        self._log(batch.batch_id, STATUS_COMPLETED)  # A11
+        if self.config.batch_gap:
+            time.sleep(self.config.batch_gap)  # A12: gap AFTER work
+        return batch.batch_id
+
+    def drain_all(self, max_steps: int = 10_000) -> int:
+        """Drain until empty (the full processBatches loop). Returns the
+        number of batches processed."""
+        n = 0
+        while n < max_steps and self.drain_step() is not None:
+            n += 1
+        return n
+
+    # -- observability -------------------------------------------------------
+
+    def queue_snapshot(self) -> DataFrame:
+        """The pending set in dequeue order (A6) — what the reference's
+        batchQueue array would contain."""
+        return (
+            self._batches_with_status()
+            .filter(F.col("status") == STATUS_YET_TO_START)
+            .withColumn("priority_level", priority_level("priority"))
+            .orderBy(
+                F.desc("priority_level"),
+                F.asc("created_at"),
+                F.asc("request_seq"),
+                F.asc("batch_seq"),
+            )
+        )
+
+    def processed_results(self) -> DataFrame:
+        return self._read("processed", _PROCESSED_SCHEMA)

@@ -1,0 +1,156 @@
+"""Real Structured Streaming jobs (SURVEY §2 Part C streaming formalisms):
+the batch event-window operators re-run as actual ``readStream`` queries
+with an availableNow trigger into a memory sink — proving the same logical
+plans execute incrementally.
+
+Oracle story: on bounded input, availableNow + complete-mode aggregation
+must produce exactly the batch answer, so these queries share the batch
+oracles — the driver's DuckDB check certifies the *streaming* execution
+path end-to-end.
+
+Scale: in production the source becomes Kafka/files-on-arrival; the
+aggregations run with ``withWatermark`` to bound state (late events beyond
+the watermark are dropped and the state store evicts closed windows);
+output lands in an idempotent ``foreachBatch`` sink. The memory sink here
+is the test harness, not the deployment sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import exact_sum, sql_exact_sum
+from ..operators import tune
+
+_RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as raw ns
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet: nanos→µs truncation
+    matching tables._load_events, as an unbounded readStream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a directory: stream the sf dir with a
+    # glob filter selecting only the events table
+    raw = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) and
+    return the materialized result."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event_type, executed as a genuine
+    streaming query (readStream → window agg → memory sink). Must equal
+    the batch tumbling answer — shared oracle."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_ORACLE_STREAM_TUMBLING = f"""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-minute gap) per user — Spark's
+    streaming sessionization operator, run to completion and rolled up per
+    user. Equals the batch lag/cumsum sessionization (events.py), so the
+    per-user session counts share that oracle."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(sess)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+_ORACLE_STREAM_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts, 1) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(n_events) AS max_session_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "streaming_tumbling_window": q_streaming_tumbling,
+    "streaming_session_window": q_streaming_session_window,
+}
+
+ORACLE = {
+    "streaming_tumbling_window": _ORACLE_STREAM_TUMBLING,
+    "streaming_session_window": _ORACLE_STREAM_SESSION,
+}

@@ -1,0 +1,184 @@
+"""Port of the reference's test scenarios (test/test_api.js, 13 meaningful
+tests) against the Spark pipeline, with wall-clock sleeps replaced by
+deterministic trigger stepping (SURVEY §5.2.1): each ``drain_step()`` is
+one cycle of the reference's processBatches loop, and state is asserted
+between steps instead of at timed checkpoints."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_api_system_spark.streaming.drain import (
+    DrainConfig,
+    IngestionPipeline,
+    InvalidRequest,
+    NotFound,
+)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    return IngestionPipeline(spark, str(tmp_path / "state"))
+
+
+# -- validation (test_api.js:23-45) -----------------------------------------
+
+def test_rejects_non_integer_ids(pipeline):
+    with pytest.raises(InvalidRequest):
+        pipeline.ingest([1, 2, "a"], "HIGH")
+
+
+def test_rejects_bad_priority(pipeline):
+    with pytest.raises(InvalidRequest):
+        pipeline.ingest([1, 2, 3], "VERY_HIGH")
+
+
+def test_rejects_out_of_range_ids(pipeline):
+    with pytest.raises(InvalidRequest):
+        pipeline.ingest([0], "LOW")
+    with pytest.raises(InvalidRequest):
+        pipeline.ingest([1_000_000_008], "LOW")
+
+
+# -- empty ids: valid, instantly completed (test_api.js:47-57) ---------------
+
+def test_empty_ids_vacuously_completed(pipeline):
+    ing = pipeline.ingest([], "LOW")
+    st = pipeline.status(ing)
+    assert st["status"] == "completed"
+    assert st["batches"] == []
+
+
+# -- batching (test_api.js:68-82) --------------------------------------------
+
+def test_seven_ids_three_batches(pipeline):
+    ing = pipeline.ingest([1, 2, 3, 4, 5, 6, 7], "MEDIUM")
+    st = pipeline.status(ing)
+    assert [b["ids"] for b in st["batches"]] == [[1, 2, 3], [4, 5, 6], [7]]
+    assert all(b["status"] == "yet_to_start" for b in st["batches"])
+
+
+# -- status endpoint (test_api.js:86-106) ------------------------------------
+
+def test_unknown_ingestion_404(pipeline):
+    with pytest.raises(NotFound):
+        pipeline.status("nonexistent-id")
+
+
+def test_initial_status_shape(pipeline):
+    ing = pipeline.ingest([1, 2, 3, 4], "HIGH")
+    st = pipeline.status(ing)
+    assert st["ingestion_id"] == ing
+    assert st["status"] == "yet_to_start"
+    assert len(st["batches"]) == 2
+    assert set(st["batches"][0]) == {"batch_id", "ids", "status"}
+
+
+# -- priority + preemption (test_api.js:110-186, 216-267) --------------------
+
+def test_high_preempts_queued_medium(pipeline):
+    """MEDIUM [1..5] then HIGH [6..9]: after the first MEDIUM batch, the
+    HIGH batches run before the remaining MEDIUM batch — priorities take
+    effect at dequeue granularity, never mid-batch (SURVEY §3.2)."""
+    med = pipeline.ingest([1, 2, 3, 4, 5], "MEDIUM")
+    first = pipeline.drain_step()  # processes [1,2,3] (only work available)
+    high = pipeline.ingest([6, 7, 8, 9], "HIGH")
+    order = [pipeline.drain_step() for _ in range(3)]
+    st_med, st_high = pipeline.status(med), pipeline.status(high)
+    assert st_med["batches"][0]["batch_id"] == first
+    # HIGH batches [6,7,8] and [9] both completed before MEDIUM's [4,5]
+    assert st_high["status"] == "completed"
+    assert st_med["status"] == "completed"
+    assert order[0] == st_high["batches"][0]["batch_id"]
+    assert order[1] == st_high["batches"][1]["batch_id"]
+    assert order[2] == st_med["batches"][1]["batch_id"]
+
+
+def test_high_after_low_overtakes(pipeline):
+    """test_api.js:216-267: LOW enqueued first, HIGH submitted later still
+    dequeues first when no drain has started."""
+    low = pipeline.ingest([301, 302, 303], "LOW")
+    high = pipeline.ingest([401, 402, 403], "HIGH")
+    first = pipeline.drain_step()
+    assert first == pipeline.status(high)["batches"][0]["batch_id"]
+    assert pipeline.status(low)["status"] == "yet_to_start"
+
+
+def test_one_batch_per_cycle(pipeline):
+    """test_api.js:188-214: strict 1-batch-per-cycle pacing — each drain
+    step completes exactly one batch."""
+    ing = pipeline.ingest([1, 2, 3, 4, 5, 6, 7, 8, 9], "LOW")
+    for done in range(1, 4):
+        pipeline.drain_step()
+        st = pipeline.status(ing)
+        statuses = [b["status"] for b in st["batches"]]
+        assert statuses.count("completed") == done
+
+
+def test_fifo_within_same_priority(pipeline):
+    """Equal priority: earlier request's batches drain first (createdAt
+    ASC + stable request order, src/app.js:36-42)."""
+    a = pipeline.ingest([1, 2, 3], "LOW")
+    b = pipeline.ingest([4, 5, 6], "LOW")
+    assert pipeline.drain_step() == pipeline.status(a)["batches"][0]["batch_id"]
+    assert pipeline.drain_step() == pipeline.status(b)["batches"][0]["batch_id"]
+
+
+# -- rollup logic (test_api.js:270-307) --------------------------------------
+
+def test_triggered_visible_during_processing(pipeline):
+    """The batch reports 'triggered' while its IDs are in flight (A9 before
+    A10): observed via the external-call hook instead of timing."""
+    seen: list[str] = []
+
+    def spy_call(id_: int) -> dict:
+        if not seen:
+            st = pipeline.status(ing)
+            seen.append(st["batches"][0]["status"])
+            seen.append(st["status"])
+        return {"id": id_, "data": "processed"}
+
+    pipeline.config = DrainConfig(external_call=spy_call)
+    ing = pipeline.ingest([1, 2], "LOW")
+    pipeline.drain_step()
+    assert seen == ["triggered", "triggered"]
+
+
+def test_completed_rollup_after_drain(pipeline):
+    ing = pipeline.ingest([1, 2, 3, 4], "MEDIUM")
+    n = pipeline.drain_all()
+    assert n == 2
+    st = pipeline.status(ing)
+    assert st["status"] == "completed"
+    assert [b["status"] for b in st["batches"]] == ["completed", "completed"]
+
+
+def test_partial_drain_mixed_rollup(pipeline):
+    """Some batches completed + none triggered → overall 'yet_to_start'
+    (exact reference semantics: rollup checks every-completed then
+    some-triggered, src/app.js:168-173)."""
+    ing = pipeline.ingest([1, 2, 3, 4, 5, 6], "LOW")
+    pipeline.drain_step()
+    st = pipeline.status(ing)
+    assert [b["status"] for b in st["batches"]] == ["completed", "yet_to_start"]
+    assert st["status"] == "yet_to_start"
+
+
+# -- processed results persisted (engine extension over the reference) -------
+
+def test_processed_results_recorded(pipeline):
+    pipeline.ingest([11, 12, 13, 14], "HIGH")
+    pipeline.drain_all()
+    rows = pipeline.processed_results().collect()
+    assert sorted(r.id for r in rows) == [11, 12, 13, 14]
+    assert all(r.data == "processed" for r in rows)
+
+
+# -- queue snapshot ordering (A6) --------------------------------------------
+
+def test_queue_snapshot_order(pipeline):
+    pipeline.ingest([1], "LOW")
+    pipeline.ingest([2], "HIGH")
+    pipeline.ingest([3], "MEDIUM")
+    snap = pipeline.queue_snapshot().select("priority").collect()
+    assert [r.priority for r in snap] == ["HIGH", "MEDIUM", "LOW"]
