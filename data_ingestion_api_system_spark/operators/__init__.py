@@ -35,6 +35,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         pipeline,
         relational,
+        relational2,
         similarity,
         text,
         windows,
@@ -47,6 +48,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod in (
         pipeline,
         relational,
+        relational2,
         windows,
         events,
         text,

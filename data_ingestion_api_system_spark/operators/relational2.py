@@ -1,0 +1,463 @@
+"""Extended relational coverage: EXISTS/scalar subqueries, nation-pair and
+profit analytics, OR-of-ANDs predicates, pivot, explicit GROUPING SETS, the
+SQL API surface (spark.sql over registered views), an as-of join, a
+vectorized Pandas UDF, and approximate aggregates (rows-only).
+
+The SQL-API queries register temp views and go through ``spark.sql`` —
+Catalyst produces the same plans either way (SURVEY §3.4); having both
+styles in the suite certifies the SQL entry point, not just the DataFrame
+builder.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    SQL_REVENUE_DEC,
+    exact_sum_dec,
+    revenue_dec,
+    sql_exact_sum_dec,
+)
+from ..tables import load_table, register_views
+from . import tune
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4: order priority checking — EXISTS subquery → left-semi join.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one late-shipped line (EXISTS) counted by
+    priority. Catalyst turns the EXISTS into a left-semi hash join that
+    shuffles only the keys."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between nation pairs.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flows between (supplier nation, customer nation) pairs per
+    year. Two broadcast dimension joins resolve the nation names; the
+    orders⋈lineitem⋈customer/supplier chain shuffles on its keys."""
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("sk"))
+        .join(n2, cust.c_nationkey == F.col("ck"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(exact_sum_dec(revenue_dec()).alias("revenue"))
+    )
+
+
+_ORACLE_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 (adapted): product-line profit by nation and year.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit (revenue − retail cost × qty) for 'widget' parts by supplier
+    nation and order year — the classic multi-fact star aggregation. All
+    factors decimal-cast before arithmetic (exact cross-engine sums)."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = revenue_dec() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum_dec(profit).alias("profit"))
+    )
+
+
+_ORACLE_Q9 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_exact_sum_dec(f"{SQL_REVENUE_DEC} - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))")} AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion effect — conditional aggregation.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts: sum(CASE WHEN)/sum — two exact
+    decimal sums and one engine-identical double division."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    rev = revenue_dec()
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            exact_sum_dec(promo_rev).alias("promo_revenue"),
+            exact_sum_dec(rev).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(F.col("promo_revenue") * 100 / F.col("total_revenue"), 6).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+_ORACLE_Q14 = f"""
+WITH agg AS (
+  SELECT {sql_exact_sum_dec(f"CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")} AS promo_revenue,
+         {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(promo_revenue * 100 / total_revenue, 6) AS promo_pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: discounted revenue — OR-of-ANDs predicate.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-branch predicate across join columns — exercises
+    Catalyst's predicate normalization/partial pushdown (the common-factor
+    l_quantity bounds push to the scan even though branches differ)."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_type") == "SMALL") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 15))
+        | ((F.col("p_type") == "MEDIUM") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 25))
+        | ((F.col("p_type") == "LARGE") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50) & (F.col("p_size") <= 35))
+    )
+    return joined.filter(cond).agg(
+        exact_sum_dec(revenue_dec()).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_ORACLE_Q19 = f"""
+SELECT {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL' AND l_quantity BETWEEN 1 AND 30 AND p_size <= 15)
+   OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 40 AND p_size <= 25)
+   OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 50 AND p_size <= 35)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (cross-tab) — orders per year × priority.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pivot`` with an explicit value list (explicit values keep the plan
+    single-pass — without them Spark first runs a distinct scan)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    for old, new in zip(_PRIORITIES, _PRIORITY_COLS):
+        piv = piv.withColumnRenamed(old, new)
+    out = piv
+    for c in _PRIORITY_COLS:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("bigint"))
+    return out
+
+
+_ORACLE_PIVOT = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface: scalar subquery + correlated EXISTS + GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql(): customers above the global average balance, with the
+    average as an uncorrelated scalar subquery (planned as a broadcast of a
+    1-row aggregate)."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+_ORACLE_SCALAR_SUBQ = """
+SELECT c_custkey, c_name,
+       CAST(round(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: purchase → latest prior click per user (attribution).
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, an operator Spark lacks natively (SURVEY §2 Part C /
+    pyspark guide): for each purchase, the user's latest click at-or-before
+    the purchase time. Implemented with the scalable union+window pattern:
+    tag both sides, sort per user by (ts, side-rank), and carry the last
+    click forward with last(ignoreNulls) — one shuffle on user_id, no
+    pairwise join at all. DuckDB's native ASOF JOIN is the oracle.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("click_event_id"),
+        F.lit(0).alias("kind"),  # clicks sort before purchases at equal ts
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.lit(1).alias("kind"),
+    )
+    unioned = clicks.withColumn("purchase_event_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_event_id", F.lit(None).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "kind", F.coalesce("purchase_event_id", "click_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_click_event_id", F.last("click_event_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ets")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            "purchase_event_id",
+            F.col("last_click_event_id").alias("click_event_id"),
+            (
+                F.unix_micros("ets") - F.unix_micros("last_click_ts")
+            ).alias("gap_us"),
+        )
+    )
+
+
+_ORACLE_ASOF = """
+WITH p AS (SELECT user_id, ts, event_id AS purchase_event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_event_id, c.click_event_id,
+       CASE WHEN c.click_event_id IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Pandas UDF (Arrow scalar path) with a full oracle.
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf("int")
+def _pandas_token_count(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized scalar UDF — the sanctioned Python escape hatch
+    (batched columnar transfer, not per-row pickling)."""
+    return texts.str.split().str.len().fillna(0).astype("int32")
+
+
+def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pandas-UDF hot path certified against a relational oracle: token
+    counts via Arrow-batched Python exactly match the JVM-side split —
+    proving the Python bridge preserves values and is only a perf choice."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", _pandas_token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+_ORACLE_PANDAS_UDF = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0))) AS BIGINT) AS total_tokens,
+       CAST(max(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0))) AS INT) AS max_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — declared rows-only (non-deterministic across
+# engines by design; the driver records the weaker check).
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts + approximate quantiles — the sketches
+    that replace exact distinct/percentile at 100 TB (bounded memory,
+    mergeable partials)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+QUERIES = {
+    "tpch_q4_order_priority": q_tpch_q4,
+    "tpch_q7_nation_volume": q_tpch_q7,
+    "tpch_q9_product_profit": q_tpch_q9,
+    "tpch_q14_promo_effect": q_tpch_q14,
+    "tpch_q19_discounted_revenue": q_tpch_q19,
+    "pivot_priority_by_year": q_pivot_priority,
+    "sql_scalar_subquery": q_sql_scalar_subquery,
+    "sql_grouping_sets": q_sql_grouping_sets,
+    "asof_join_attribution": q_asof_join,
+    "pandas_udf_token_count": q_pandas_udf_tokens,
+    "approx_distinct_sketch": q_approx_distinct,
+}
+
+ORACLE = {
+    "tpch_q4_order_priority": _ORACLE_Q4,
+    "tpch_q7_nation_volume": _ORACLE_Q7,
+    "tpch_q9_product_profit": _ORACLE_Q9,
+    "tpch_q14_promo_effect": _ORACLE_Q14,
+    "tpch_q19_discounted_revenue": _ORACLE_Q19,
+    "pivot_priority_by_year": _ORACLE_PIVOT,
+    "sql_scalar_subquery": _ORACLE_SCALAR_SUBQ,
+    "sql_grouping_sets": _ORACLE_GROUPING_SETS,
+    "asof_join_attribution": _ORACLE_ASOF,
+    "pandas_udf_token_count": _ORACLE_PANDAS_UDF,
+    # approx_distinct_sketch: rows-only by design
+}

@@ -270,8 +270,43 @@ GROUP BY lang
 """
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2-compatible subset (no
+# lookahead — DuckDB's regex engine lacks it): optional-space letter runs,
+# digit runs, punctuation runs, residual whitespace.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: estimate LLM token counts with the GPT-2
+    pre-tokenizer split (regexp_extract_all — JVM regex, no UDF), compared
+    against whitespace word counts per language. The tokens-per-word ratio
+    is the standard corpus-cost estimator."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    words = F.size(tokens("text"))
+    per_doc = docs.select("lang", bpe.alias("bpe_tokens"), words.alias("words"))
+    return per_doc.groupBy("lang").agg(
+        F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.round(F.sum("bpe_tokens") / F.sum("words"), 6).alias("tokens_per_word"),
+    )
+
+
+_ORACLE_BPE = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_words,
+       ROUND(CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS DOUBLE)
+             / sum(len({_SQL_TOKS})), 6) AS tokens_per_word
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
     "text_word_freq": q_text_word_freq,
@@ -281,6 +316,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": _ORACLE_TOKEN_STATS,
+    "text_bpe_tokens": _ORACLE_BPE,
     "text_quality_score": _ORACLE_QUALITY,
     "text_lang_id": _ORACLE_LANG_ID,
     "text_word_freq": _ORACLE_WORD_FREQ,

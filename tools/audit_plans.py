@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: asserts the scale-critical plan properties for key
+queries — the properties that decide whether a plan survives 100 TB:
+
+- filter pushdown reached the parquet scan (PushedFilters non-empty)
+- column pruning happened (ReadSchema narrower than the table)
+- broadcast joins where a dimension side should broadcast
+- no unintended CartesianProduct/BroadcastNestedLoopJoin (the deliberate
+  1-row query-vector cross joins are allowlisted)
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# query → (must_match regexes, must_not_match regexes) over the formatted plan
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    "tpch_q1_pricing_summary": (
+        [r"PushedFilters: \[.*l_shipdate", r"partial_sum"],
+        [r"CartesianProduct"],
+    ),
+    "tpch_q3_shipping_priority": (
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*c_mktsegment", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "tpch_q5_local_supplier": (
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*o_orderdate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "tpch_q6_forecast_revenue": (
+        [
+            r"PushedFilters: \[.*l_shipdate.*l_discount.*l_quantity",
+            r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate",
+        ],
+        [r"Exchange hashpartitioning"],  # scalar agg needs only SinglePartition
+    ),
+    "tpch_q10_returned_items": (
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*l_returnflag", r"TakeOrderedAndProject"],
+        [r"CartesianProduct"],
+    ),
+    "window_topk_per_group": (
+        [r"WindowGroupLimit"],  # rank filter pushed into the window sort
+        [r"CartesianProduct"],
+    ),
+    "pipeline_status_rollup": (
+        # bool_and/bool_or are rewritten to min/max over booleans — the
+        # partial (map-side) aggregation is what we assert
+        [r"partial_min", r"partial_max", r"PushedFilters"],
+        [r"CartesianProduct"],
+    ),
+    "dedup_minhash_lsh": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # query-vector cross joins are 1-row broadcasts — BNLJ is the right plan
+    "sim_cosine_topk": ([r"BroadcastNestedLoopJoin|CartesianProduct"], []),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from data_ingestion_api_system_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    qs = entrymod.queries()
+    failures = 0
+    for name, (must, must_not) in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        missing = [p for p in must if not re.search(p, plan)]
+        present = [p for p in must_not if re.search(p, plan)]
+        if missing or present:
+            failures += 1
+            print(f"FAIL {name}: missing={missing} forbidden-present={present}")
+        else:
+            print(f"OK   {name}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
