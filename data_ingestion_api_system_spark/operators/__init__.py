@@ -36,6 +36,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipeline,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
         windows,
@@ -49,6 +50,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipeline,
         relational,
         relational2,
+        relational3,
         windows,
         events,
         text,

@@ -296,8 +296,51 @@ FROM sig s JOIN buckets b USING (simhash)
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: vector pairs with cosine ≥ 0.3 inside
+    label blocks (threshold fit to this synthetic data — max intra-label
+    cosine is ~0.45) — semantic dedup, the complement of the lexical methods.
+    Blocked by label here; at 100 TB the block key becomes an LSH bucket or
+    IVF cell (see operators.similarity) so candidates stay bounded."""
+    tune(spark)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("bv"))
+    dot = F.expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.expr("sqrt(aggregate(transform(av, x -> x * x), 0D, (acc, x) -> acc + x))")
+    nb = F.expr("sqrt(aggregate(transform(bv, x -> x * x), 0D, (acc, x) -> acc + x))")
+    cos = F.round(dot / (na * nb), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+_SQL_DOT64 = "list_sum(list_transform(range(1, 65), i -> av[CAST(i AS INT)] * bv[CAST(i AS INT)]))"
+_SQL_N64 = "sqrt(list_sum(list_transform(range(1, 65), i -> {0}[CAST(i AS INT)] * {0}[CAST(i AS INT)])))"
+
+_ORACLE_EMB_COSINE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         ROUND({_SQL_DOT64} / ({_SQL_N64.format('av')} * {_SQL_N64.format('bv')}), 6) AS cosine
+  FROM (SELECT vec_id, label, v AS av FROM e) a
+  JOIN (SELECT vec_id, label AS lb, v AS bv FROM e) b
+    ON a.label = b.lb AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine
+FROM pairs
+WHERE cosine >= 0.3
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -305,6 +348,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _ORACLE_EXACT,
+    "dedup_embedding_cosine": _ORACLE_EMB_COSINE,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _ORACLE_MINHASH,
     "dedup_simhash": _ORACLE_SIMHASH,

@@ -1,0 +1,419 @@
+"""Third relational batch: market-share, distribution, top-1-by-group,
+selective-aggregate-subquery, and anti-join analytics (TPC-H q8/q13/q15/
+q17/q22 shapes), plus the scale patterns every 100 TB pipeline needs
+spelled out: two-phase salted aggregation, unpivot, and map-typed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    SQL_REVENUE_DEC,
+    exact_sum_dec,
+    revenue_dec,
+    sql_exact_sum_dec,
+)
+from ..tables import load_table
+from . import tune
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 (adapted): market share of one nation per year.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of ASIA-region revenue supplied by CHINA's suppliers per order
+    year: conditional decimal sum over a 6-way star join, then an
+    engine-identical double division."""
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    rev = revenue_dec()
+    china_rev = F.when(F.col("supp_nation") == "CHINA", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            exact_sum_dec(china_rev).alias("china_revenue"),
+            exact_sum_dec(rev).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "china_revenue",
+            "total_revenue",
+            F.round(F.col("china_revenue") / F.col("total_revenue"), 6).alias(
+                "market_share"
+            ),
+        )
+    )
+
+
+_ORACLE_Q8 = f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       {sql_exact_sum_dec(f"CASE WHEN supp_nation = 'CHINA' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")} AS china_revenue,
+       {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS total_revenue,
+       ROUND({sql_exact_sum_dec(f"CASE WHEN supp_nation = 'CHINA' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")}
+             / {sql_exact_sum_dec(SQL_REVENUE_DEC)}, 6) AS market_share
+FROM base
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count — the double aggregation
+    (outer-join count per customer, then histogram). Customers with no
+    orders land in the 0 bucket via the left join."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier(s) by revenue — agg + max-of-agg.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum quarterly revenue: aggregate, then
+    filter against the max of the aggregate (a 1-row broadcast, not a
+    rank-the-world sort)."""
+    tune(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        exact_sum_dec(revenue_dec()).alias("total_revenue")
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("m"))
+    return (
+        per_supp.join(F.broadcast(max_rev), per_supp.total_revenue == F.col("m"))
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_ORACLE_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue — correlated agg subquery.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines with quantity below 50% of their part's average quantity —
+    the correlated aggregate decorrelated into a join against a per-part
+    aggregate (exactly what Catalyst does to the SQL form)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("n_part_lines"),
+    )
+    # qty < sum/(2n) expressed division-free (decimal division scales differ
+    # across engines; cross-multiplication stays exact): 2n·qty < sum
+    below_half_avg = (
+        F.col("l_quantity").cast("decimal(18,2)") * 2 * F.col("n_part_lines")
+        < F.col("sum_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(below_half_avg)
+        .agg(
+            exact_sum_dec(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+                "total_price"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_ORACLE_Q17 = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS n_part_lines
+  FROM lineitem GROUP BY l_partkey)
+SELECT {sql_exact_sum_dec("CAST(l_extendedprice AS DECIMAL(12,2))")} AS total_price,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_part_lines < sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22: global sales opportunity — anti-join + scalar subquery.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no PENDING ('P') orders, grouped by a
+    derived key bucket: scalar-subquery threshold + anti join. (Restricted
+    to 'P' orders because in this dataset every customer has *some* order —
+    an unrestricted anti join would be vacuous.)"""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    # bal > avg expressed division-free: bal·n > sum (exact decimals)
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy((F.col("c_custkey") % 10).alias("cust_bucket"))
+        .agg(
+            F.count("*").alias("numcust"),
+            exact_sum_dec(F.col("c_acctbal").cast("decimal(18,2)")).alias("totacctbal"),
+        )
+        .orderBy("cust_bucket")
+    )
+
+
+_ORACLE_Q22 = f"""
+SELECT c_custkey % 10 AS cust_bucket,
+       count(*) AS numcust,
+       {sql_exact_sum_dec("CAST(c_acctbal AS DECIMAL(18,2))")} AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      (SELECT count(*) FROM customer WHERE c_acctbal > 0) >
+      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-phase salted aggregation — the skew-mitigation pattern, verified
+# equal to the direct aggregation.
+# ---------------------------------------------------------------------------
+
+N_SALTS = 8
+
+
+def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key defense spelled out: phase 1 aggregates on (key, salt) —
+    spreading any single hot key over N_SALTS reducers — phase 2 merges
+    the partials per key. Results are identical to a direct groupBy (the
+    oracle is the direct form); only the shuffle layout differs. AQE's
+    skew handling does this adaptively for joins; for aggregations with a
+    known-hot key this is the manual pattern."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.col("event_id") % N_SALTS)
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("ps"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_SALTED = """
+SELECT event_type, count(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (stack) — wide → long.
+# ---------------------------------------------------------------------------
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot lineitem's measure columns into (measure, value) rows via
+    ``stack`` — the wide→long reshape; the inverse of pivot."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', CAST(l_quantity AS DECIMAL(18,2)),"
+        " 'price', CAST(l_extendedprice AS DECIMAL(18,2)),"
+        " 'discount', CAST(l_discount AS DECIMAL(18,2))) AS (measure, val)",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).cast("double").alias("total"),
+        )
+    )
+
+
+_ORACLE_UNPIVOT = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       CAST(ROUND(SUM(val), 2) AS DOUBLE) AS total
+FROM long
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns: build, explode, aggregate.
+# ---------------------------------------------------------------------------
+
+def q_map_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column lifecycle: build a map per order from its lines
+    (linenumber → partkey via map_from_entries), explode it back, and
+    aggregate — certifies the map container round-trips losslessly."""
+    tune(spark)
+    # duplicate map keys resolve to the LAST entry of the sorted struct
+    # array = the max partkey for that key (oracle mirrors with max())
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        # duplicate linenumbers exist: disambiguate the map key
+                        (F.col("l_linenumber") * 1000 + F.col("l_partkey") % 1000).alias("k"),
+                        F.col("l_partkey").alias("v"),
+                    )
+                )
+            )
+        ).alias("line_map")
+    )
+    exploded = per_order.select(
+        "l_orderkey", F.explode("line_map").alias("k", "partkey")
+    )
+    return exploded.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_entries"),
+        F.sum("partkey").cast("bigint").alias("sum_partkeys"),
+        F.min("k").alias("min_key"),
+    )
+
+
+_ORACLE_MAP = """
+WITH keyed AS (
+  SELECT l_orderkey,
+         l_linenumber * 1000 + l_partkey % 1000 AS k,
+         l_partkey
+  FROM lineitem
+),
+dedup AS (  -- LAST_WIN over the (k,v)-sorted entries = max partkey per key
+  SELECT l_orderkey, k, max(l_partkey) AS partkey
+  FROM keyed
+  GROUP BY l_orderkey, k
+)
+SELECT l_orderkey, count(*) AS n_entries,
+       CAST(sum(partkey) AS BIGINT) AS sum_partkeys,
+       CAST(min(k) AS BIGINT) AS min_key
+FROM dedup
+GROUP BY l_orderkey
+"""
+
+
+QUERIES = {
+    "tpch_q8_market_share": q_tpch_q8,
+    "tpch_q13_order_distribution": q_tpch_q13,
+    "tpch_q15_top_supplier": q_tpch_q15,
+    "tpch_q17_small_qty_revenue": q_tpch_q17,
+    "tpch_q22_sales_opportunity": q_tpch_q22,
+    "salted_aggregation": q_salted_aggregation,
+    "unpivot_measures": q_unpivot_measures,
+    "map_columns_roundtrip": q_map_columns,
+}
+
+ORACLE = {
+    "tpch_q8_market_share": _ORACLE_Q8,
+    "tpch_q13_order_distribution": _ORACLE_Q13,
+    "tpch_q15_top_supplier": _ORACLE_Q15,
+    "tpch_q17_small_qty_revenue": _ORACLE_Q17,
+    "tpch_q22_sales_opportunity": _ORACLE_Q22,
+    "salted_aggregation": _ORACLE_SALTED,
+    "unpivot_measures": _ORACLE_UNPIVOT,
+    "map_columns_roundtrip": _ORACLE_MAP,
+}

@@ -314,6 +314,32 @@ class IngestionPipeline:
             n += 1
         return n
 
+    # -- always-on streaming drain (SURVEY §3.4) -----------------------------
+
+    def start_streaming_drain(self, trigger_seconds: float = 5.0):
+        """The deployment form of the drain loop: an always-on Structured
+        Streaming query whose triggers clock ``drain_step`` — a rate source
+        provides the heartbeat, ``foreachBatch`` performs the top-1 dequeue
+        + process + status transitions. One query = one active trigger at a
+        time (A13 for free); ``trigger_seconds`` plays the reference's 5 s
+        pacing (A12 — fixed-period flavor; gap-after-work fidelity uses the
+        manual ``drain_step`` loop with ``DrainConfig.batch_gap``).
+
+        Returns the StreamingQuery; caller stops it.
+        """
+        heartbeat = (
+            self.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        )
+
+        def tick(_batch_df, _epoch) -> None:
+            self.drain_step()
+
+        return (
+            heartbeat.writeStream.foreachBatch(tick)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
     # -- observability -------------------------------------------------------
 
     def queue_snapshot(self) -> DataFrame:

@@ -15,6 +15,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", shuffle_partitions=8)
+    # tiny state tables: minimal shuffle width keeps per-job overhead low
+    spark = get_spark("tests", shuffle_partitions=2)
     yield spark
     spark.stop()
