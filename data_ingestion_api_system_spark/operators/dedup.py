@@ -181,9 +181,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band_{b}")
         for b in range(N_BANDS)
     ]
+    # banded is tiny (2 rows/doc, short keys) but expensive to produce (8
+    # md5 passes over every shingle): cache it so the self-join's two
+    # branches don't compute signatures twice
     banded = sh.select(
         "doc_id", F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_key")
-    )
+    ).cache()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -392,6 +392,45 @@ SELECT custkey, 'F_or_P' AS category FROM (
 """
 
 
+def q_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities
+    matter — a custkey with 3 'F' orders and 1 'O' order keeps 1 copy under
+    INTERSECT ALL and 2 under EXCEPT ALL. Aggregated to per-key copy counts
+    so the result is deterministic."""
+    tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = f_cust.intersectAll(o_cust).withColumn("op", F.lit("intersect_all"))
+    exc = f_cust.exceptAll(o_cust).withColumn("op", F.lit("except_all"))
+    return (
+        inter.unionByName(exc)
+        .groupBy("op", "custkey")
+        .agg(F.count("*").alias("copies"))
+    )
+
+
+_ORACLE_SET_OPS_BAG = """
+WITH inter AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+),
+exc AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT 'intersect_all' AS op, custkey, count(*) AS copies FROM inter GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS op, custkey, count(*) AS copies FROM exc GROUP BY 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # ROLLUP / CUBE / grouping sets.
 # ---------------------------------------------------------------------------
@@ -543,6 +582,7 @@ QUERIES = {
     "tpch_q18_large_orders": q_tpch_q18,
     "join_semi_anti": q_join_semi_anti,
     "set_ops": q_set_ops,
+    "set_ops_bag": q_set_ops_bag,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "distinct_agg": q_distinct_agg,
@@ -558,6 +598,7 @@ ORACLE = {
     "tpch_q18_large_orders": _ORACLE_Q18,
     "join_semi_anti": _ORACLE_SEMI_ANTI,
     "set_ops": _ORACLE_SET_OPS,
+    "set_ops_bag": _ORACLE_SET_OPS_BAG,
     "agg_rollup": _ORACLE_ROLLUP,
     "agg_cube": _ORACLE_CUBE,
     "distinct_agg": _ORACLE_DISTINCT,

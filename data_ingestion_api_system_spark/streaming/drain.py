@@ -130,13 +130,22 @@ class IngestionPipeline:
         state_dir: str,
         config: DrainConfig | None = None,
         clock: Callable[[], datetime] | None = None,
+        durable: bool = True,
     ):
+        """``durable=True`` (production): state tables are parquet on disk,
+        surviving restarts. ``durable=False``: state rows live in driver
+        memory and materialize as DataFrames on read — identical query
+        semantics (every rollup/join/top-1 still runs through Spark), no
+        per-operation file-commit overhead; used by the fast test suite
+        (a durable-mode test keeps the parquet path covered)."""
         self.spark = spark
         self.state_dir = state_dir
         self.config = config or DrainConfig()
         self.clock = clock or (lambda: datetime.now(timezone.utc))
+        self.durable = durable
         self._request_seq = 0
         self._log_seq = 0
+        self._mem: dict[str, list] = {}
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state table helpers -------------------------------------------------
@@ -145,6 +154,8 @@ class IngestionPipeline:
         return os.path.join(self.state_dir, name)
 
     def _read(self, name: str, schema: T.StructType) -> DataFrame:
+        if not self.durable:
+            return self.spark.createDataFrame(self._mem.get(name, []), schema)
         path = self._path(name)
         try:
             return self.spark.read.schema(schema).parquet(path)
@@ -152,6 +163,9 @@ class IngestionPipeline:
             return self.spark.createDataFrame([], schema)
 
     def _append(self, name: str, rows: list, schema: T.StructType) -> None:
+        if not self.durable:
+            self._mem.setdefault(name, []).extend(rows)
+            return
         self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(self._path(name))
@@ -313,6 +327,21 @@ class IngestionPipeline:
         while n < max_steps and self.drain_step() is not None:
             n += 1
         return n
+
+    # -- A18: state truncation ----------------------------------------------
+
+    def reset(self) -> None:
+        """resetState() (src/app.js:225-235): truncate every state table
+        and restart sequence counters — the test-harness hook. On a Delta
+        deployment this is TRUNCATE TABLE; on raw parquet state it drops
+        the directories."""
+        import shutil
+
+        for name in ("ingestions", "batches", "batch_log", "processed"):
+            shutil.rmtree(self._path(name), ignore_errors=True)
+        self._mem.clear()
+        self._request_seq = 0
+        self._log_seq = 0
 
     # -- always-on streaming drain (SURVEY §3.4) -----------------------------
 

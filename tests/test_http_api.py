@@ -16,7 +16,7 @@ from data_ingestion_api_system_spark.streaming.http_api import make_server
 
 @pytest.fixture()
 def server(spark, tmp_path):
-    pipeline = IngestionPipeline(spark, str(tmp_path / "state"))
+    pipeline = IngestionPipeline(spark, str(tmp_path / "state"), durable=False)
     srv = make_server(pipeline)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()

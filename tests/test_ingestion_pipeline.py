@@ -18,7 +18,21 @@ from data_ingestion_api_system_spark.streaming.drain import (
 
 @pytest.fixture()
 def pipeline(spark, tmp_path):
-    return IngestionPipeline(spark, str(tmp_path / "state"))
+    # in-memory state: same Spark query semantics, no per-op parquet commits
+    return IngestionPipeline(spark, str(tmp_path / "state"), durable=False)
+
+
+def test_durable_state_survives_reopen(spark, tmp_path):
+    """The parquet-backed (durable=True) path: state written by one
+    pipeline object is visible to a fresh one over the same state dir —
+    the restart-survival property the in-memory mode trades away."""
+    state = str(tmp_path / "state")
+    p1 = IngestionPipeline(spark, state)
+    ing = p1.ingest([1, 2, 3, 4], "HIGH")
+    p1.drain_step()
+    p2 = IngestionPipeline(spark, state)
+    st = p2.status(ing)
+    assert [b["status"] for b in st["batches"]] == ["completed", "yet_to_start"]
 
 
 # -- validation (test_api.js:23-45) -----------------------------------------
@@ -182,3 +196,18 @@ def test_queue_snapshot_order(pipeline):
     pipeline.ingest([3], "MEDIUM")
     snap = pipeline.queue_snapshot().select("priority").collect()
     assert [r.priority for r in snap] == ["HIGH", "MEDIUM", "LOW"]
+
+
+# -- A18: state truncation (src/app.js:225-235) -------------------------------
+
+def test_reset_truncates_all_state(pipeline):
+    ing = pipeline.ingest([1, 2, 3, 4], "HIGH")
+    pipeline.drain_step()
+    pipeline.reset()
+    with pytest.raises(NotFound):
+        pipeline.status(ing)
+    assert pipeline.queue_snapshot().count() == 0
+    assert pipeline.processed_results().count() == 0
+    # pipeline remains usable after reset
+    ing2 = pipeline.ingest([5], "LOW")
+    assert pipeline.status(ing2)["status"] == "yet_to_start"
