@@ -381,18 +381,22 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
 # Vectorized Pandas UDF (Arrow scalar path) with a full oracle.
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf("int")
-def _pandas_token_count(texts: pd.Series) -> pd.Series:
-    """Arrow-vectorized scalar UDF — the sanctioned Python escape hatch
-    (batched columnar transfer, not per-row pickling)."""
-    return texts.str.split().str.len().fillna(0).astype("int32")
-
-
 def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pandas-UDF hot path certified against a relational oracle: token
     counts via Arrow-batched Python exactly match the JVM-side split —
-    proving the Python bridge preserves values and is only a perf choice."""
+    proving the Python bridge preserves values and is only a perf choice.
+
+    The udf is created INSIDE the function: a module-level ``@pandas_udf``
+    runs its DDL parse at import time, which crashes Python workers that
+    re-import this module to deserialize any other UDF (no session there).
+    """
     tune(spark)
+
+    @F.pandas_udf("int")
+    def _pandas_token_count(texts: pd.Series) -> pd.Series:
+        # Arrow-vectorized scalar UDF — batched columnar transfer
+        return texts.str.split().str.len().fillna(0).astype("int32")
+
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", _pandas_token_count("text").alias("n_tokens"))
@@ -411,6 +415,38 @@ SELECT lang, count(*) AS n_docs,
        CAST(max(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0))) AS INT) AS max_tokens
 FROM documents
 GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas (the per-group Pandas path) with a full oracle.
+# ---------------------------------------------------------------------------
+
+def _rank_within_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group pandas transform: dense length rank within the language.
+    Integer outputs (sort + arange) so the oracle (a window row_number)
+    matches exactly — certifying the grouped-map path value-for-value."""
+    out = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    out["length_rank"] = range(1, len(out) + 1)
+    return out[["lang", "doc_id", "n_chars", "length_rank"]]
+
+
+def q_apply_in_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInPandas`` — whole groups as pandas DataFrames
+    (Arrow both ways). The group key (lang) bounds memory per task; at
+    100 TB the key must be chosen so no group exceeds executor memory
+    (salt or pre-split giant groups)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        _rank_within_lang, schema="lang string, doc_id long, n_chars long, length_rank long"
+    )
+
+
+_ORACLE_APPLY_IN_PANDAS = """
+SELECT lang, doc_id, n_chars,
+       row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS length_rank
+FROM documents
 """
 
 
@@ -445,6 +481,7 @@ QUERIES = {
     "sql_grouping_sets": q_sql_grouping_sets,
     "asof_join_attribution": q_asof_join,
     "pandas_udf_token_count": q_pandas_udf_tokens,
+    "apply_in_pandas_rank": q_apply_in_pandas_rank,
     "approx_distinct_sketch": q_approx_distinct,
 }
 
@@ -459,5 +496,6 @@ ORACLE = {
     "sql_grouping_sets": _ORACLE_GROUPING_SETS,
     "asof_join_attribution": _ORACLE_ASOF,
     "pandas_udf_token_count": _ORACLE_PANDAS_UDF,
+    "apply_in_pandas_rank": _ORACLE_APPLY_IN_PANDAS,
     # approx_distinct_sketch: rows-only by design
 }

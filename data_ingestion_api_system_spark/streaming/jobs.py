@@ -145,12 +145,49 @@ GROUP BY user_id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on the event stream
+    keyed by (user_id, event_type, minute-bucket) — the at-most-once-per-
+    key-per-window guard an ingestion edge needs against replays. In
+    production the watermark bounds the dedup state store (keys older than
+    the watermark are evicted); on this bounded source the result equals
+    the batch DISTINCT, which is the oracle."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.select(
+        "user_id",
+        "event_type",
+        (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 60)).alias("minute_bucket"),
+    ).dropDuplicates(["user_id", "event_type", "minute_bucket"])
+    out = _run_to_memory(deduped, mode="append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_user_minutes"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_ORACLE_STREAM_DEDUP = """
+WITH dedup AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 60) AS minute_bucket
+  FROM events
+)
+SELECT event_type, count(*) AS n_unique_user_minutes,
+       count(DISTINCT user_id) AS n_users
+FROM dedup
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling,
     "streaming_session_window": q_streaming_session_window,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLE = {
     "streaming_tumbling_window": _ORACLE_STREAM_TUMBLING,
     "streaming_session_window": _ORACLE_STREAM_SESSION,
+    "streaming_dedup": _ORACLE_STREAM_DEDUP,
 }
