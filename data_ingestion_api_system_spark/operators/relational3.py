@@ -6,7 +6,7 @@ spelled out: two-phase salted aggregation, unpivot, and map-typed columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import (

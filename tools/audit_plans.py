@@ -60,6 +60,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # query-vector cross joins are 1-row broadcasts — BNLJ is the right plan
     "sim_cosine_topk": ([r"BroadcastNestedLoopJoin|CartesianProduct"], []),
+    "asof_join_attribution": (
+        # union+window as-of: one shuffle on user_id, no pairwise join
+        [r"Window", r"Union"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "events_sessionize": (
+        [r"Window", r"partial_count|partial_sum"],
+        [r"CartesianProduct"],
+    ),
+    "salted_aggregation": (
+        # two aggregation layers: (key,salt) partials then per-key merge
+        [r"partial_sum", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
+    "tpch_q17_small_qty_revenue": (
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
