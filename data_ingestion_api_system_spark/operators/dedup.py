@@ -132,15 +132,13 @@ WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
-def _spark_minhash(idx: int) -> str:
-    """Minhash #idx as the lexicographic min over shingles of a fixed-width
-    md5 hex slice — numeric-min equivalent, engine-portable."""
-    return (
-        f"array_min(transform(shingles, s -> substr(md5(concat('{idx}', ':', s)), 1, 16)))"
-    )
-
-
 def _sql_minhash(idx: int) -> str:
+    """Minhash #idx for the oracle: lexicographic min over shingles of a
+    fixed-width slice of an independently salted md5 — numeric-min
+    equivalent, engine-portable. Independent digests per hash matter:
+    slicing ONE digest into several hashes correlates the per-band minima
+    and measurably inflates band collisions past the j^r model (tried and
+    reverted)."""
     return (
         f"list_min(list_transform(shingles, s -> substr(md5('{idx}' || ':' || s), 1, 16)))"
     )
@@ -163,29 +161,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    # cached: the shingle table feeds three plan branches (banding + both
-    # sides of the verify join); measured at sf0.1 the cache saves ~27%
-    # (20.1s vs 27.5s) by not recomputing shingle arrays per branch
+    # cached: the shingle table feeds signature computation + both sides of
+    # the verify join — cache materializes the shingle arrays once
     sh = (
         docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .cache()
     )
-    band_exprs = [
+    # signatures via ONE explode pass over the cached shingles: 8
+    # independently salted md5 columns per (doc, shingle) row, collapsed by
+    # a map-side partial min per doc — ~2x faster than eight separate
+    # array_min(transform(...)) traversals. Independent digests per hash
+    # are load-bearing: slicing one digest into several hashes correlates
+    # the per-band minima and inflates band collisions past the j^r model
+    # (tried 16-bit and 32-bit slicing; both reverted).
+    n_hashes = N_BANDS * ROWS_PER_BAND
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hash_cols = [
+        F.substring(
+            F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))), 1, 16
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = (
+        ex.select("doc_id", *hash_cols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
+    )
+    band_keys = [
         F.concat_ws(
-            "|",
-            *[
-                F.expr(_spark_minhash(b * ROWS_PER_BAND + r))
-                for r in range(ROWS_PER_BAND)
-            ],
-        ).alias(f"band_{b}")
+            "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        )
         for b in range(N_BANDS)
     ]
-    # banded is tiny (2 rows/doc, short keys) but expensive to produce (8
-    # md5 passes over every shingle): cache it so the self-join's two
-    # branches don't compute signatures twice
-    banded = sh.select(
-        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_key")
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
     ).cache()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
