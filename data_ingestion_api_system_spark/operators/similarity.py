@@ -280,8 +280,90 @@ GROUP BY bucket
 """
 
 
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into cells, search only the cell
+    whose centroid is nearest the query. Cells here are the label column
+    (standing in for k-means assignments — same plan shape; a Lloyd
+    iteration would just re-derive the cell column). Centroids are exact
+    decimal-mean vectors; the query probes 1 cell (nprobe=1), so the scan
+    touches ~1/10 of the corpus. At 100 TB: centroids broadcast, the
+    corpus is partitioned BY cell on disk, and cell pruning becomes
+    partition pruning."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("v").alias("idx", "val"))
+    cent = ex.groupBy("label", "idx").agg(
+        (F.sum(F.col("val").cast("decimal(20,8)")).cast("double") / F.count("*")).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("bv")))
+    cell_cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "cv"))
+        / (F.expr(_SPARK_NORM.format("cv")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    best_cell = F.broadcast(
+        cent_arr.crossJoin(q)
+        .select("label", cell_cos.alias("cell_cosine"))
+        .orderBy(F.desc("cell_cosine"), F.asc("label"))
+        .limit(1)
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(best_cell, "label")
+    cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "v"))
+        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    return (
+        cand.crossJoin(q)
+        .select("label", "cell_cosine", "vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def _sql_cv_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIMS + 1}), i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))"
+    )
+
+
+_ORACLE_IVF = f"""
+WITH e AS ({_SQL_EMB}),
+ex AS (
+  SELECT label, i, v[CAST(i AS INT)] AS val
+  FROM e, (SELECT unnest(range(1, {DIMS + 1})) AS i) idxs
+),
+cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(val AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY label, i
+),
+cent_arr AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+q AS (SELECT v AS bv FROM e WHERE vec_id = 0),
+best_cell AS (
+  SELECT label,
+         ROUND({_sql_cv_dot('cv', 'bv')} / ({_sql_norm('cv')} * {_sql_norm('bv')}), 6) AS cell_cosine
+  FROM cent_arr, q
+  ORDER BY cell_cosine DESC, label ASC
+  LIMIT 1
+)
+SELECT e.label, b.cell_cosine, e.vec_id,
+       ROUND({_sql_cv_dot('v', 'bv')} / ({_sql_norm('v')} * {_sql_norm('bv')}), 6) AS cosine
+FROM e JOIN best_cell b USING (label), q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_ivf_ann": q_sim_ivf_ann,
     "sim_knn_join": q_sim_knn_join,
     "sim_intra_label_stats": q_sim_intra_label_stats,
     "sim_lsh_ann": q_sim_lsh_ann,
@@ -290,6 +372,7 @@ QUERIES = {
 
 ORACLE = {
     "sim_cosine_topk": _ORACLE_COSINE_TOPK,
+    "sim_ivf_ann": _ORACLE_IVF,
     "sim_knn_join": _ORACLE_KNN_JOIN,
     "sim_intra_label_stats": _ORACLE_INTRA_LABEL,
     "sim_lsh_ann": _ORACLE_LSH_ANN,
