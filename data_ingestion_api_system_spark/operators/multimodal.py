@@ -69,12 +69,37 @@ GROUP BY 1
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas: every payload expands to 4
+    deterministic byte-segment 'frames' (1→N rows inside Arrow batches —
+    the video frame-sampler shape). The oracle recomputes the segments
+    relationally (ASCII text ⇒ byte slices == char slices), certifying
+    the expansion preserves both row structure and content."""
+    tune(spark)
+    from ..sources.multimodal import binary_documents, sample_frames
+
+    return sample_frames(binary_documents(spark, sf_dir))
+
+
+_ORACLE_FRAME_SAMPLE = """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST((length(text) * (i + 1)) // 4 - (length(text) * i) // 4 AS BIGINT) AS frame_len,
+       md5(substr(text,
+                  CAST((length(text) * i) // 4 + 1 AS INT),
+                  CAST((length(text) * (i + 1)) // 4 - (length(text) * i) // 4 AS INT))) AS frame_md5
+FROM documents, (SELECT unnest(range(0, 4)) AS i) frames
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_size_rollup": q_multimodal_size_rollup,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_features": _ORACLE_FEATURES,
     "multimodal_size_rollup": _ORACLE_SIZE_ROLLUP,
+    "multimodal_frame_sample": _ORACLE_FRAME_SAMPLE,
 }

@@ -61,6 +61,38 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out
 
 
+N_FRAMES = 4
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len bigint, frame_md5 string"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling: each payload yields N_FRAMES rows (contiguous byte
+    segments) — the 1→N expansion shape a video/audio frame sampler has.
+    The 'decode' is a deterministic byte slice standing in for real codec
+    output (see decode_image); the row-expansion plumbing is real."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for i in range(N_FRAMES):
+                seg = payload[i * n // N_FRAMES : (i + 1) * n // N_FRAMES]
+                rows.append(
+                    (int(doc_id), i, len(seg), hashlib.md5(seg).hexdigest())
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"]
+        ).astype({"doc_id": "int64", "frame_idx": "int32", "frame_len": "int64"})
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Run the frame sampler over a (doc_id, payload) DataFrame — each
+    input row expands to N_FRAMES output rows inside the Arrow batches."""
+    return df.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stand-in multimodal table: utf-8 text bytes as the opaque payload
     plus typed metadata — the exact column layout an image/audio table
