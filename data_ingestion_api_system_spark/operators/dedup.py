@@ -83,15 +83,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the block key caps each join bucket; this is the
     verify-everything baseline the MinHash-LSH query approximates. At
     100 TB run LSH first and feed only candidates through this verifier.
+    The join carries a size-ratio prune (jaccard ≥ t implies
+    |A|/|B| ∈ [t, 1/t]) — provably lossless, so the oracle needs no
+    matching clause, but it skips the array intersection for pairs that
+    cannot clear the threshold.
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "lang",
-        (F.col("n_chars") - (F.col("n_chars") % 100)).alias("len_band"),
+        (F.col("n_chars") - (F.col("n_chars") % 50)).alias("len_band"),
         F.expr(_SPARK_SHINGLES).alias("shingles"),
-    )
+    ).withColumn("n_sh", F.size("shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.round(
         F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
@@ -103,7 +107,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_band") == F.col("b.len_band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # lossless prune: |A|/|B| must be within [0.34, 1/0.34]
+            & (F.col("a.n_sh") * 100 >= F.col("b.n_sh") * 34)
+            & (F.col("b.n_sh") * 100 >= F.col("a.n_sh") * 34),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -118,7 +125,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (
   SELECT doc_id, lang,
-         n_chars - (n_chars % 100) AS len_band,
+         n_chars - (n_chars % 50) AS len_band,
          {_SQL_SHINGLES} AS shingles
   FROM documents
 )
