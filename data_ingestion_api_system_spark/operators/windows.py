@@ -210,8 +210,45 @@ WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution and navigation window functions: percent_rank /
+    cume_dist (exact rationals — identical across engines), first_value /
+    last_value / nth_value over an explicit full-partition frame (the
+    default frame stops at CURRENT ROW, which makes last_value a footgun —
+    spelled out here)."""
+    tune(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    order = [F.desc("s_acctbal"), F.asc("s_suppkey")]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("s_suppkey").over(wfull).alias("richest_suppkey"),
+        F.last("s_suppkey").over(wfull).alias("poorest_suppkey"),
+        F.nth_value("s_suppkey", 2).over(wfull).alias("second_suppkey"),
+    )
+
+
+_ORACLE_DISTRIBUTION = """
+SELECT s_nationkey, s_suppkey,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(s_suppkey) OVER wf AS richest_suppkey,
+       last_value(s_suppkey) OVER wf AS poorest_suppkey,
+       nth_value(s_suppkey, 2) OVER wf AS second_suppkey
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC),
+       wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
+    "window_distribution_funcs": q_window_distribution,
     "window_running_sum": q_window_running_sum,
     "window_lag_lead": q_window_lag_lead,
     "window_rank_dense": q_window_rank_dense,
@@ -220,6 +257,7 @@ QUERIES = {
 
 ORACLE = {
     "window_topk_per_group": _ORACLE_TOPK,
+    "window_distribution_funcs": _ORACLE_DISTRIBUTION,
     "window_running_sum": _ORACLE_RUNNING,
     "window_lag_lead": _ORACLE_LAG_LEAD,
     "window_rank_dense": _ORACLE_RANK,
