@@ -396,7 +396,52 @@ GROUP BY l_orderkey
 """
 
 
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function surface: datediff, date_add, date_trunc, and
+    day-of-week over the order→ship timeline, aggregated into a shipping
+    delay profile. Day-of-week is normalized to Spark's 1=Sunday
+    convention (DuckDB's dayofweek is 0-based — the oracle adds 1)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        j.select(
+            (delay - (delay % 30)).alias("delay_bucket_days"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+            F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+        )
+        .groupBy("delay_bucket_days", "order_dow")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("due_date").alias("min_due_date"),
+            F.countDistinct("order_month").alias("n_months"),
+        )
+    )
+
+
+_ORACLE_DATE_FUNCS = """
+WITH j AS (
+  SELECT date_diff('day', o_orderdate, l_shipdate) AS delay,
+         dayofweek(o_orderdate) + 1 AS order_dow,
+         strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CAST(delay - (delay % 30) AS INT) AS delay_bucket_days,
+       CAST(order_dow AS INT) AS order_dow,
+       count(*) AS n_lines,
+       min(due_date) AS min_due_date,
+       count(DISTINCT order_month) AS n_months
+FROM j
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "date_functions": q_date_functions,
     "tpch_q8_market_share": q_tpch_q8,
     "tpch_q13_order_distribution": q_tpch_q13,
     "tpch_q15_top_supplier": q_tpch_q15,
@@ -408,6 +453,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "date_functions": _ORACLE_DATE_FUNCS,
     "tpch_q8_market_share": _ORACLE_Q8,
     "tpch_q13_order_distribution": _ORACLE_Q13,
     "tpch_q15_top_supplier": _ORACLE_Q15,
