@@ -458,15 +458,21 @@ FROM documents
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts + approximate quantiles — the sketches
     that replace exact distinct/percentile at 100 TB (bounded memory,
-    mergeable partials)."""
+    mergeable partials).
+
+    Output is all-scalar: the quantile array is split into p50/p95/p99
+    columns (repo parity rule: never emit array-typed output columns —
+    rows-only canonicalizers sort pandas frames and crash on list cells).
+    """
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
+        q.getItem(2).alias("price_p99"),
     )
 
 
