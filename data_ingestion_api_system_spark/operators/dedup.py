@@ -29,9 +29,14 @@ N_BANDS = 2
 ROWS_PER_BAND = 4  # 8 minhashes total, banded (4,4): collision prob ≈ j^4
 JACCARD_THRESHOLD = 0.35
 
+# Short-text guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (it never
+# returns an empty array), so texts shorter than SHINGLE_LEN would yield
+# phantom shingles while DuckDB's range(1, 1) is empty. CASE to array()
+# keeps both engines agreeing that sub-shingle-length docs have no shingles.
 _SPARK_SHINGLES = (
-    f"array_distinct(transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 0)),"
-    f" i -> substr(text, i, {SHINGLE_LEN})))"
+    f"CASE WHEN length(text) < {SHINGLE_LEN} THEN array()"
+    f" ELSE array_distinct(transform(sequence(1, length(text) - {SHINGLE_LEN - 1}),"
+    f" i -> substr(text, i, {SHINGLE_LEN}))) END"
 )
 _SQL_SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 2}, 1)),"

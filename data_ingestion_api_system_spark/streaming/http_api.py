@@ -57,7 +57,9 @@ def make_server(pipeline: IngestionPipeline, port: int = 0) -> ThreadingHTTPServ
             except (InvalidRequest, TypeError, ValueError, json.JSONDecodeError):
                 return self._reply(400, {"error": "Invalid input"})
             drain_async()
-            self._reply(201, {"ingestion_id": ingestion_id})
+            # Reference parity: app.js:154 replies via res.json() → 200
+            # (its test_api.js asserts statusCode 200, not 201).
+            self._reply(200, {"ingestion_id": ingestion_id})
 
         def do_GET(self) -> None:  # noqa: N802
             if not self.path.startswith("/status/"):

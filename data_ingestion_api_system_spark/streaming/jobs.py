@@ -120,7 +120,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_STREAM_SESSION = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts, 1) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS is_new
@@ -129,7 +129,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 ),

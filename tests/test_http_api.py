@@ -48,7 +48,7 @@ def _get(base: str, path: str) -> tuple[int, dict]:
 
 def test_ingest_then_status_roundtrip(server):
     code, body = _post(server, {"ids": [1, 2, 3, 4, 5], "priority": "MEDIUM"})
-    assert code == 201 and "ingestion_id" in body
+    assert code == 200 and "ingestion_id" in body
     code, status = _get(server, f"/status/{body['ingestion_id']}")
     assert code == 200
     assert [b["ids"] for b in status["batches"]] == [[1, 2, 3], [4, 5]]
