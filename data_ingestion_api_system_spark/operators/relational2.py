@@ -451,6 +451,57 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Grouped-agg pandas UDF (the UDAF surface): a custom aggregate the engine
+# lacks as a single built-in composition, written once in pandas and used
+# inside a normal groupBy().agg alongside JVM aggregates.
+# ---------------------------------------------------------------------------
+
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pandas_udf`` GROUPED_AGG — Spark's UDAF surface. The whole group's
+    column arrives as one pandas Series per (lang, source) group and the
+    UDF returns one scalar; partial aggregation does NOT apply (whole
+    groups ship to Python), so at 100 TB the group key must bound group
+    size — same rule as applyInPandas. Median of integers is exact in
+    binary (k or k.5), so the DuckDB ``median()`` oracle matches
+    value-for-value, certifying the bridge.
+
+    Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in one
+    ``agg`` (INVALID_PANDAS_UDF_PLACEMENT), so every aggregate here is a
+    pandas UDAF. UDFs defined inside the function for the same
+    worker-reimport reason as ``q_pandas_udf_tokens`` above.
+    """
+    tune(spark)
+
+    @F.pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    @F.pandas_udf("long")
+    def _count(v: pd.Series) -> int:
+        return int(len(v))
+
+    @F.pandas_udf("long")
+    def _max(v: pd.Series) -> int:
+        return int(v.max())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        _count("doc_id").alias("n_docs"),
+        _median("n_chars").alias("median_chars"),
+        _max("n_chars").alias("max_chars"),
+    )
+
+
+_ORACLE_GROUPED_AGG = """
+SELECT lang, source, count(*) AS n_docs,
+       median(n_chars) AS median_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates — declared rows-only (non-deterministic across
 # engines by design; the driver records the weaker check).
 # ---------------------------------------------------------------------------
@@ -488,6 +539,7 @@ QUERIES = {
     "asof_join_attribution": q_asof_join,
     "pandas_udf_token_count": q_pandas_udf_tokens,
     "apply_in_pandas_rank": q_apply_in_pandas_rank,
+    "grouped_agg_udaf": q_grouped_agg_udaf,
     "approx_distinct_sketch": q_approx_distinct,
 }
 
@@ -503,5 +555,6 @@ ORACLE = {
     "asof_join_attribution": _ORACLE_ASOF,
     "pandas_udf_token_count": _ORACLE_PANDAS_UDF,
     "apply_in_pandas_rank": _ORACLE_APPLY_IN_PANDAS,
+    "grouped_agg_udaf": _ORACLE_GROUPED_AGG,
     # approx_distinct_sketch: rows-only by design
 }
