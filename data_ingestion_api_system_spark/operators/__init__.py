@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a compute-heavy narrow input up to the session's default
+    parallelism. The harness tables are ONE parquet file each (a single row
+    group), so the scan gets a single partition and every per-row expression
+    downstream runs serially in one task — profiled at ~5 s/task for
+    shingle+md5 work at sf0.1 while 31 cores idle (worse: broadcast-exchange
+    builders race the cache and re-run that serial task 2-3×). One tiny
+    round-robin shuffle of the raw rows buys full-width execution. On a real
+    100 TB layout the input arrives in thousands of splits and this guard
+    short-circuits to a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Runtime confs every query needs regardless of who built the session:
     UTC so timestamp semantics match the DuckDB oracle; AQE on so small-SF

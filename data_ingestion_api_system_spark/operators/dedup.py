@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import tune
+from . import spread, tune
 
 SHINGLE_LEN = 4
 N_BANDS = 2
@@ -52,7 +52,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    fp = spread(docs).select("doc_id", F.md5(norm).alias("fingerprint"))
     groups = fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("group_size")
     )
@@ -95,7 +95,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = spread(docs).select(
         "doc_id",
         "lang",
         (F.col("n_chars") - (F.col("n_chars") % 50)).alias("len_band"),
@@ -176,16 +176,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the shingle table feeds signature computation + both sides of
     # the verify join — cache materializes the shingle arrays once
     sh = (
-        docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+        spread(docs)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .cache()
     )
     # signatures via ONE explode pass over the cached shingles: 8
     # independently salted md5 columns per (doc, shingle) row, collapsed by
-    # a map-side partial min per doc — ~2x faster than eight separate
-    # array_min(transform(...)) traversals. Independent digests per hash
-    # are load-bearing: slicing one digest into several hashes correlates
-    # the per-band minima and inflates band collisions past the j^r model
+    # a map-side partial min per doc. Measured alternatives at sf0.1, with
+    # the scan spread to full width: hashing a distinct-shingle vocabulary
+    # and joining back is ~2.3× slower (two extra shuffles dwarf the saved
+    # md5 calls once hashing parallelizes), and per-doc
+    # array_min(transform(...)) is ~5× slower (8 serial array traversals
+    # per doc, no partial agg). Independent digests per hash are
+    # load-bearing: slicing one digest into several hashes correlates the
+    # per-band minima and inflates band collisions past the j^r model
     # (tried 16-bit and 32-bit slicing; both reverted).
     n_hashes = N_BANDS * ROWS_PER_BAND
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -287,7 +292,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN 1 ELSE -1 END)) >= 0 then '1' else '0' end"
         for j in range(SIMHASH_BITS)
     )
-    sig = docs.select(
+    sig = spread(docs).select(
         "doc_id", "lang", F.expr(f"concat({bits})").alias("simhash")
     )
     buckets = sig.groupBy("simhash").agg(F.count("*").alias("bucket_size"))
@@ -328,9 +333,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocked by label here; at 100 TB the block key becomes an LSH bucket or
     IVF cell (see operators.similarity) so candidates stay bounded."""
     tune(spark)
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id", "label", "cast(embedding as array<double>) as v"
+        )
     )
     a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("av"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("bv"))

@@ -22,7 +22,7 @@ from ..functions import (
     sql_exact_sum_dec,
 )
 from ..tables import load_table, register_views
-from . import tune
+from . import spread, tune
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +397,7 @@ def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Arrow-vectorized scalar UDF — batched columnar transfer
         return texts.str.split().str.len().fillna(0).astype("int32")
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", _pandas_token_count("text").alias("n_tokens"))
         .groupBy("lang")
@@ -437,7 +437,7 @@ def q_apply_in_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the key must be chosen so no group exceeds executor memory
     (salt or pre-split giant groups)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("lang", "doc_id", "n_chars")
     return docs.groupBy("lang").applyInPandas(
         _rank_within_lang, schema="lang string, doc_id long, n_chars long, length_rank long"
     )
@@ -484,7 +484,7 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _max(v: pd.Series) -> int:
         return int(v.max())
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("lang", "source").agg(
         _count("doc_id").alias("n_docs"),
         _median("n_chars").alias("median_chars"),

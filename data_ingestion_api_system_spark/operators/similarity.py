@@ -21,16 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import tune
+from . import spread, tune
 
 N_LSH_BITS = 8
 DIMS = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "embeddings")
-        .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    # spread: the single-file scan would otherwise run every per-vector
+    # fold (dot products, LSH signatures) serially in one task. Spread is
+    # applied ABOVE the cast projection: pushing a filter that references
+    # the cast alias below a round-robin repartition trips a Catalyst
+    # binding error (ATTRIBUTE_NOT_FOUND v#n in [embedding#m]).
+    return spread(
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id", "label", "cast(embedding as array<double>) as v"
+        )
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, sql_exact_avg, tokens
 from ..tables import load_table
-from . import tune
+from . import spread, tune
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -34,7 +34,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     average token length, stopword ratio. The per-doc row is the unit of
     downstream quality filtering."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     n_tokens = F.size(toks)
     n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
@@ -71,7 +71,7 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic arithmetic. Emitted per doc with a quality bucket, plus
     the score components so downstream filters can re-weight."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     n_tokens = F.size(toks)
     n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
@@ -130,7 +130,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero evidence maps to 'und'; both engines apply the identical CASE
     chain so the prediction is deterministic."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.transform(tokens("text"), lambda t: F.lower(t))
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -188,7 +188,7 @@ def q_text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     them map-side before the shuffle, so shuffled bytes ≈ vocabulary size,
     not corpus size — the property that keeps this viable at 100 TB."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens("text")).alias("word"))
         .select(F.lower("word").alias("word"))
@@ -214,7 +214,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant to word order — the exact-dedup keys. md5 is identical across
     engines, making this fully oracle-checkable."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     bag = F.array_join(F.array_sort(F.transform(tokens("text"), lambda t: F.lower(t))), " ")
     return docs.select(
@@ -239,7 +239,7 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts plus per-doc averages — the feature base for n-gram similarity
     and lang-ID at scale."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # substr with a dynamic start position needs the SQL expr form
     shingles = F.expr(
         "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))"
@@ -282,7 +282,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     against whitespace word counts per language. The tokens-per-word ratio
     is the standard corpus-cost estimator."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
     words = F.size(tokens("text"))
     per_doc = docs.select("lang", bpe.alias("bpe_tokens"), words.alias("words"))

@@ -97,7 +97,11 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stand-in multimodal table: utf-8 text bytes as the opaque payload
     plus typed metadata — the exact column layout an image/audio table
     would use (payload BINARY, mime STRING, byte_len BIGINT)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..operators import spread
+
+    # spread: one parquet file = one partition = ONE Arrow batch stream;
+    # mapInPandas would run the whole extractor serially in a single task
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
