@@ -262,9 +262,15 @@ def requests_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: lineitem groupBy(l_orderkey) with collect_list partial aggs,
     then an equi-join to orders on the same key — one shuffle each side; at
     100 TB both tables bucketed by orderkey make this shuffle-free.
+
+    Both scans are spread: the harness tables are single parquet files, so
+    without it the 600k-row collect_list shuffle WRITE runs in one serial
+    task (measured 2× the whole-query time at sf0.1).
     """
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    from ..operators import spread
+
+    lineitem = spread(load_table(spark, sf_dir, "lineitem"))
+    orders = spread(load_table(spark, sf_dir, "orders"))
     ids_per_order = lineitem.groupBy("l_orderkey").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),

@@ -156,22 +156,12 @@ def _sql_minhash(idx: int) -> str:
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pipeline: shingle → 8 minhashes → 4 bands of
-    2 → candidate pairs share ≥1 band bucket (equi-join on band_key) →
-    verified with exact Jaccard. Emits verified pairs with their Jaccard.
-
-    This is the 100 TB dedup plan: signature computation is per-row
-    (narrow), the bucket join shuffles only band keys, and exact
-    verification touches only candidates. Banding (b=2, r=4) makes the
-    match probability 1-(1-j^4)^2 — near zero below j≈0.4, so a
-    self-similar corpus cannot explode the candidate set.
-
-    Shuffle discipline: the band join and pair-dedup run on BARE
-    (doc_a, doc_b) pairs; shingle arrays are re-joined only for the final
-    verification — never carried through the wide shuffle.
-    """
-    tune(spark)
+def _lsh_shingles_and_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash-LSH front half: cached shingle table + candidate
+    pairs from band-bucket collisions. Used by both the standalone LSH
+    query and the LSH→verify composition."""
     docs = load_table(spark, sf_dir, "documents")
     # cached: the shingle table feeds signature computation + both sides of
     # the verify join — cache materializes the shingle arrays once
@@ -225,6 +215,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return sh, cand
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: shingle arrays are
+    joined back to the bare pairs only here — never carried through the
+    band shuffle."""
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = cand.join(sha, "doc_a").join(shb, "doc_b")
@@ -235,6 +232,71 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pipeline: shingle → 8 minhashes → 4 bands of
+    2 → candidate pairs share ≥1 band bucket (equi-join on band_key) →
+    verified with exact Jaccard. Emits verified pairs with their Jaccard.
+
+    This is the 100 TB dedup plan: signature computation is per-row
+    (narrow), the bucket join shuffles only band keys, and exact
+    verification touches only candidates. Banding (b=2, r=4) makes the
+    match probability 1-(1-j^4)^2 — near zero below j≈0.4, so a
+    self-similar corpus cannot explode the candidate set.
+
+    Shuffle discipline: the band join and pair-dedup run on BARE
+    (doc_a, doc_b) pairs; shingle arrays are re-joined only for the final
+    verification — never carried through the wide shuffle.
+    """
+    tune(spark)
+    sh, cand = _lsh_shingles_and_candidates(spark, sf_dir)
+    return _verify_pairs(sh, cand)
+
+
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LSH→verify composition as a duplicate-pair REPORT:
+    LSH candidates, exact-Jaccard verified, joined back to document
+    metadata (lang, source, length) for both pair members — the row a
+    dedup pipeline actually emits to its kill-list writer.
+
+    This materializes the architecture `q_dedup_ngram_jaccard` documents:
+    blocked-pairwise is the exact verifier, LSH is the 100 TB candidate
+    generator, and this query is the production composition of the two
+    (band-bucket equi-join → bare-pair shuffle → candidates-only verify →
+    one broadcast-able metadata join). At sf0.1 it runs in seconds where
+    the blocked-pairwise baseline takes ~59 s."""
+    tune(spark)
+    sh, cand = _lsh_shingles_and_candidates(spark, sf_dir)
+    pairs = _verify_pairs(sh, cand)
+    docs = load_table(spark, sf_dir, "documents")
+    meta_a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("n_chars_a"),
+    )
+    meta_b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("n_chars_b"),
+    )
+    return (
+        pairs.join(meta_a, "doc_a")
+        .join(meta_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "lang_a",
+            "lang_b",
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("same_lang"),
+            "source_a",
+            (F.col("n_chars_a") - F.col("n_chars_b")).alias("len_delta"),
+            # the dedup decision: keep the smaller doc_id, kill the larger
+            F.col("doc_b").alias("kill_doc_id"),
+        )
     )
 
 
@@ -270,6 +332,47 @@ SELECT doc_a, doc_b,
 FROM verified
 WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
             / len(list_distinct(list_concat(sh_a, sh_b))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+_ORACLE_LSH_VERIFIED = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles
+  FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+banded AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
+           ELSE {_sql_minhash(4)} || '|' || {_sql_minhash(5)} || '|' || {_sql_minhash(6)} || '|' || {_sql_minhash(7)}
+         END AS band_key
+  FROM sh, (VALUES (0), (1)) AS b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       da.lang AS lang_a, db.lang AS lang_b,
+       CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS same_lang,
+       da.source AS source_a,
+       da.n_chars - db.n_chars AS len_delta,
+       p.doc_b AS kill_doc_id
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE p.jaccard >= {JACCARD_THRESHOLD}
 """
 
 
@@ -374,6 +477,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -382,5 +486,6 @@ ORACLE = {
     "dedup_embedding_cosine": _ORACLE_EMB_COSINE,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _ORACLE_MINHASH,
+    "dedup_lsh_verified": _ORACLE_LSH_VERIFIED,
     "dedup_simhash": _ORACLE_SIMHASH,
 }
