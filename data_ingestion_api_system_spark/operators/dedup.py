@@ -376,6 +376,120 @@ WHERE p.jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    LSH-verified duplicate-pair graph via iterative min-label propagation
+    — each doc in any verified pair gets cluster_id = the smallest doc_id
+    reachable through duplicate edges, plus the cluster size. This is the
+    step that turns pairwise dedup output into keep/kill groups (keep the
+    cluster minimum, kill the rest).
+
+    Iterative algorithm on Spark: labels start as self; each round joins
+    labels to the (bidirected) edge list, takes min(neighbor label, own
+    label), and stops when no label changed. Rounds = graph diameter —
+    near-dup clusters are shallow cliques, so a handful of rounds; each
+    round is one equi-join + groupBy (both keyed on node), and
+    localCheckpoint truncates the lineage so plans stay flat. At 100 TB
+    the same loop runs with node-bucketed tables (or large-star/small-star
+    rounds for O(log n) worst-case chains).
+
+    The DuckDB oracle computes reachability with a recursive CTE — a
+    genuinely different algorithm arriving at the identical fixpoint,
+    which is the strongest kind of cross-check."""
+    tune(spark)
+    sh, cand = _lsh_shingles_and_candidates(spark, sf_dir)
+    pairs = _verify_pairs(sh, cand).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # diameter bound; near-dup graphs converge in a few
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+_ORACLE_CLUSTER_CC = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles
+  FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+banded AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
+           ELSE {_sql_minhash(4)} || '|' || {_sql_minhash(5)} || '|' || {_sql_minhash(6)} || '|' || {_sql_minhash(7)}
+         END AS band_key
+  FROM sh, (VALUES (0), (1)) AS b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges GROUP BY src
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM clusters c
+JOIN (SELECT cluster_id, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -478,6 +592,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -487,5 +602,6 @@ ORACLE = {
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _ORACLE_MINHASH,
     "dedup_lsh_verified": _ORACLE_LSH_VERIFIED,
+    "dedup_cluster_cc": _ORACLE_CLUSTER_CC,
     "dedup_simhash": _ORACLE_SIMHASH,
 }

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import exact_avg, sql_exact_avg
 from ..tables import load_table
 from . import spread, tune
 
@@ -367,6 +368,74 @@ LIMIT 5
 """
 
 
+N_CENTROIDS = 4
+
+
+def q_sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of cosine k-means, the primitive behind IVF cell
+    building and embedding-space corpus curation: seed centroids are the
+    first k vectors (deterministic), every vector is assigned to its
+    nearest centroid (max cosine, centroid-id tiebreak), and the step
+    emits per-centroid assignment stats + the updated centroid's leading
+    dimensions as exact decimal means.
+
+    Plan shape at 100 TB: centroids broadcast (k rows), assignment is a
+    narrow per-row argmax over the broadcast (no corpus shuffle), and the
+    update is one partial-agg shuffle keyed by centroid — the textbook
+    distributed k-means round. Iterating = re-running this plan with the
+    updated centroids (a driver loop of k-row exchanges, corpus never
+    moves)."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("bv")
+        )
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "v"))
+        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = e.crossJoin(cent).select(
+        "vec_id", "label", "v", "centroid_id", cos.alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        exact_avg("cosine", scale=6).alias("avg_cosine"),
+        *[
+            exact_avg(F.expr(f"v[{d}]"), scale=8).alias(f"new_c{d}")
+            for d in range(4)
+        ],
+    )
+
+
+_ORACLE_KMEANS = f"""
+WITH e AS ({_SQL_EMB}),
+cent AS (SELECT vec_id AS centroid_id, v AS bv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, c.centroid_id,
+         ROUND({_sql_cv_dot('v', 'bv')} / ({_sql_norm('v')} * {_sql_norm('bv')}), 6) AS cosine
+  FROM e, cent c
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, centroid_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT centroid_id, count(*) AS n_assigned,
+       {sql_exact_avg('cosine', scale=6)} AS avg_cosine,
+       {", ".join(f"{sql_exact_avg(f'v[{d + 1}]', scale=8)} AS new_c{d}" for d in range(4))}
+FROM assigned
+GROUP BY centroid_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -374,6 +443,7 @@ QUERIES = {
     "sim_intra_label_stats": q_sim_intra_label_stats,
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
+    "sim_kmeans_step": q_sim_kmeans_step,
 }
 
 ORACLE = {
@@ -383,4 +453,5 @@ ORACLE = {
     "sim_intra_label_stats": _ORACLE_INTRA_LABEL,
     "sim_lsh_ann": _ORACLE_LSH_ANN,
     "sim_lsh_bucket_stats": _ORACLE_LSH_STATS,
+    "sim_kmeans_step": _ORACLE_KMEANS,
 }

@@ -304,6 +304,196 @@ GROUP BY lang
 """
 
 
+PACK_BUDGET = 2048  # tokens per packed context window
+
+
+def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget context
+    windows ('bins') by running token count — the operator that turns a
+    filtered corpus into training rows. A doc whose cumulative start
+    offset crosses a budget boundary opens the next bin (streaming
+    concat-and-cut semantics; exact first-fit is inherently sequential).
+
+    Scale: packing runs PER SOURCE SHARD (window partitioned by source,
+    ordered by doc_id) — global order is irrelevant to packing density, so
+    at 100 TB each shard packs independently, keeping the window
+    partition-local instead of a single-partition global sort. Emits
+    per-bin packing stats."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source", "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = per_doc.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+        F.round(F.sum("n_tokens") / F.lit(PACK_BUDGET), 6).alias("fill_ratio"),
+    )
+
+
+_ORACLE_SEQUENCE_PACK = f"""
+WITH per_doc AS (
+  SELECT source, doc_id, len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)
+                    / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM per_doc
+)
+SELECT source, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id,
+       ROUND(CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 6) AS fill_ratio
+FROM binned
+GROUP BY source, bin_id
+"""
+
+
+# Per-language keep rates for deterministic stratified sampling (corpus
+# mixing). Rates are expressed as 2-hex-digit thresholds over the first
+# byte of md5(doc_id): keep iff substr(md5, 1, 2) < threshold — exact
+# fraction int(threshold, 16)/256, identical in any engine with md5.
+SAMPLE_THRESHOLDS = {"en": "80", "es": "40", "de": "40", "fr": "1a"}  # 50/25/25/~10 %
+_DEFAULT_THRESHOLD = "ff"
+
+
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: per-language
+    keep rates applied via a content-stable hash gate (md5 of doc_id), so
+    the sample is reproducible across runs AND engines — the property
+    random() sampling lacks. Emits per-language sampling accounting.
+
+    Scale: the gate is a narrow filter (no shuffle, no state); rates
+    re-mix a 100 TB corpus in one pass. sampleBy() gives the same shape
+    but seeds differently per engine, hence the hash gate."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    thr = F.lit(None).cast("string")
+    expr = None
+    for lang, t in SAMPLE_THRESHOLDS.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(t))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(t))
+        )
+    thr = expr.otherwise(F.lit(_DEFAULT_THRESHOLD))
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr
+    flagged = docs.select("lang", F.size(tokens("text")).alias("n_tokens"),
+                          gate.cast("int").alias("kept"))
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(F.sum("kept") / F.count("*"), 6).alias("achieved_rate"),
+        F.sum(F.col("kept") * F.col("n_tokens")).cast("bigint").alias("kept_tokens"),
+    )
+
+
+def _sql_threshold_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{t}'" for lang, t in SAMPLE_THRESHOLDS.items()
+    )
+    return f"CASE lang {whens} ELSE '{_DEFAULT_THRESHOLD}' END"
+
+
+_ORACLE_STRATIFIED = f"""
+WITH flagged AS (
+  SELECT lang, len({_SQL_TOKS}) AS n_tokens,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_sql_threshold_case()}
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       ROUND(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS achieved_rate,
+       CAST(sum(kept * n_tokens) AS BIGINT) AS kept_tokens
+FROM flagged
+GROUP BY lang
+"""
+
+
+# RE2-compatible PII patterns (no lookarounds — portable to any engine)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email/phone patterns to fixed placeholder
+    tokens and account for every replacement. The corpus has no organic
+    PII, so a deterministic spike (every 7th doc gains a synthetic email,
+    every 11th a phone) exercises the scrub path end-to-end; the redacted
+    text is re-fingerprinted (md5) so the oracle certifies the actual
+    output bytes, not just the counts.
+
+    Scale: pure narrow regexp_replace/regexp_count inside codegen — the
+    same single pass a 100 TB scrub runs; no shuffle until the tiny
+    accounting agg."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spiked = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call +1-555-"), F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(spiked, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(spiked, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(spiked, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+_ORACLE_PII = f"""
+WITH spiked AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM spiked
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(redacted) AS redacted_md5,
+       CAST(length(redacted) AS BIGINT) AS redacted_len
+FROM red
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -312,6 +502,9 @@ QUERIES = {
     "text_word_freq": q_text_word_freq,
     "text_fingerprint": q_text_fingerprint,
     "text_ngram_profile": q_text_ngram_profile,
+    "text_sequence_pack": q_text_sequence_pack,
+    "text_stratified_sample": q_text_stratified_sample,
+    "text_pii_redact": q_text_pii_redact,
 }
 
 ORACLE = {
@@ -322,4 +515,7 @@ ORACLE = {
     "text_word_freq": _ORACLE_WORD_FREQ,
     "text_fingerprint": _ORACLE_FINGERPRINT,
     "text_ngram_profile": _ORACLE_NGRAM,
+    "text_sequence_pack": _ORACLE_SEQUENCE_PACK,
+    "text_stratified_sample": _ORACLE_STRATIFIED,
+    "text_pii_redact": _ORACLE_PII,
 }

@@ -32,6 +32,7 @@ Design (SURVEY §3.4, §4.3):
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -146,6 +147,15 @@ class IngestionPipeline:
         self._request_seq = 0
         self._log_seq = 0
         self._mem: dict[str, list] = {}
+        # Run-to-completion lock: the reference executes every route handler
+        # and drain cycle on one Node event loop, so no two operations ever
+        # interleave mid-state-mutation. The HTTP shim + fire-and-forget
+        # drain thread would otherwise issue concurrent Spark jobs against
+        # shared state (observed transient 'Python worker exited
+        # unexpectedly' under that race); one RLock per pipeline restores
+        # the reference's serial semantics. drain_all acquires per STEP, so
+        # status/ingest interleave between cycles exactly as Node timers do.
+        self._op_lock = threading.RLock()
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state table helpers -------------------------------------------------
@@ -175,6 +185,10 @@ class IngestionPipeline:
     def ingest(self, ids: list, priority: str) -> str:
         """Validate (A2), key-gen (A3), timestamp (A4), chunk (A5), persist.
         Returns the ingestion_id; raises InvalidRequest on the 400 path."""
+        with self._op_lock:
+            return self._ingest_locked(ids, priority)
+
+    def _ingest_locked(self, ids: list, priority: str) -> str:
         if (
             not isinstance(ids, list)
             or any(
@@ -240,6 +254,10 @@ class IngestionPipeline:
     def status(self, ingestion_id: str) -> dict:
         """GET /status/:id — point lookup (A14), child join (A15), rollup
         (A16), nested response projection (A17)."""
+        with self._op_lock:
+            return self._status_locked(ingestion_id)
+
+    def _status_locked(self, ingestion_id: str) -> dict:
         ing = (
             self._read("ingestions", _INGESTIONS_SCHEMA)
             .filter(F.col("ingestion_id") == ingestion_id)
@@ -301,6 +319,10 @@ class IngestionPipeline:
     def drain_step(self) -> str | None:
         """One drain cycle (one loop body of src/app.js:65-96). Returns the
         processed batch_id, or None if the queue was empty."""
+        with self._op_lock:
+            return self._drain_step_locked()
+
+    def _drain_step_locked(self) -> str | None:
         batch = self._next_pending()
         if batch is None:
             return None
@@ -328,6 +350,55 @@ class IngestionPipeline:
             n += 1
         return n
 
+    # -- log compaction (the Delta-MERGE production form) --------------------
+
+    def compact_log(self) -> int:
+        """Fold the append-only ``batch_log`` into one current-status row
+        per batch — the periodic compaction a Delta deployment would run as
+        ``MERGE INTO batch_status USING log ON batch_id WHEN MATCHED AND
+        log.log_seq > target.log_seq THEN UPDATE ...`` (last write wins).
+
+        The fold is the same per-key ``max(struct(log_seq, status))`` the
+        read path computes on the fly, so compaction is a pure no-op for
+        query results — and it is idempotent under replayed/duplicate
+        transitions because struct-max is insensitive to duplicates.
+        Readers keep working mid-compaction: the compacted file set is
+        staged to a sibling directory and swapped in with two directory
+        renames (the parquet-state analogue of Delta's atomic log commit).
+
+        Returns the number of rows in the compacted log.
+        """
+        with self._op_lock:
+            log = self._read("batch_log", _BATCH_LOG_SCHEMA)
+            compacted = (
+                log.groupBy("batch_id")
+                .agg(F.max(F.struct("log_seq", "status")).alias("m"))
+                .select(
+                    "batch_id",
+                    F.col("m.status").alias("status"),
+                    F.col("m.log_seq").alias("log_seq"),
+                )
+            )
+            if not self.durable:
+                rows = [
+                    Row(batch_id=r.batch_id, status=r.status, log_seq=r.log_seq)
+                    for r in compacted.collect()
+                ]
+                self._mem["batch_log"] = rows
+                return len(rows)
+            import shutil
+
+            staged = self._path("batch_log__compacted")
+            retired = self._path("batch_log__retired")
+            compacted.write.mode("overwrite").parquet(staged)
+            n = self.spark.read.parquet(staged).count()
+            shutil.rmtree(retired, ignore_errors=True)
+            if os.path.exists(self._path("batch_log")):
+                os.rename(self._path("batch_log"), retired)
+            os.rename(staged, self._path("batch_log"))
+            shutil.rmtree(retired, ignore_errors=True)
+            return n
+
     # -- A18: state truncation ----------------------------------------------
 
     def reset(self) -> None:
@@ -337,11 +408,19 @@ class IngestionPipeline:
         the directories."""
         import shutil
 
-        for name in ("ingestions", "batches", "batch_log", "processed"):
-            shutil.rmtree(self._path(name), ignore_errors=True)
-        self._mem.clear()
-        self._request_seq = 0
-        self._log_seq = 0
+        with self._op_lock:
+            for name in (
+                "ingestions",
+                "batches",
+                "batch_log",
+                "batch_log__compacted",
+                "batch_log__retired",
+                "processed",
+            ):
+                shutil.rmtree(self._path(name), ignore_errors=True)
+            self._mem.clear()
+            self._request_seq = 0
+            self._log_seq = 0
 
     # -- always-on streaming drain (SURVEY §3.4) -----------------------------
 

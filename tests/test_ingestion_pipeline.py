@@ -198,6 +198,58 @@ def test_queue_snapshot_order(pipeline):
     assert [r.priority for r in snap] == ["HIGH", "MEDIUM", "LOW"]
 
 
+# -- log compaction (the Delta-MERGE production form) -------------------------
+
+def test_compaction_idempotent_under_replayed_transitions(pipeline):
+    """Replay duplicate status transitions into the log (the retry case a
+    Delta MERGE guards against), compact, and prove (a) query results are
+    unchanged, (b) the log holds exactly one row per batch, (c) replaying
+    the same transitions AGAIN and re-compacting is a no-op — last-write-
+    wins by log_seq is idempotent."""
+    from pyspark.sql import Row
+
+    from data_ingestion_api_system_spark.streaming.drain import _BATCH_LOG_SCHEMA
+
+    ing_done = pipeline.ingest([1, 2, 3, 4], "HIGH")  # 2 batches
+    ing_half = pipeline.ingest([5, 6, 7, 8], "LOW")
+    pipeline.drain_all(max_steps=3)  # completes both HIGH + first LOW batch
+    before = {i: pipeline.status(i) for i in (ing_done, ing_half)}
+
+    # replay every existing transition verbatim (duplicate appends)
+    replay = [
+        Row(**r.asDict())
+        for r in pipeline._read("batch_log", _BATCH_LOG_SCHEMA).collect()
+    ]
+    pipeline._append("batch_log", replay, _BATCH_LOG_SCHEMA)
+
+    n = pipeline.compact_log()
+    assert n == 3  # one row per batch that ever logged a transition
+    after = {i: pipeline.status(i) for i in (ing_done, ing_half)}
+    assert after == before
+
+    # second replay + compaction: still converges to the same 3 rows
+    pipeline._append("batch_log", replay, _BATCH_LOG_SCHEMA)
+    assert pipeline.compact_log() == 3
+    assert {i: pipeline.status(i) for i in (ing_done, ing_half)} == before
+
+
+def test_compaction_durable_swap_and_continue(spark, tmp_path):
+    """Durable mode: compaction rewrites the parquet log via the staged
+    directory swap; status() reads the compacted table and the drain loop
+    keeps appending to it afterwards."""
+    p = IngestionPipeline(spark, str(tmp_path / "state"))
+    ing = p.ingest([1, 2, 3, 4, 5, 6, 7], "MEDIUM")  # 3 batches
+    p.drain_step()
+    assert p.compact_log() == 1  # only batch 0 has transitions yet
+    st = p.status(ing)
+    assert [b["status"] for b in st["batches"]] == [
+        "completed", "yet_to_start", "yet_to_start",
+    ]
+    p.drain_all()
+    assert p.status(ing)["status"] == "completed"
+    assert p.compact_log() == 3
+
+
 # -- A18: state truncation (src/app.js:225-235) -------------------------------
 
 def test_reset_truncates_all_state(pipeline):
