@@ -78,6 +78,33 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"partial_sum"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "dedup_lsh_verified": (
+        # candidates equi-join + metadata joins; never a cartesian
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sim_kmeans_step": (
+        # centroids broadcast (k rows); partial agg on the update
+        [r"BroadcastNestedLoopJoin", r"partial_count"],
+        [r"SortMergeJoin"],
+    ),
+    "text_sequence_pack": (
+        # per-source window (shard-local), then partial-agg rollup
+        [r"Window", r"partial_sum|partial_count"],
+        [r"CartesianProduct"],
+    ),
+    "text_stratified_sample": (
+        # narrow hash gate + one partial agg; no join at all
+        [r"partial_sum|partial_count"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "text_pii_redact": (
+        # pure narrow pass: project over the scan — no keyed shuffle, no
+        # join (the only Exchange is spread()'s round-robin single-file
+        # compensation, a no-op on a real multi-split layout)
+        [r"Project"],
+        [r"Exchange hashpartitioning", r"Join"],
+    ),
 }
 
 
