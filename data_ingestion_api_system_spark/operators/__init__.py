@@ -65,6 +65,13 @@ _WINDOW_BOOST = (
     "tpch_q18_large_orders",
     "sql_grouping_sets",
     "window_topk_per_group",
+    # events entries that certify unique capabilities (tumbling windows,
+    # gap sessionization, JSON extraction); the remaining two events
+    # entries (sliding window, type stats) are plain re-runnable aggs and
+    # sit with the tail
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_json_extract",
 )
 
 
@@ -79,6 +86,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         events,
         multimodal,
         pipeline,
+        rangejoin,
         relational,
         relational2,
         relational3,
@@ -95,14 +103,14 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity,
         text,
         multimodal,
+        rangejoin,
         streaming_jobs,
     )
-    mid_mods = (events,)
-    tail_mods = (windows, relational, relational2, relational3)
+    tail_mods = (events, windows, relational, relational2, relational3)
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in head_mods + mid_mods + tail_mods:
+    for mod in head_mods + tail_mods:
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
 
@@ -112,8 +120,6 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for name in _WINDOW_BOOST:
         if name in queries:
             ordered[name] = queries[name]
-    for mod in mid_mods:
-        ordered.update(mod.QUERIES)
     for name, fn in queries.items():
         if name not in ordered:
             ordered[name] = fn

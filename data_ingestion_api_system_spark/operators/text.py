@@ -494,6 +494,108 @@ FROM red
 """
 
 
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 64  # buckets per row
+
+
+def _cm_bucket_spark(word_expr: str, j: int) -> str:
+    """Bucket for hash row j: first two hex nibbles of an independently
+    salted md5 → value in [0, 256) → % width. Pure strpos arithmetic so
+    any engine with md5 computes the identical bucket."""
+    h = f"md5(concat('cm{j}:', {word_expr}))"
+    n1 = f"(position(substr({h}, 1, 1) IN '0123456789abcdef') - 1)"
+    n2 = f"(position(substr({h}, 2, 1) IN '0123456789abcdef') - 1)"
+    return f"(({n1}) * 16 + ({n2})) % {CM_WIDTH}"
+
+
+def _cm_bucket_sql(word_expr: str, j: int) -> str:
+    h = f"md5('cm{j}:' || {word_expr})"
+    n1 = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+    n2 = f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    return f"(({n1}) * 16 + ({n2})) % {CM_WIDTH}"
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream: a {depth}×{width}
+    counter grid updated by salted-md5 bucketing, then probed for the
+    top-10 words — emitting exact count, CM estimate, and the
+    overestimate (provably ≥ 0, the sketch's one-sided error guarantee).
+
+    This is the mergeable fixed-memory frequency sketch that replaces
+    exact word counts at 100 TB: counters are a groupBy over (row,
+    bucket) — partial aggregation collapses each partition to ≤
+    depth×width rows before the shuffle, so shuffled bytes are CONSTANT
+    in corpus size. The sketch is deterministic (hash-derived, no RNG),
+    hence exact-oracle-checkable — unlike approx_count_distinct, whose
+    engine-specific HLL registers force a rows-only check.
+    """
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(tokens("text")).alias("w")
+    ).select(F.lower("w").alias("word"))
+    bucket_structs = ", ".join(
+        f"struct({j} AS j, {_cm_bucket_spark('word', j)} AS bucket)"
+        for j in range(CM_DEPTH)
+    )
+    pairs = words.select(
+        F.expr(f"inline(array({bucket_structs}))")
+    )
+    sketch = pairs.groupBy("j", "bucket").agg(F.count("*").alias("counter"))
+    exact = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(10)
+    )
+    probe = exact.select(
+        "word",
+        "exact_count",
+        F.expr(f"inline(array({bucket_structs}))"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+    return est.select(
+        "word",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+_ORACLE_COUNT_MIN = f"""
+WITH words AS (
+  SELECT lower(w) AS word
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+),
+pairs AS (
+  SELECT j.j, CASE j.j {" ".join(f"WHEN {j} THEN {_cm_bucket_sql('word', j)}" for j in range(CM_DEPTH))} END AS bucket
+  FROM words, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j
+),
+sketch AS (
+  SELECT j, bucket, count(*) AS counter FROM pairs GROUP BY j, bucket
+),
+exact AS (
+  SELECT word, count(*) AS exact_count
+  FROM words GROUP BY word
+  ORDER BY exact_count DESC, word ASC
+  LIMIT 10
+),
+probe AS (
+  SELECT word, exact_count, j.j,
+         CASE j.j {" ".join(f"WHEN {j} THEN {_cm_bucket_sql('word', j)}" for j in range(CM_DEPTH))} END AS bucket
+  FROM exact, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j
+)
+SELECT p.word, p.exact_count, min(s.counter) AS cm_estimate,
+       min(s.counter) - p.exact_count AS overestimate
+FROM probe p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+GROUP BY p.word, p.exact_count
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -505,6 +607,7 @@ QUERIES = {
     "text_sequence_pack": q_text_sequence_pack,
     "text_stratified_sample": q_text_stratified_sample,
     "text_pii_redact": q_text_pii_redact,
+    "sketch_count_min": q_sketch_count_min,
 }
 
 ORACLE = {
@@ -518,4 +621,5 @@ ORACLE = {
     "text_sequence_pack": _ORACLE_SEQUENCE_PACK,
     "text_stratified_sample": _ORACLE_STRATIFIED,
     "text_pii_redact": _ORACLE_PII,
+    "sketch_count_min": _ORACLE_COUNT_MIN,
 }

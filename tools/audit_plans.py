@@ -105,6 +105,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Project"],
         [r"Exchange hashpartitioning", r"Join"],
     ),
+    "range_join_binned": (
+        # the whole point: the interval join runs as a broadcast EQUI-join
+        # on the bin + residual filter, never a nested-loop theta join
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ),
+    "sketch_count_min": (
+        # constant-size shuffle: counter grid partial-aggregated map-side
+        [r"partial_count", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
