@@ -65,11 +65,11 @@ _WINDOW_BOOST = (
     "tpch_q18_large_orders",
     "sql_grouping_sets",
     "window_topk_per_group",
-    # events entries that certify unique capabilities (tumbling windows,
-    # gap sessionization, JSON extraction); the remaining two events
-    # entries (sliding window, type stats) are plain re-runnable aggs and
-    # sit with the tail
-    "events_tumbling_window",
+    # events entries that certify unique capabilities (gap sessionization,
+    # JSON extraction). The other three events entries sit with the
+    # re-runnable tail: tumbling's exact computation is already certified
+    # in-window by its shared-oracle streaming twin, and sliding/type
+    # stats are plain aggs.
     "events_sessionize",
     "events_json_extract",
 )

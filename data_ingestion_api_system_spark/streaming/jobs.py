@@ -180,14 +180,91 @@ GROUP BY event_type
 """
 
 
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each 'view' joins the same user's
+    'click' events landing within the following 10 minutes — the
+    attribution join every event pipeline runs. Both sides carry
+    watermarks, which is what lets Spark BOUND the join state store: a
+    buffered view can be evicted once the click-side watermark passes
+    view_ts + 10 min, so state is O(window), not O(stream). The joined
+    pairs stream out in append mode; the per-user rollup happens on the
+    materialized output.
+
+    On this bounded source the result must equal the batch interval join,
+    which is the oracle."""
+    tune(spark)
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 10 minutes"
+        ),
+    ).select("v_user", "view_id", "click_id", "view_ts", "click_ts")
+    out = _run_to_memory(joined, mode="append")
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("view_id").alias("n_views_matched"),
+        F.countDistinct("click_id").alias("n_clicks_matched"),
+        F.max(
+            F.unix_micros("click_ts") - F.unix_micros("view_ts")
+        ).alias("max_gap_us"),
+    )
+
+
+_ORACLE_STREAM_JOIN = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+  FROM v JOIN c ON v.user_id = c.user_id
+              AND c.click_ts >= v.view_ts
+              AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+)
+SELECT user_id, count(*) AS n_pairs,
+       count(DISTINCT view_id) AS n_views_matched,
+       count(DISTINCT click_id) AS n_clicks_matched,
+       max(epoch_us(click_ts) - epoch_us(view_ts)) AS max_gap_us
+FROM pairs
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling,
     "streaming_session_window": q_streaming_session_window,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_stream_join": q_streaming_stream_join,
 }
 
 ORACLE = {
     "streaming_tumbling_window": _ORACLE_STREAM_TUMBLING,
     "streaming_session_window": _ORACLE_STREAM_SESSION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
+    "streaming_stream_join": _ORACLE_STREAM_JOIN,
 }
