@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pytest
 
+from data_ingestion_api_system_spark.plans import formatted_plan
 from data_ingestion_api_system_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -57,7 +58,7 @@ def test_bucketed_join_runs_without_shuffle(spark, bucketed_tables):
         a = spark.table("bt_lineitem")
         b = spark.table("bt_orders")
         joined = a.join(b, a.l_orderkey == b.o_orderkey)
-        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        plan = formatted_plan(joined)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
         # and it computes the same join the unbucketed tables do
@@ -82,9 +83,7 @@ def test_bucket_pruning_on_point_lookup(spark, bucketed_tables):
     try:
         spark.conf.set(conf, "false")
         a = spark.table("bt_lineitem").filter(F.col("l_orderkey") == 7)
-        plan = a._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            a._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(a)
         assert "Bucketed: true" in plan
         assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
         n = a.count()

@@ -13,7 +13,6 @@ Usage: python tools/audit_plans.py [sf_dir]
 
 from __future__ import annotations
 
-import re
 import sys
 from pathlib import Path
 
@@ -122,18 +121,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
+    from data_ingestion_api_system_spark.plans import check_plan
     from data_ingestion_api_system_spark.session import get_spark
 
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
     failures = 0
     for name, (must, must_not) in CHECKS.items():
-        df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
-        missing = [p for p in must if not re.search(p, plan)]
-        present = [p for p in must_not if re.search(p, plan)]
+        missing, present = check_plan(qs[name](spark, sf_dir), must, must_not)
         if missing or present:
             failures += 1
             print(f"FAIL {name}: missing={missing} forbidden-present={present}")
