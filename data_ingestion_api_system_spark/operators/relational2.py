@@ -502,6 +502,69 @@ GROUP BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF — the table-function surface (1 row in → N rows out from
+# Python), completing the UDF/UDAF/UDTF matrix.
+# ---------------------------------------------------------------------------
+
+def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Arrow-optimized): each document expands into 10-token
+    chunks with per-chunk fingerprints — the table-function shape of a
+    context-window chunker. The oracle recomputes the identical chunks
+    relationally (list_slice over the token list), certifying the Python
+    row-expansion value-for-value.
+
+    Surface note: UDTFs are the row-expanding Python bridge (vs pandas_udf
+    scalar, GROUPED_AGG, applyInPandas grouped-map, mapInPandas batch-map).
+    ``useArrow=True`` batches rows over Arrow; still the slow path vs JVM
+    ``posexplode`` — the honest use case is expansion logic too imperative
+    for array expressions. Defined inside the function for the same
+    worker-reimport reason as the pandas UDFs above."""
+    tune(spark)
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_md5 string", useArrow=True)
+    class ChunkText:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = [t for t in text.split() if t]
+            for i in range(0, len(toks), 10):
+                chunk = toks[i : i + 10]
+                yield (
+                    i // 10,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # lateral-join the UDTF over each document row
+    return (
+        docs.select("doc_id", "text")
+        .lateralJoin(ChunkText(F.col("doc_id").outer(), F.col("text").outer()))
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+    )
+
+
+_ORACLE_UDTF_CHUNK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         list_slice(t, CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)) AS chunk
+  FROM toks, (SELECT unnest(range(0, 1000)) AS i) idx
+  WHERE i * 10 < len(t)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates — declared rows-only (non-deterministic across
 # engines by design; the driver records the weaker check).
 # ---------------------------------------------------------------------------
@@ -540,6 +603,7 @@ QUERIES = {
     "pandas_udf_token_count": q_pandas_udf_tokens,
     "apply_in_pandas_rank": q_apply_in_pandas_rank,
     "grouped_agg_udaf": q_grouped_agg_udaf,
+    "udtf_chunk_text": q_udtf_chunk_text,
     "approx_distinct_sketch": q_approx_distinct,
 }
 
@@ -556,5 +620,6 @@ ORACLE = {
     "pandas_udf_token_count": _ORACLE_PANDAS_UDF,
     "apply_in_pandas_rank": _ORACLE_APPLY_IN_PANDAS,
     "grouped_agg_udaf": _ORACLE_GROUPED_AGG,
+    "udtf_chunk_text": _ORACLE_UDTF_CHUNK,
     # approx_distinct_sketch: rows-only by design
 }
