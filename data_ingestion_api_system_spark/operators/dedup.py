@@ -376,29 +376,18 @@ WHERE p.jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: connected components over the
-    LSH-verified duplicate-pair graph via iterative min-label propagation
-    — each doc in any verified pair gets cluster_id = the smallest doc_id
-    reachable through duplicate edges, plus the cluster size. This is the
-    step that turns pairwise dedup output into keep/kill groups (keep the
-    cluster minimum, kill the rest).
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list (``doc_a``,
+    ``doc_b``) via iterative min-label propagation: labels start as self;
+    each round joins labels to the bidirected edges, takes min(own,
+    neighbor labels), and stops when no label changed. Returns (node,
+    label) with label = the component's minimum node id.
 
-    Iterative algorithm on Spark: labels start as self; each round joins
-    labels to the (bidirected) edge list, takes min(neighbor label, own
-    label), and stops when no label changed. Rounds = graph diameter —
-    near-dup clusters are shallow cliques, so a handful of rounds; each
-    round is one equi-join + groupBy (both keyed on node), and
-    localCheckpoint truncates the lineage so plans stay flat. At 100 TB
-    the same loop runs with node-bucketed tables (or large-star/small-star
-    rounds for O(log n) worst-case chains).
-
-    The DuckDB oracle computes reachability with a recursive CTE — a
-    genuinely different algorithm arriving at the identical fixpoint,
-    which is the strongest kind of cross-check."""
-    tune(spark)
-    sh, cand = _lsh_shingles_and_candidates(spark, sf_dir)
-    pairs = _verify_pairs(sh, cand).select("doc_a", "doc_b")
+    Rounds = graph diameter — near-dup clusters are shallow cliques, so a
+    handful of rounds; each round is one equi-join + groupBy (both keyed
+    on node), and localCheckpoint truncates the lineage so plans stay
+    flat. At 100 TB the same loop runs with node-bucketed tables (or
+    large-star/small-star rounds for O(log n) worst-case chains)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").localCheckpoint()
@@ -408,7 +397,7 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(50):  # diameter bound; near-dup graphs converge in a few
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -433,6 +422,26 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    LSH-verified duplicate-pair graph — each doc in any verified pair gets
+    cluster_id = the smallest doc_id reachable through duplicate edges,
+    plus the cluster size. This is the step that turns pairwise dedup
+    output into keep/kill groups (keep the cluster minimum, kill the
+    rest). The loop itself is :func:`connected_components`, also
+    property-tested on synthetic chain/clique/forest graphs against a
+    driver-side union-find.
+
+    The DuckDB oracle computes reachability with a recursive CTE — a
+    genuinely different algorithm arriving at the identical fixpoint,
+    which is the strongest kind of cross-check."""
+    tune(spark)
+    sh, cand = _lsh_shingles_and_candidates(spark, sf_dir)
+    pairs = _verify_pairs(sh, cand).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -442,12 +451,12 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CLUSTER_CC = f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles
   FROM documents
   WHERE len({_SQL_SHINGLES}) > 0
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT doc_id, b.band_idx,
          CASE b.band_idx
            WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
@@ -455,13 +464,13 @@ banded AS (
          END AS band_key
   FROM sh, (VALUES (0), (1)) AS b(band_idx)
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a
   JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT c.doc_a, c.doc_b
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
@@ -470,7 +479,11 @@ pairs AS (
               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
         >= {JACCARD_THRESHOLD}
 ),
-edges AS (
+-- MATERIALIZED hints matter: edges feeds every recursion round of
+-- `reach`, and without them DuckDB may re-evaluate the whole
+-- shingle->minhash->band pipeline per round (observed: minutes at sf0.1
+-- vs seconds materialized)
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs

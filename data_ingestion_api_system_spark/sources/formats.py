@@ -44,11 +44,22 @@ def write_table(
 
 
 def read_table(
-    spark: SparkSession, path: str, fmt: str = "parquet", schema: T.StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
+    """``options`` passes reader options through — e.g.
+    ``{"mergeSchema": "true"}`` for parquet schema evolution (readers see
+    the union schema across files; columns absent in older files read as
+    null). Merge is a footer-only operation, but at 100 TB prefer a
+    declared union schema over per-query footer merging."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if fmt == "csv":
         return reader.option("header", "true").csv(path)
     if fmt == "json":

@@ -129,3 +129,20 @@ def test_convert_to_parquet_partitioned(spark, tmp_path):
 def test_kafka_source_fails_fast_without_jars(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_stream_source(spark, "localhost:9092", "topic")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a new column appears in later files; mergeSchema
+    reads present the union schema with nulls for the old files — the
+    add-a-column migration every long-lived table goes through."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(k=1, v=1.0)], "k long, v double").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [Row(k=2, v=2.0, tag="new")], "k long, v double, tag string"
+    ).write.mode("append").parquet(path)
+    back = read_table(spark, path, "parquet", options={"mergeSchema": "true"})
+    assert set(back.columns) == {"k", "v", "tag"}
+    rows = {r.k: r.tag for r in back.collect()}
+    assert rows == {1: None, 2: "new"}
