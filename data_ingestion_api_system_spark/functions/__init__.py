@@ -50,6 +50,38 @@ def exact_avg(col: Column | str, scale: int = 4, round_to: int = 6) -> Column:
     )
 
 
+def exact_avg_halfup(col_name: str, scale: int = 4) -> Column:
+    """AVG rounded to 6 decimals with the rounding performed in EXACT
+    integer arithmetic — immune to the double round-boundary divergence
+    :func:`exact_avg` can hit when the true quotient lands on a
+    ``...xxx5`` boundary (Spark's round sees the shortest decimal repr of
+    the double, DuckDB rounds its full binary expansion; at a half
+    boundary they disagree by 1 ulp of the rounded digit).
+
+    Construction (nonnegative sums): with A = sum·10^6 exact (the decimal
+    sum has ``scale`` ≤ 6 fractional digits, so A is integral) and
+    N = count, ``half_up(A/N) = (2A + N) div (2N)`` — Spark's ``div`` and
+    DuckDB's ``//`` are both exact integral division — then the identical
+    integer divides by 10^6 in both engines. Takes a column NAME (the
+    expression is assembled in SQL text). DuckDB twin:
+    :func:`sql_exact_avg_halfup`.
+    """
+    a = (
+        f"CAST(sum(CAST({col_name} AS DECIMAL(25,{scale}))) * 1000000 "
+        f"AS DECIMAL(38,0))"
+    )
+    n = f"CAST(count({col_name}) AS DECIMAL(38,0))"
+    return F.expr(
+        f"CAST((2 * {a} + {n}) div (2 * {n}) AS DOUBLE) / 1000000.0"
+    )
+
+
+def sql_exact_avg_halfup(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`exact_avg_halfup`."""
+    a = f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,{scale}))) * 1000000 AS HUGEINT)"
+    return f"(CAST((2 * {a} + COUNT({expr})) // (2 * COUNT({expr})) AS DOUBLE) / 1000000.0)"
+
+
 def sql_exact_sum(expr: str, scale: int = 4, round_to: int = 2) -> str:
     """DuckDB-side twin of :func:`exact_sum`."""
     return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(25,{scale}))), {round_to}) AS DOUBLE)"

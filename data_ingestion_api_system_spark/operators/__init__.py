@@ -77,10 +77,13 @@ _WINDOW_BOOST = (
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate QUERIES/ORACLE across all operator modules, ordered so the
-    highest-value operators land in the driver's verified prefix: the six
-    LLM-pipeline modules (35 entries), the boost list (10), then events (5)
-    fill the 50 exactly; windows + the relational TPC-H tail — plain SQL,
-    r01-certified and trivially re-runnable on any engine — follow."""
+    highest-value operators land in the driver's verified prefix: the seven
+    head modules (38 entries: pipeline 5, dedup 7, similarity 7, text 11,
+    multimodal 3, rangejoin 1, streaming 4) plus the 12-name boost list
+    fill the 50 EXACTLY — adding any head/boost entry pushes the last boost
+    name out, so recount (print the registry) before adding. The remaining
+    events/windows/TPC-H tail — plain SQL, trivially re-runnable on any
+    engine — follows."""
     from . import (
         dedup,
         events,

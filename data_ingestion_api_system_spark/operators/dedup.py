@@ -156,12 +156,24 @@ def _sql_minhash(idx: int) -> str:
     )
 
 
+# (app_id, sf_dir) → (sh, cand): three registry queries (minhash_lsh,
+# lsh_verified, cluster_cc) share the same shingle→signature→band→candidate
+# front half; memoizing it means one cached shingle table and one candidate
+# computation per session instead of three. Entries are lazy DataFrames —
+# an external clearCache() just makes them recompute, never stale.
+_LSH_FRONT_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _lsh_shingles_and_candidates(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH front half: cached shingle table + candidate
-    pairs from band-bucket collisions. Used by both the standalone LSH
-    query and the LSH→verify composition."""
+    pairs from band-bucket collisions. Used by the standalone LSH query,
+    the LSH→verify composition, and the cluster-assignment query —
+    memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LSH_FRONT_CACHE:
+        return _LSH_FRONT_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     # cached: the shingle table feeds signature computation + both sides of
     # the verify join — cache materializes the shingle arrays once
@@ -215,6 +227,7 @@ def _lsh_shingles_and_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    _LSH_FRONT_CACHE[key] = (sh, cand)
     return sh, cand
 
 
@@ -300,13 +313,19 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_MINHASH = f"""
-WITH sh AS (
+# The shared shingle→minhash→band→candidate CTE prefix, used verbatim by
+# all three LSH oracles (_ORACLE_MINHASH, _ORACLE_LSH_VERIFIED,
+# _ORACLE_CLUSTER_CC) so a banding change can never leave the
+# cross-checks certifying different candidate sets. MATERIALIZED hints
+# are load-bearing for the recursive CC oracle: without them DuckDB may
+# re-evaluate the whole pipeline per recursion round (observed: minutes
+# at sf0.1 vs seconds) — and they are harmless for the other two.
+_SQL_LSH_CTES = f"""sh AS MATERIALIZED (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles
   FROM documents
   WHERE len({_SQL_SHINGLES}) > 0
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT doc_id, b.band_idx,
          CASE b.band_idx
            WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
@@ -314,12 +333,16 @@ banded AS (
          END AS band_key
   FROM sh, (VALUES (0), (1)) AS b(band_idx)
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a
   JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
-),
+)"""
+
+
+_ORACLE_MINHASH = f"""
+WITH {_SQL_LSH_CTES},
 verified AS (
   SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
   FROM cand c
@@ -336,25 +359,7 @@ WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
 
 
 _ORACLE_LSH_VERIFIED = f"""
-WITH sh AS (
-  SELECT doc_id, {_SQL_SHINGLES} AS shingles
-  FROM documents
-  WHERE len({_SQL_SHINGLES}) > 0
-),
-banded AS (
-  SELECT doc_id, b.band_idx,
-         CASE b.band_idx
-           WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
-           ELSE {_sql_minhash(4)} || '|' || {_sql_minhash(5)} || '|' || {_sql_minhash(6)} || '|' || {_sql_minhash(7)}
-         END AS band_key
-  FROM sh, (VALUES (0), (1)) AS b(band_idx)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a
-  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-),
+WITH {_SQL_LSH_CTES},
 pairs AS (
   SELECT c.doc_a, c.doc_b,
          ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -421,8 +426,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        f"(graph diameter exceeds the bound); raise max_rounds or switch "
+        f"to large-star/small-star rounds for long-chain graphs"
+    )
 
 
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,25 +460,7 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CLUSTER_CC = f"""
-WITH RECURSIVE sh AS MATERIALIZED (
-  SELECT doc_id, {_SQL_SHINGLES} AS shingles
-  FROM documents
-  WHERE len({_SQL_SHINGLES}) > 0
-),
-banded AS MATERIALIZED (
-  SELECT doc_id, b.band_idx,
-         CASE b.band_idx
-           WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
-           ELSE {_sql_minhash(4)} || '|' || {_sql_minhash(5)} || '|' || {_sql_minhash(6)} || '|' || {_sql_minhash(7)}
-         END AS band_key
-  FROM sh, (VALUES (0), (1)) AS b(band_idx)
-),
-cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a
-  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-),
+WITH RECURSIVE {_SQL_LSH_CTES},
 pairs AS MATERIALIZED (
   SELECT c.doc_a, c.doc_b
   FROM cand c

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
+from ..functions import exact_avg, exact_avg_halfup, exact_sum, sql_exact_avg, sql_exact_avg_halfup, sql_exact_sum
 from ..tables import load_table
 from . import tune
 
@@ -69,7 +69,10 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            exact_avg("value").alias("avg_value"),
+            # halfup variant: at sf0.1 this aggregate lands exactly on a
+            # .xxx5 rounding boundary where double round() diverges
+            # across engines; integer-exact rounding is immune
+            exact_avg_halfup("value").alias("avg_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
@@ -82,7 +85,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SLIDING = f"""
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - off AS bucket_start,
        count(*) AS n_events,
-       {sql_exact_avg('value')} AS avg_value
+       {sql_exact_avg_halfup('value')} AS avg_value
 FROM events, (VALUES (0), (300)) AS offsets(off)
 GROUP BY 1
 """

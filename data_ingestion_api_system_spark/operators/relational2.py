@@ -552,15 +552,20 @@ WITH toks AS (
   FROM documents
 ),
 chunks AS (
-  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-         list_slice(t, CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)) AS chunk
-  FROM toks, (SELECT unnest(range(0, 1000)) AS i) idx
-  WHERE i * 10 < len(t)
+  -- per-doc chunk count derived from the token count (no fixed cap, so
+  -- the oracle stays lossless for arbitrarily long documents)
+  SELECT doc_id, CAST(unnest(range(0, (len(t) + 9) // 10)) AS INT) AS chunk_idx, t
+  FROM toks
+),
+sliced AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(t, chunk_idx * 10 + 1, chunk_idx * 10 + 10) AS chunk
+  FROM chunks
 )
 SELECT doc_id, chunk_idx,
        CAST(len(chunk) AS INT) AS n_tokens,
        md5(array_to_string(chunk, ' ')) AS chunk_md5
-FROM chunks
+FROM sliced
 """
 
 

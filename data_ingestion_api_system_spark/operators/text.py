@@ -383,7 +383,6 @@ def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     but seeds differently per engine, hence the hash gate."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    thr = F.lit(None).cast("string")
     expr = None
     for lang, t in SAMPLE_THRESHOLDS.items():
         expr = (

@@ -58,10 +58,14 @@ def read_table(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    # format defaults first, caller options after — so options can
+    # override the csv header default rather than being clobbered by it
+    if fmt == "csv":
+        reader = reader.option("header", "true")
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     if fmt == "csv":
-        return reader.option("header", "true").csv(path)
+        return reader.csv(path)
     if fmt == "json":
         return reader.json(path)
     if fmt == "orc":

@@ -157,6 +157,8 @@ class IngestionPipeline:
         # status/ingest interleave between cycles exactly as Node timers do.
         self._op_lock = threading.RLock()
         os.makedirs(state_dir, exist_ok=True)
+        if durable:
+            self._recover_compaction()
 
     # -- state table helpers -------------------------------------------------
 
@@ -351,6 +353,34 @@ class IngestionPipeline:
         return n
 
     # -- log compaction (the Delta-MERGE production form) --------------------
+
+    def _recover_compaction(self) -> None:
+        """Crash recovery for :meth:`compact_log`'s two-rename swap (run at
+        pipeline open, the moment a Delta log would replay its last
+        commit). The swap can die in two states:
+
+        - old log already retired, promoted log not yet in place → the
+          staged directory carries Spark's ``_SUCCESS`` marker, so promote
+          it; if the marker is missing the stage itself was incomplete and
+          the retired original is restored instead.
+        - stage written (or half-written) but the old log never moved →
+          the live log is intact; the stage is discarded.
+
+        Either way the surviving ``batch_log`` is a complete, consistent
+        log and the leftover staging directories are cleared.
+        """
+        import shutil
+
+        log_p = self._path("batch_log")
+        staged = self._path("batch_log__compacted")
+        retired = self._path("batch_log__retired")
+        if not os.path.exists(log_p):
+            if os.path.exists(os.path.join(staged, "_SUCCESS")):
+                os.rename(staged, log_p)
+            elif os.path.exists(retired):
+                os.rename(retired, log_p)
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
 
     def compact_log(self) -> int:
         """Fold the append-only ``batch_log`` into one current-status row

@@ -263,3 +263,35 @@ def test_reset_truncates_all_state(pipeline):
     # pipeline remains usable after reset
     ing2 = pipeline.ingest([5], "LOW")
     assert pipeline.status(ing2)["status"] == "yet_to_start"
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Kill the compaction swap in both possible crash states and prove a
+    fresh pipeline over the same state dir recovers a complete log."""
+    import os
+    import shutil
+
+    state = str(tmp_path / "state")
+    p = IngestionPipeline(spark, state)
+    ing = p.ingest([1, 2, 3, 4], "HIGH")
+    p.drain_all()
+    before = p.status(ing)
+    log_p = os.path.join(state, "batch_log")
+    staged = os.path.join(state, "batch_log__compacted")
+    retired = os.path.join(state, "batch_log__retired")
+
+    # crash state A: old log retired, promoted log never landed (the
+    # staged dir is a complete Spark write, so it carries _SUCCESS)
+    shutil.copytree(log_p, staged)
+    os.rename(log_p, retired)
+    p2 = IngestionPipeline(spark, state)  # recovery runs at open
+    assert os.path.exists(log_p) and not os.path.exists(staged)
+    assert not os.path.exists(retired)
+    assert p2.status(ing) == before
+
+    # crash state B: stage half-written (no _SUCCESS), live log intact
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-00000.parquet"), "wb").close()
+    p3 = IngestionPipeline(spark, state)
+    assert os.path.exists(log_p) and not os.path.exists(staged)
+    assert p3.status(ing) == before
