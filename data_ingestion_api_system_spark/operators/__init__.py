@@ -89,6 +89,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         events,
         multimodal,
         pipeline,
+        prep,
         rangejoin,
         relational,
         relational2,
@@ -109,7 +110,9 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         rangejoin,
         streaming_jobs,
     )
-    tail_mods = (events, windows, relational, relational2, relational3)
+    # prep leads the tail: its composites are the highest-value unverified
+    # entries, so a wider future driver window certifies them first.
+    tail_mods = (prep, events, windows, relational, relational2, relational3)
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}

@@ -497,14 +497,11 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size
 SIMHASH_BITS = 16
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document SimHash (16-bit): bit j is the sign of the sum over
-    tokens of ±1 derived from the parity of md5-hex nibble j. Near-dup
-    docs differ in few bits; the signature is groupable/bucketable at
-    scale. Emitted as a bitstring plus the size of its signature bucket.
-    """
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+def _spark_simhash_expr() -> str:
+    """Spark SQL expression for the 16-bit SimHash bitstring of ``text``:
+    bit j is the sign of the sum over tokens of ±1 derived from the parity
+    of md5-hex nibble j. Shared by q_dedup_simhash and the prep module's
+    training-mix composite (DuckDB twin: :func:`_sql_simhash_bits`)."""
     toks = "filter(split(text, '\\\\s+'), t -> length(t) > 0)"
     # bit_j vote per token: parity of hex nibble j of md5(token) → ±1
     bits = ", ".join(
@@ -513,8 +510,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN 1 ELSE -1 END)) >= 0 then '1' else '0' end"
         for j in range(SIMHASH_BITS)
     )
+    return f"concat({bits})"
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash (16-bit): near-dup docs differ in few bits; the
+    signature is groupable/bucketable at scale. Emitted as a bitstring plus
+    the size of its signature bucket.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
     sig = spread(docs).select(
-        "doc_id", "lang", F.expr(f"concat({bits})").alias("simhash")
+        "doc_id", "lang", F.expr(_spark_simhash_expr()).alias("simhash")
     )
     buckets = sig.groupBy("simhash").agg(F.count("*").alias("bucket_size"))
     return sig.join(buckets, "simhash").select(

@@ -1,0 +1,437 @@
+"""Training-data preparation composites — the end-to-end curation layer a
+100 TB LLM-data pipeline runs on top of the individual text/dedup/similarity
+operators (BASELINE.json north star; reference scope: the ingest→validate→
+chunk→drain pipeline of /root/reference/src/app.js:106-186, which this layer
+generalizes from id-batches to document corpora).
+
+Operators here COMPOSE the certified primitives from ``text``/``dedup`` into
+the shapes a data-curation user actually runs:
+
+- ``prep_training_mix``: quality-filter → exact-dedup → SimHash near-dup
+  drop → per-language token-budget selection, one declarative plan.
+- ``text_bigram_coherence``: corpus bigram statistics joined back per
+  document — the CCNet-style LM-coherence quality signal.
+- ``events_gap_fill``: dense time-grid reconstruction with zero-fill and
+  carry-forward — the rollup-completion operator for metric hypertables.
+
+Scale notes per operator are inline. All are exact vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact_sum, sql_exact_sum, tokens
+from ..tables import load_table
+from . import spread, tune
+from .dedup import _spark_simhash_expr, _sql_simhash_bits
+from .text import _SQL_STOPLIST, _SQL_TOKS, STOPWORDS
+
+QUALITY_MIN = 2  # keep docs scoring >= 2 of the 3 heuristic rules
+TOKEN_BUDGET = 3000  # whitespace tokens selected per language bucket
+
+
+def q_prep_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix selection over ``documents``:
+
+    1. score every doc with the 3-rule quality stack (same arithmetic as
+       ``text_quality_score``) and keep score >= QUALITY_MIN;
+    2. exact-dedup on the normalized-text fingerprint (keep min doc_id);
+    3. near-dup drop on the 16-bit SimHash signature (keep min doc_id);
+    4. per language, admit docs in (quality DESC, doc_id ASC) order while
+       the running token total stays within TOKEN_BUDGET.
+
+    Plan shape at 100 TB: stages 1-3 are narrow per-row expressions plus
+    two hash shuffles (fingerprint, simhash) with map-side partial mins;
+    stage 4 is one shuffle on lang. The running-sum window partitions by
+    language — bounded cardinality, so no single-partition collapse; with
+    heavy skew toward one language the admission scan itself stays a
+    sequential prefix by construction (same property the reference's
+    priority queue A6 ordering relies on, src/app.js:36-42)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    avg_tok = n_nonspace / n_tokens
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))) / n_tokens
+    )
+    score = (
+        ((n_tokens >= 20) & (n_tokens <= 1000)).cast("int")
+        + ((avg_tok >= 2.5) & (avg_tok <= 12.0)).cast("int")
+        + (stop_ratio > 0.01).cast("int")
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        score.alias("quality_score"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.md5(norm).alias("fingerprint"),
+    ).filter(F.col("quality_score") >= QUALITY_MIN)
+    exact = scored.withColumn(
+        "canon_fp", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    ).filter(F.col("doc_id") == F.col("canon_fp"))
+    near = (
+        exact.withColumn("simhash", F.expr(_spark_simhash_expr()))
+        .withColumn("canon_sh", F.min("doc_id").over(Window.partitionBy("simhash")))
+        .filter(F.col("doc_id") == F.col("canon_sh"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        near.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
+    )
+
+
+_SQL_QUALITY_SCORE = f"""
+  (CASE WHEN len({_SQL_TOKS}) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+   + CASE WHEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+              / len({_SQL_TOKS}) BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+   + CASE WHEN CAST(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOPLIST})) AS DOUBLE)
+              / len({_SQL_TOKS}) > 0.01 THEN 1 ELSE 0 END)"""
+
+
+_ORACLE_TRAINING_MIX = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {_SQL_QUALITY_SCORE} AS quality_score,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+),
+q AS (SELECT * FROM scored WHERE quality_score >= {QUALITY_MIN}),
+exact AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canon_fp FROM q)
+  WHERE doc_id = canon_fp
+),
+sig AS (SELECT *, {_sql_simhash_bits()} AS simhash FROM exact),
+near AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY simhash) AS canon_sh FROM sig)
+  WHERE doc_id = canon_sh
+),
+sel AS (
+  SELECT doc_id, lang, quality_score, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY quality_score DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM near
+)
+SELECT doc_id, lang, quality_score, n_tokens, cum_tokens
+FROM sel WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+def q_text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram LM coherence per document (the CCNet-style
+    quality signal): build corpus bigram counts c2(w1,w2) and prefix counts
+    c1(w1) over all documents, join them back to each document's bigram
+    occurrences, and score each doc as SUM(c2)/SUM(c1) — the count-weighted
+    mean transition probability. Integer sums keep the score exact across
+    engines (one double division at the end). Docs with < 2 tokens have no
+    bigrams and are excluded.
+
+    Plan shape at 100 TB: one explode pass over the corpus, two hash
+    aggregations with map-side partial counts (bigram vocabulary ≪ bigram
+    occurrences), then hash joins back on (w1, w2)/(w1) — the same
+    key-skew profile as word count, handled by AQE skew splitting. No
+    driver-side state: the "model" lives in the two count tables."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(lt) - 1),"
+                " i -> struct(element_at(lt, i) AS w1, element_at(lt, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("c2").cast("double") / F.sum("c1"), 6).alias("coherence"),
+        )
+    )
+
+
+_SQL_LOWER_TOKS = f"list_transform({_SQL_TOKS}, t -> lower(t))"
+
+_ORACLE_BIGRAM = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_SQL_LOWER_TOKS} AS lt
+  FROM documents WHERE len({_SQL_TOKS}) >= 2
+),
+bgidx AS (
+  SELECT doc_id, lang, lt, CAST(unnest(range(1, len(lt))) AS INT) AS i FROM d
+),
+bg AS (SELECT doc_id, lang, lt[i] AS w1, lt[i + 1] AS w2 FROM bgidx),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+SELECT doc_id, lang, count(*) AS n_bigrams,
+       ROUND(CAST(SUM(c2) AS DOUBLE) / SUM(c1), 6) AS coherence
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY 1, 2
+"""
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup per user with gap reconstruction: aggregate
+    events into hourly buckets, generate every hour between each user's
+    first and last active hour, left-join the actuals, then zero-fill the
+    counts and carry the last observed hourly sum forward across gaps
+    (``last(..., ignorenulls)`` running window) — the gap-fill/LOCF
+    operator of a metrics hypertable rollup.
+
+    Plan shape at 100 TB: the hourly pre-aggregation is one partial-agg
+    shuffle on (user_id, bucket); the grid explode is a per-user row
+    expansion bounded by the time span (no cross join); the LOCF window
+    partitions by user_id — the same key the rollup already shuffled on,
+    so AQE reuses the partitioning. Grid rows ≈ users × span-hours, which
+    is the OUTPUT size of any dense rollup — not an intermediate blowup."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("(unix_timestamp(ts) div 3600) * 3600")
+    hourly = ev.groupBy(F.col("user_id"), bucket.alias("bucket_start")).agg(
+        F.count("*").alias("n_events"), exact_sum("value").alias("sum_value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    filled = grid.join(hourly, ["user_id", "bucket_start"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("carry_sum"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    )
+
+
+_ORACLE_GAP_FILL = f"""
+WITH hourly AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_start,
+         count(*) AS n_events,
+         {sql_exact_sum('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS bucket_start FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.bucket_start, h.n_events, h.sum_value
+  FROM grid g LEFT JOIN hourly h USING (user_id, bucket_start)
+)
+SELECT user_id, bucket_start,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(sum_value, 0.0) AS sum_value,
+       last_value(sum_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_sum,
+       CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM filled
+"""
+
+
+K_TRAIN = 4  # centroids
+TRAIN_ROUNDS = 2  # assign→update rounds (unrolled identically in the oracle)
+
+
+def _halfup_mean_div(a_expr: str, n_expr: str, div: str, int_t: str) -> str:
+    """Exact half-away-from-zero mean at scale 8, as pure integer
+    arithmetic: sign(A) * ((2|A| + N) intdiv (2N)) / 10^8 with A = sum·10^8
+    integral. Two portability traps are load-bearing here: abs() first,
+    because Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors (negative operands would diverge; nonnegative ones agree); and
+    ``int_t`` must be a true integer type per engine — DECIMAL(38,0) for
+    Spark but HUGEINT for DuckDB, whose ``//`` on DECIMAL operands
+    performs plain decimal division, not integer division (measured)."""
+    a_abs = f"CAST(abs({a_expr}) * 100000000 AS {int_t})"
+    return (
+        f"(CASE WHEN {a_expr} < 0 THEN -1 ELSE 1 END"
+        f" * CAST((2 * {a_abs} + {n_expr}) {div} (2 * {n_expr}) AS DOUBLE)"
+        f" / 100000000.0)"
+    )
+
+
+def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd training loop for IVF cell building: {TRAIN_ROUNDS}
+    unrolled assign→update rounds of cosine k-means (k={K_TRAIN}, seeds =
+    first k vectors), then a final report per centroid — assignment count,
+    mean assignment cosine, and the trained centroid's leading dimensions.
+    Extends ``sim_kmeans_step`` (one round) to the iterative algorithm.
+
+    Cross-engine exactness through BOTH rounds: every intermediate centroid
+    dimension is an exact decimal half-away-from-zero mean (integer
+    arithmetic — see :func:`_halfup_mean_div`), so round-2 assignments are
+    computed against bit-identical centroids in Spark and DuckDB; cosines
+    are sequential folds (bit-identical across engines) rounded to 6.
+
+    Plan shape at 100 TB: per round, centroids (k rows) broadcast to a
+    narrow per-row argmax — the corpus NEVER shuffles for assignment — and
+    the update is one partial-agg shuffle keyed by (centroid, dim). The
+    whole loop is k·dims·rounds of exchanged state against an unmoved
+    corpus, which is exactly how distributed k-means must be laid out."""
+    tune(spark)
+    from .similarity import _SPARK_DOT, _SPARK_NORM, _emb
+    from ..functions import exact_avg
+
+    e = spread(_emb(spark, sf_dir))
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < K_TRAIN).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "v").replace("bv", "cv"))
+        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("cv"))),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    assigned = None
+    for _ in range(TRAIN_ROUNDS):
+        scored = e.crossJoin(cent).select(
+            "vec_id", "v", "centroid_id", cos.alias("cosine")
+        )
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        per_dim = (
+            assigned.select("centroid_id", F.posexplode("v").alias("idx", "val"))
+            .groupBy("centroid_id", "idx")
+            .agg(
+                F.sum(F.col("val").cast("decimal(20,8)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "centroid_id",
+                "idx",
+                F.expr(_halfup_mean_div("s", "n", "div", "DECIMAL(38,0)")).alias("c"),
+            )
+        )
+        cent = F.broadcast(
+            per_dim.groupBy("centroid_id").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "c"))),
+                    lambda st: st["c"],
+                ).alias("cv")
+            )
+        )
+    stats = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        exact_avg("cosine", scale=6).alias("avg_cosine"),
+    )
+    return stats.join(cent, "centroid_id").select(
+        "centroid_id",
+        "n_assigned",
+        "avg_cosine",
+        *[F.element_at("cv", d + 1).alias(f"c{d}") for d in range(4)],
+    )
+
+
+def _sql_kmeans_train() -> str:
+    """Programmatically unrolled DuckDB twin of :func:`q_sim_kmeans_train` —
+    same rounds, same integer-exact centroid arithmetic."""
+    from .similarity import _SQL_EMB, _sql_cv_dot, _sql_norm
+    from ..functions import sql_exact_avg
+
+    dims = 64
+    parts = [
+        f"e AS ({_SQL_EMB})",
+        f"cent1 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {K_TRAIN})",
+    ]
+    for r in range(1, TRAIN_ROUNDS + 1):
+        parts.append(
+            f"""scored{r} AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         ROUND({_sql_cv_dot('v', 'cv')} / ({_sql_norm('v')} * {_sql_norm('cv')}), 6) AS cosine
+  FROM e, cent{r} c
+)"""
+        )
+        parts.append(
+            f"""asg{r} AS (
+  SELECT vec_id, v, centroid_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, centroid_id ASC) AS rk
+    FROM scored{r}) WHERE rk = 1
+)"""
+        )
+        parts.append(
+            f"""upd{r} AS (
+  SELECT centroid_id, i,
+         {_halfup_mean_div("SUM(CAST(v[CAST(i AS INT)] AS DECIMAL(20,8)))", "COUNT(*)", "//", "HUGEINT")} AS c
+  FROM asg{r}, (SELECT unnest(range(1, {dims + 1})) AS i) idxs
+  GROUP BY centroid_id, i
+)"""
+        )
+        parts.append(
+            f"cent{r + 1} AS (SELECT centroid_id, list(c ORDER BY i) AS cv"
+            f" FROM upd{r} GROUP BY centroid_id)"
+        )
+    ctes = ",\n".join(parts)
+    final_cols = ", ".join(
+        f"cv[{d + 1}] AS c{d}" for d in range(4)
+    )
+    return f"""
+WITH {ctes}
+SELECT s.centroid_id, s.n_assigned, s.avg_cosine, {final_cols}
+FROM (
+  SELECT centroid_id, count(*) AS n_assigned,
+         {sql_exact_avg('cosine', scale=6)} AS avg_cosine
+  FROM asg{TRAIN_ROUNDS} GROUP BY centroid_id
+) s JOIN cent{TRAIN_ROUNDS + 1} USING (centroid_id)
+"""
+
+
+QUERIES = {
+    "prep_training_mix": q_prep_training_mix,
+    "text_bigram_coherence": q_text_bigram_coherence,
+    "events_gap_fill": q_events_gap_fill,
+    "sim_kmeans_train": q_sim_kmeans_train,
+}
+
+ORACLE = {
+    "prep_training_mix": _ORACLE_TRAINING_MIX,
+    "text_bigram_coherence": _ORACLE_BIGRAM,
+    "events_gap_fill": _ORACLE_GAP_FILL,
+    "sim_kmeans_train": _sql_kmeans_train(),
+}

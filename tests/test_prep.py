@@ -1,0 +1,92 @@
+"""Invariant tests for the training-data prep composites (operators/prep.py).
+
+The exact-value gate is tools/check_oracle.py; these tests pin the
+*behavioral* invariants the oracle can't express — budget admission order,
+dedup idempotence, gap-fill density, k-means convergence direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_spark.operators.prep import (
+    TOKEN_BUDGET,
+    TRAIN_ROUNDS,
+    q_events_gap_fill,
+    q_prep_training_mix,
+    q_sim_kmeans_train,
+    q_text_bigram_coherence,
+)
+from tests.conftest import SF_DIR
+
+
+def test_training_mix_budget_and_dedup(spark):
+    rows = q_prep_training_mix(spark, SF_DIR).collect()
+    assert rows, "selection must be non-empty at sf0.001"
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, sel in by_lang.items():
+        # running total never exceeds the budget and matches n_tokens sums
+        sel.sort(key=lambda r: (-r.quality_score, r.doc_id))
+        run = 0
+        for r in sel:
+            run += r.n_tokens
+            assert r.cum_tokens == run, (lang, r)
+        assert run <= TOKEN_BUDGET
+    # no doc admitted twice
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_bigram_coherence_bounds(spark):
+    df = q_text_bigram_coherence(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("coherence") <= 0) | (F.col("coherence") > 1) | (F.col("n_bigrams") < 1)
+    ).count()
+    assert bad == 0  # transition probabilities live in (0, 1]
+
+
+def test_gap_fill_dense_grid(spark):
+    rows = q_events_gap_fill(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, seq in by_user.items():
+        seq.sort(key=lambda r: r.bucket_start)
+        buckets = [r.bucket_start for r in seq]
+        # grid is dense: consecutive buckets differ by exactly one hour
+        assert all(b - a == 3600 for a, b in zip(buckets, buckets[1:])), user
+        # endpoints are real observations, never gaps
+        assert seq[0].is_gap == 0 and seq[-1].is_gap == 0
+        carry = None
+        for r in seq:
+            if r.is_gap == 0:
+                assert r.n_events > 0
+                carry = r.sum_value
+            else:
+                assert r.n_events == 0 and r.sum_value == 0.0
+            assert r.carry_sum == carry  # LOCF carries the last real sum
+
+
+def test_kmeans_train_improves_on_step(spark):
+    """More Lloyd rounds must not hurt the mean assignment cosine (monotone
+    non-decreasing objective is the textbook k-means guarantee)."""
+    from data_ingestion_api_system_spark.operators.similarity import (
+        q_sim_kmeans_step,
+    )
+
+    assert TRAIN_ROUNDS >= 2
+    step = {
+        r.centroid_id: r.avg_cosine
+        for r in q_sim_kmeans_step(spark, SF_DIR).collect()
+    }
+    trained = q_sim_kmeans_train(spark, SF_DIR).collect()
+    assert {r.centroid_id for r in trained} <= set(step)
+    n_total = sum(r.n_assigned for r in trained)
+    # weighted mean cosine after 2 rounds >= after the round-1 assignment
+    w_train = sum(r.avg_cosine * r.n_assigned for r in trained) / n_total
+    step_rows = {r.centroid_id: r for r in q_sim_kmeans_step(spark, SF_DIR).collect()}
+    n_step = sum(r.n_assigned for r in step_rows.values())
+    w_step = sum(r.avg_cosine * r.n_assigned for r in step_rows.values()) / n_step
+    assert w_train >= w_step - 1e-9
