@@ -115,6 +115,29 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    "prep_training_mix": (
+        # three window stages (fingerprint min, simhash min, budget running
+        # sum) — keyed shuffles only, never a join or cartesian
+        [r"Window"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "text_bigram_coherence": (
+        # corpus count tables joined back on (w1,w2)/(w1): hash/SM joins
+        # with map-side partial counts; never a cartesian
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "events_gap_fill": (
+        # partial-agg hourly rollup, per-user grid explode, LOCF window
+        [r"Generate", r"Window", r"partial_sum|partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sim_kmeans_train": (
+        # k-row centroid broadcast per round (BNLJ is the right plan for a
+        # 4-row side with no equi-key); updates partial-aggregate map-side
+        [r"BroadcastNestedLoopJoin", r"partial_count"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
