@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import exact_sum, sql_exact_sum, tokens
-from ..tables import load_table
+from ..tables import load_table, register_views
 from . import spread, tune
 from .dedup import _spark_simhash_expr, _sql_simhash_bits
 from .text import _SQL_STOPLIST, _SQL_TOKS, STOPWORDS
@@ -422,11 +422,43 @@ FROM (
 """
 
 
+def _recursive_backoff_sql(intdiv: str) -> str:
+    """ANSI recursive CTE, identical modulo the integer-division operator
+    (Spark: ``div``; DuckDB: ``//``): starting from the pending order count
+    per priority, each retry round clears half the queue (integer floor) —
+    the exponential-backoff drain ladder. Terminates in O(log N) rounds,
+    which is also why a recursive CTE is the right tool here and the
+    row-at-a-time drain (reference src/app.js:65-95) is not."""
+    return f"""
+WITH RECURSIVE drain(priority, round, remaining) AS (
+  SELECT o_orderpriority AS priority, 0 AS round, count(*) AS remaining
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT priority, round + 1, remaining {intdiv} 2
+  FROM drain WHERE remaining > 0
+)
+SELECT priority, round, remaining FROM drain
+"""
+
+
+def q_sql_recursive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE execution (Spark 4 ``WITH RECURSIVE``) — the iterative
+    query surface SQL engines use for hierarchies/fixpoints, certified
+    against DuckDB's recursive CTE running the same text. At scale each
+    recursion round is one distributed job over the previous round's
+    (tiny, per-priority) frontier — the corpus is scanned once in the
+    anchor."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_recursive_backoff_sql("div"))
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
     "events_gap_fill": q_events_gap_fill,
     "sim_kmeans_train": q_sim_kmeans_train,
+    "sql_recursive_backoff": q_sql_recursive_backoff,
 }
 
 ORACLE = {
@@ -434,4 +466,5 @@ ORACLE = {
     "text_bigram_coherence": _ORACLE_BIGRAM,
     "events_gap_fill": _ORACLE_GAP_FILL,
     "sim_kmeans_train": _sql_kmeans_train(),
+    "sql_recursive_backoff": _recursive_backoff_sql("//"),
 }

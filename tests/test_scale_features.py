@@ -1,0 +1,78 @@
+"""Scale-path features that only show up in physical plans, not results:
+
+- runtime bloom-filter join pruning: a selective dim-side filter is turned
+  into a bloom semi-filter on the fact scan BEFORE the shuffle — the
+  mechanism that saves the fact-table exchange at 100 TB when the dim side
+  is too big to broadcast;
+- partitioned-write partition pruning: a predicate on the partition column
+  never touches non-matching directories (PartitionFilters, zero data read
+  from pruned partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_spark.plans import formatted_plan
+from data_ingestion_api_system_spark.sources.formats import read_table, write_table
+from tests.conftest import SF_DIR
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With broadcast disabled (the can't-broadcast regime), Spark should
+    inject a bloom_filter_agg on the filtered orders side and apply
+    might_contain on the lineitem side — and the join result must be
+    unchanged by the rewrite."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        lo = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = lo.join(o, lo.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        bloom_rows = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same join without the rewrite must agree
+    lo = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    plain = {
+        (r.o_orderpriority, r.n)
+        for r in lo.join(o, lo.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert bloom_rows == plain and bloom_rows
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_by_priority")
+    write_table(orders, out, fmt="parquet", partition_by=["o_orderpriority"])
+
+    back = read_table(spark, out, fmt="parquet")
+    q = back.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    # pruning must not change answers
+    expected = orders.filter("o_orderpriority = '1-URGENT'").count()
+    assert q.count() == expected > 0
