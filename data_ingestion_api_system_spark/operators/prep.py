@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import exact_sum, sql_exact_sum, tokens
+from ..functions import exact_avg, exact_sum, sql_exact_sum, tokens
 from ..tables import load_table, register_views
 from . import spread, tune
 from .dedup import _spark_simhash_expr, _sql_simhash_bits
@@ -453,12 +453,208 @@ def q_sql_recursive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_recursive_backoff_sql("div"))
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the first
+    ``view``, the first ``click`` strictly after it, the first ``purchase``
+    strictly after that; reported per stage as reached-user counts and the
+    exact mean seconds from the previous stage. The product-analytics
+    staple (sequence-constrained aggregation).
+
+    Plan shape at 100 TB: three conditional min-aggregations keyed by
+    user_id; once the first shuffle lands everything is partition-local
+    (AQE reuses the user_id partitioning for the subsequent joins), and the
+    stage joins are per-user 1-row lookups, never row-multiplying."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_timestamp(ts)").alias("es")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("es") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("es") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_purchase"), F.first("t_click").alias("t_click"))
+    )
+    stage = lambda name, df, delta: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"),
+        F.count("*").alias("n_users"),
+        (
+            exact_avg(delta, scale=0) if delta is not None else F.lit(None).cast("double")
+        ).alias("avg_secs_from_prev"),
+    )
+    return (
+        stage("view", v, None)
+        .unionByName(stage("click", c, F.col("t_click") - F.col("t_view")))
+        .unionByName(stage("purchase", p, F.col("t_purchase") - F.col("t_click")))
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+v AS (
+  SELECT user_id, min(es) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.es) AS t_click, min(v.t_view) AS t_view
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.es > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.es) AS t_purchase, min(c.t_click) AS t_click
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.es > c.t_click
+  GROUP BY 1
+)
+SELECT 'view' AS stage, count(*) AS n_users,
+       CAST(NULL AS DOUBLE) AS avg_secs_from_prev FROM v
+UNION ALL
+SELECT 'click', count(*),
+       ROUND(CAST(SUM(CAST(t_click - t_view AS DECIMAL(25,0))) AS DOUBLE)
+             / COUNT(t_click - t_view), 6) FROM c
+UNION ALL
+SELECT 'purchase', count(*),
+       ROUND(CAST(SUM(CAST(t_purchase - t_click AS DECIMAL(25,0))) AS DOUBLE)
+             / COUNT(t_purchase - t_click), 6) FROM p
+"""
+
+
+N_ANOMALIES = 20
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection on per-user hourly activity: hourly event
+    counts per user, per-user population mean/std from EXACT integer sums
+    (S1, S2, N are engine-identical integers; mean/var/std/z are then the
+    same IEEE double ops on identical inputs → bit-identical), top
+    |z|-scoring hours reported.
+
+    Plan shape at 100 TB: hourly partial-agg shuffle on (user, bucket), a
+    second partial agg to (user) for the moments — carrying three integers
+    per user, not the series — then a broadcast-size join back and a
+    TakeOrdered top-k. The moment trick (var = S2/N - (S1/N)^2) is what
+    keeps this two cheap aggregations instead of a window over history."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.expr("(unix_timestamp(ts) div 3600) * 3600").alias("bucket_start")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("user_id").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("nh"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nh")
+    var = F.col("s2").cast("double") / F.col("nh") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(stats, "user_id")
+        .filter(F.col("s2").cast("double") / F.col("nh") - mean * mean > 0)
+        .select(
+            "user_id",
+            "bucket_start",
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy(F.desc("zscore"), F.asc("user_id"), F.asc("bucket_start"))
+        .limit(N_ANOMALIES)
+    )
+
+
+_ORACLE_ANOMALY = f"""
+WITH hourly AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, SUM(n) AS s1, SUM(n * n) AS s2, count(*) AS nh
+  FROM hourly GROUP BY 1
+)
+SELECT h.user_id, h.bucket_start, h.n,
+       ROUND((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.nh)
+             / sqrt(CAST(s.s2 AS DOUBLE) / s.nh
+                    - (CAST(s.s1 AS DOUBLE) / s.nh) * (CAST(s.s1 AS DOUBLE) / s.nh)), 6)
+         AS zscore
+FROM hourly h JOIN stats s USING (user_id)
+WHERE CAST(s.s2 AS DOUBLE) / s.nh
+      - (CAST(s.s1 AS DOUBLE) / s.nh) * (CAST(s.s1 AS DOUBLE) / s.nh) > 0
+ORDER BY zscore DESC, user_id ASC, bucket_start ASC
+LIMIT {N_ANOMALIES}
+"""
+
+
+def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval derivation from an order event log: per customer, each
+    order opens a validity interval [valid_from, valid_to) carrying the
+    customer's state as of that order — cumulative order count and exact
+    cumulative spend — with the current interval open-ended (NULL
+    valid_to). This is the temporal-dimension build a warehouse MERGE
+    maintains incrementally; derived here in one pass with lead().
+
+    Plan shape at 100 TB: a single window shuffle on c_custkey; running
+    decimal sums are partial-aggregated within the frame. Incremental
+    maintenance = the foreachBatch merge sink (tests/test_streaming_extras)
+    applied to the newest slice; this query is its from-scratch rebuild."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.lead("o_orderdate").over(w).cast("string").alias("valid_to"),
+        F.count("*").over(run).alias("n_orders_todate"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,4)")).over(run), 2
+        )
+        .cast("double")
+        .alias("spend_todate"),
+        F.col("o_orderkey").alias("orderkey"),
+    )
+
+
+_ORACLE_SCD2 = """
+SELECT o_custkey AS custkey,
+       CAST(o_orderdate AS VARCHAR) AS valid_from,
+       CAST(lead(o_orderdate) OVER w AS VARCHAR) AS valid_to,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_orders_todate,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS spend_todate,
+       o_orderkey AS orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
     "events_gap_fill": q_events_gap_fill,
     "sim_kmeans_train": q_sim_kmeans_train,
     "sql_recursive_backoff": q_sql_recursive_backoff,
+    "events_funnel": q_events_funnel,
+    "events_anomaly": q_events_anomaly,
+    "orders_scd2": q_orders_scd2,
 }
 
 ORACLE = {
@@ -467,4 +663,7 @@ ORACLE = {
     "events_gap_fill": _ORACLE_GAP_FILL,
     "sim_kmeans_train": _sql_kmeans_train(),
     "sql_recursive_backoff": _recursive_backoff_sql("//"),
+    "events_funnel": _ORACLE_FUNNEL,
+    "events_anomaly": _ORACLE_ANOMALY,
+    "orders_scd2": _ORACLE_SCD2,
 }

@@ -69,6 +69,37 @@ def test_gap_fill_dense_grid(spark):
             assert r.carry_sum == carry  # LOCF carries the last real sum
 
 
+def test_funnel_monotone_and_ordered(spark):
+    from data_ingestion_api_system_spark.operators.prep import q_events_funnel
+
+    rows = {r.stage: r for r in q_events_funnel(spark, SF_DIR).collect()}
+    assert set(rows) == {"view", "click", "purchase"}
+    # each stage can only lose users, and inter-stage gaps are nonnegative
+    assert rows["view"].n_users >= rows["click"].n_users >= rows["purchase"].n_users
+    assert rows["view"].avg_secs_from_prev is None
+    assert rows["click"].avg_secs_from_prev > 0
+    assert rows["purchase"].avg_secs_from_prev > 0
+
+
+def test_scd2_intervals_chain(spark):
+    from data_ingestion_api_system_spark.operators.prep import q_orders_scd2
+
+    rows = q_orders_scd2(spark, SF_DIR).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, seq in by_cust.items():
+        seq.sort(key=lambda r: (r.valid_from, r.orderkey))
+        # exactly one open-ended (current) interval per customer, and it is
+        # the last one; n_orders_todate increments by 1 per interval
+        assert [r.valid_to is None for r in seq].count(True) == 1
+        assert seq[-1].valid_to is None
+        assert [r.n_orders_todate for r in seq] == list(range(1, len(seq) + 1))
+        for a, b in zip(seq, seq[1:]):
+            assert a.valid_to == b.valid_from  # intervals chain, no holes
+            assert a.spend_todate <= b.spend_todate + 1e-9
+
+
 def test_kmeans_train_improves_on_step(spark):
     """More Lloyd rounds must not hurt the mean assignment cosine (monotone
     non-decreasing objective is the textbook k-means guarantee)."""

@@ -138,6 +138,22 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastNestedLoopJoin", r"partial_count"],
         [r"CartesianProduct"],
     ),
+    "events_funnel": (
+        # conditional min-aggs keyed by user_id; stage joins are per-user
+        # equi-joins, never row-multiplying
+        [r"partial_min", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "events_anomaly": (
+        # two-level partial agg (bucket then moments) + top-k, no sort
+        [r"partial_count|partial_sum", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "orders_scd2": (
+        # one window shuffle on custkey, nothing else
+        [r"Window"],
+        [r"Join", r"CartesianProduct"],
+    ),
 }
 
 
