@@ -646,6 +646,45 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` the
+    ``props`` column into a binary-encoded VARIANT once, then
+    ``variant_get`` typed fields out of it — the modern replacement for
+    per-query string JSON-path extraction (events_json_extract is the
+    legacy twin). At 100 TB the VARIANT column is shredded at ingest and
+    stored columnar, so the typed extraction prunes like any other column.
+
+    Output compares the two extraction paths field-for-field: per
+    event_type, count plus exact min/max/sum of ``k`` pulled via VARIANT —
+    certified against DuckDB's native JSON extraction."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_ORACLE_VARIANT = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(CAST(props ->> '$.k' AS INT)) AS n_with_k,
+       min(CAST(props ->> '$.k' AS INT)) AS min_k,
+       max(CAST(props ->> '$.k' AS INT)) AS max_k,
+       CAST(SUM(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -655,6 +694,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_anomaly": q_events_anomaly,
     "orders_scd2": q_orders_scd2,
+    "events_variant_shred": q_events_variant_shred,
 }
 
 ORACLE = {
@@ -666,4 +706,5 @@ ORACLE = {
     "events_funnel": _ORACLE_FUNNEL,
     "events_anomaly": _ORACLE_ANOMALY,
     "orders_scd2": _ORACLE_SCD2,
+    "events_variant_shred": _ORACLE_VARIANT,
 }

@@ -39,6 +39,11 @@ def write_table(
         writer.orc(path)
     elif fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "xml":
+        # Spark 4 native XML (no external package); rowTag is mandatory
+        writer.option("rootTag", "rows").option("rowTag", "row").format(
+            "xml"
+        ).save(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -59,9 +64,11 @@ def read_table(
     if schema is not None:
         reader = reader.schema(schema)
     # format defaults first, caller options after — so options can
-    # override the csv header default rather than being clobbered by it
+    # override the csv/xml defaults rather than being clobbered by them
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     if fmt == "csv":
@@ -72,6 +79,8 @@ def read_table(
         return reader.orc(path)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "xml":
+        return reader.format("xml").load(path)
     raise ValueError(f"unsupported format {fmt!r}")
 
 

@@ -93,7 +93,7 @@ def test_streaming_drain_processes_batches(spark, tmp_path):
         q.stop()
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "xml"])
 def test_format_roundtrip(spark, tmp_path, fmt):
     df = spark.createDataFrame(
         [Row(k=1, name="a", v=1.5), Row(k=2, name="b", v=2.5)],
