@@ -685,6 +685,89 @@ GROUP BY event_type
 """
 
 
+CUTOVER_DAY = "2024-01-21"  # materialized/delta split for the rollup merge
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance as a batch operator: the daily
+    (event_type, day) rollup is split into a *materialized* part (events
+    before CUTOVER_DAY — in production, the stored aggregate table) and a
+    *delta* part (events on/after it — the newly arrived partition); the
+    operator merges partial aggregates (sum of counts, sum of decimal
+    sums — both mergeable) and must equal the from-scratch rollup, which
+    is the oracle. This is the continuous-aggregate refresh a hypertable
+    runs on each new time chunk.
+
+    Plan shape at 100 TB: the merge only ever touches the delta partition
+    + the (tiny) aggregate table — never re-scans history. Mergeability is
+    guaranteed by keeping SUM/COUNT partials (never averages) in the
+    materialized state; the decimal sums make the merge order-independent."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    cut = F.lit(CUTOVER_DAY)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("sv"),
+        )
+
+    materialized = partial(ev.filter(F.col("day") < cut))
+    delta = partial(ev.filter(F.col("day") >= cut))
+    merged = (
+        materialized.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("sv", 2).cast("double").alias("sum_value"),
+    )
+
+
+_ORACLE_ROLLUP_INC = f"""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median + interquartile bounds via Spark's exact
+    ``percentile`` (sort-based within group) against DuckDB's
+    ``quantile_cont`` — both interpolate linearly between the two nearest
+    order statistics, so on identical value sets the doubles agree.
+    The exact complement to the approx sketch (`approx_distinct_sketch`):
+    right when groups fit a sort, wrong at 100 TB hot groups (use the
+    sketch there)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
+_ORACLE_GROUP_MEDIAN = """
+SELECT event_type, count(*) AS n,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS median,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -695,6 +778,8 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "orders_scd2": q_orders_scd2,
     "events_variant_shred": q_events_variant_shred,
+    "rollup_incremental": q_rollup_incremental,
+    "group_median": q_group_median,
 }
 
 ORACLE = {
@@ -707,4 +792,6 @@ ORACLE = {
     "events_anomaly": _ORACLE_ANOMALY,
     "orders_scd2": _ORACLE_SCD2,
     "events_variant_shred": _ORACLE_VARIANT,
+    "rollup_incremental": _ORACLE_ROLLUP_INC,
+    "group_median": _ORACLE_GROUP_MEDIAN,
 }

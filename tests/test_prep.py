@@ -100,6 +100,34 @@ def test_scd2_intervals_chain(spark):
             assert a.spend_todate <= b.spend_todate + 1e-9
 
 
+def test_rollup_incremental_equals_full(spark):
+    """The materialized+delta merge must be bit-identical to a from-scratch
+    rollup regardless of where the cutover falls (mergeable partials)."""
+    from data_ingestion_api_system_spark.operators import prep
+    from data_ingestion_api_system_spark.tables import load_table
+    from pyspark.sql import functions as FF
+
+    merged = {
+        (r.event_type, r.day): (r.n_events, r.sum_value)
+        for r in prep.q_rollup_incremental(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    full = {
+        (r.event_type, r.day): (r.n_events, r.sum_value)
+        for r in ev.groupBy(
+            "event_type", FF.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            FF.count("*").alias("n_events"),
+            FF.round(FF.sum(FF.col("value").cast("decimal(25,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert merged == full and merged
+
+
 def test_kmeans_train_improves_on_step(spark):
     """More Lloyd rounds must not hurt the mean assignment cosine (monotone
     non-decreasing objective is the textbook k-means guarantee)."""

@@ -154,6 +154,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window"],
         [r"Join", r"CartesianProduct"],
     ),
+    "rollup_incremental": (
+        # both halves partial-aggregate before the union-merge; no join
+        [r"partial_count|partial_sum", r"Union"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "group_median": (
+        # exact percentile is a sort-based agg but still partial+final
+        [r"partial_percentile|partial_count"],
+        [r"Join", r"CartesianProduct"],
+    ),
 }
 
 
