@@ -768,6 +768,189 @@ GROUP BY event_type
 """
 
 
+PR_ROUNDS = 2
+PR_TOPK = 20
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank ({PR_ROUNDS} unrolled rounds, damping 0.85)
+    over the undirected supplier↔customer trade graph derived from
+    lineitem⋈orders — the third iterative algorithm surface next to
+    connected components (dedup) and Lloyd k-means (similarity).
+
+    Cross-engine exactness: ranks are integers scaled by 10^8. Each round,
+    a node sends ``R div out_degree`` to each neighbor (integer division —
+    nonnegative, so Spark's truncating ``div`` and DuckDB's flooring ``//``
+    agree), receives the integer sum, and updates
+    ``R' = 15000000 + (85 * received) div 100``. No floats anywhere until
+    the final display division, so both engines walk identical integer
+    states through every round.
+
+    Plan shape at 100 TB: the edge list shuffles ONCE to build
+    (src-partitioned) adjacency; each round is one partial-agg shuffle of
+    (dst, contribution) — contributions combine map-side — plus a k-row
+    broadcast-size rank join. Rounds × one shuffle, the textbook
+    distributed PageRank layout."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("out_deg"))
+    ranks = deg.select("a", F.lit(100000000).cast("long").alias("r"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            edges.join(ranks, "a")
+            .join(deg, "a")
+            .select("b", F.expr("r div out_deg").alias("c"))
+        )
+        recv = contrib.groupBy("b").agg(F.sum("c").alias("received"))
+        ranks = (
+            deg.join(recv, deg.a == recv.b, "left")
+            .select(
+                "a",
+                (
+                    F.lit(15000000)
+                    + F.expr("(85 * coalesce(received, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("a"))
+        .limit(PR_TOPK)
+        .select(
+            F.col("a").alias("node"),
+            F.round(F.col("r").cast("double") / 100000000.0, 8).alias("rank"),
+        )
+    )
+
+
+def _sql_pagerank() -> str:
+    parts = [
+        """pairs AS (
+  SELECT DISTINCT 's' || l.l_suppkey AS a, 'c' || o.o_custkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)",
+        "deg AS (SELECT a, count(*) AS out_deg FROM edges GROUP BY a)",
+        "ranks0 AS (SELECT a, CAST(100000000 AS HUGEINT) AS r FROM deg)",
+    ]
+    for i in range(PR_ROUNDS):
+        parts.append(
+            f"""recv{i} AS (
+  SELECT e.b, SUM(r.r // d.out_deg) AS received
+  FROM edges e JOIN ranks{i} r USING (a) JOIN deg d USING (a)
+  GROUP BY e.b
+)"""
+        )
+        parts.append(
+            f"""ranks{i + 1} AS (
+  SELECT d.a, 15000000 + (85 * COALESCE(v.received, 0)) // 100 AS r
+  FROM deg d LEFT JOIN recv{i} v ON d.a = v.b
+)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT a AS node, ROUND(CAST(r AS DOUBLE) / 100000000.0, 8) AS rank
+FROM ranks{PR_ROUNDS}
+ORDER BY r DESC, a ASC
+LIMIT {PR_TOPK}
+"""
+
+
+DQ_REF_LIMIT = 1000000007  # the reference's valid id upper bound (app.js:112)
+
+
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the dbt-tests/Deequ-style operator
+    a pipeline runs before promoting a dataset. Each constraint is one
+    aggregate or anti-join; the report is one row per constraint with its
+    violation count (0 = pass). Constraints cover the four families:
+    uniqueness, nullability, referential integrity, and domain ranges
+    (including the reference's own id-domain rule, app.js:110-116).
+
+    Plan shape at 100 TB: each check is a partial-agg scan or a broadcast
+    anti-join; checks over the same table share the scan via the single
+    union plan, and nothing ever materializes violating ROWS — only
+    counts."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    uniq = check(
+        "orders.o_orderkey unique",
+        o.groupBy("o_orderkey")
+        .agg((F.count("*") - 1).alias("v"))
+        .select(F.sum("v").alias("v")),
+    )
+    notnull = check(
+        "documents.text not null",
+        docs.select(F.col("text").isNull().cast("long").alias("v")),
+    )
+    ref = check(
+        "orders.o_custkey in customer",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .select(F.lit(1).alias("v")),
+    )
+    domain = check(
+        "lineitem.l_quantity in [1,50]",
+        li.select(
+            (~F.col("l_quantity").between(1, 50)).cast("long").alias("v")
+        ),
+    )
+    id_domain = check(
+        f"part ids in [0,{DQ_REF_LIMIT})",
+        load_table(spark, sf_dir, "part").select(
+            (~F.col("p_partkey").between(0, DQ_REF_LIMIT - 1)).cast("long").alias("v")
+        ),
+    )
+    return uniq.unionByName(notnull).unionByName(ref).unionByName(domain).unionByName(
+        id_domain
+    )
+
+
+_ORACLE_DQ = f"""
+SELECT 'orders.o_orderkey unique' AS constraint_name,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS n_violations
+FROM (SELECT count(*) - 1 AS v FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'documents.text not null',
+       CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'orders.o_custkey in customer',
+       CAST(COALESCE(SUM(1), 0) AS BIGINT)
+FROM (SELECT o_custkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'lineitem.l_quantity in [1,50]',
+       CAST(COALESCE(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'part ids in [0,{DQ_REF_LIMIT})',
+       CAST(COALESCE(SUM(CASE WHEN p_partkey NOT BETWEEN 0 AND {DQ_REF_LIMIT - 1} THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM part
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -780,6 +963,8 @@ QUERIES = {
     "events_variant_shred": q_events_variant_shred,
     "rollup_incremental": q_rollup_incremental,
     "group_median": q_group_median,
+    "graph_pagerank": q_graph_pagerank,
+    "dq_constraint_report": q_dq_constraint_report,
 }
 
 ORACLE = {
@@ -794,4 +979,6 @@ ORACLE = {
     "events_variant_shred": _ORACLE_VARIANT,
     "rollup_incremental": _ORACLE_ROLLUP_INC,
     "group_median": _ORACLE_GROUP_MEDIAN,
+    "graph_pagerank": _sql_pagerank(),
+    "dq_constraint_report": _ORACLE_DQ,
 }

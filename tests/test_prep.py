@@ -128,6 +128,31 @@ def test_rollup_incremental_equals_full(spark):
     assert merged == full and merged
 
 
+def test_pagerank_sane(spark):
+    from data_ingestion_api_system_spark.operators.prep import (
+        PR_TOPK,
+        q_graph_pagerank,
+    )
+
+    rows = q_graph_pagerank(spark, SF_DIR).collect()
+    assert len(rows) == PR_TOPK
+    # every rank >= the damping base; list is sorted descending
+    assert all(r.rank >= 0.15 for r in rows)
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.node[0] in ("s", "c") for r in rows)
+
+
+def test_dq_report_clean_on_testdata(spark):
+    from data_ingestion_api_system_spark.operators.prep import (
+        q_dq_constraint_report,
+    )
+
+    rows = {r.constraint_name: r.n_violations for r in q_dq_constraint_report(spark, SF_DIR).collect()}
+    assert len(rows) == 5
+    assert all(v == 0 for v in rows.values()), rows
+
+
 def test_kmeans_train_improves_on_step(spark):
     """More Lloyd rounds must not hurt the mean assignment cosine (monotone
     non-decreasing objective is the textbook k-means guarantee)."""

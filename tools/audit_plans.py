@@ -164,6 +164,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_percentile|partial_count"],
         [r"Join", r"CartesianProduct"],
     ),
+    "graph_pagerank": (
+        # per-round (dst, contribution) partial agg; all joins keyed
+        [r"partial_sum", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dq_constraint_report": (
+        # one union plan; checks aggregate map-side, anti-join for RI
+        [r"Union", r"partial_sum|partial_count"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
