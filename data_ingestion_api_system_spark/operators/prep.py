@@ -951,6 +951,119 @@ FROM part
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users are cohorted by their
+    first-activity day; for each (cohort_day, days_since) cell the report
+    counts distinct returning users and the retention rate vs the cohort
+    size. Integer counts + one final rounded division keep it exact.
+
+    Plan shape at 100 TB: first-activity is one partial-min shuffle on
+    user_id; the cohort join is user-keyed (AQE reuses the partitioning);
+    the cell rollup is a partial count-distinct on (cohort, offset). No
+    window over history, no self-join of the raw stream."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    size = first.groupBy("cohort_day").agg(F.countDistinct("user_id").alias("cohort_n"))
+    return (
+        cells.join(size, "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "days_since",
+            "n_active",
+            "cohort_n",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+_ORACLE_COHORT = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+cells AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, e.day) AS days_since,
+         count(DISTINCT e.user_id) AS n_active
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+size AS (SELECT cohort_day, count(DISTINCT user_id) AS cohort_n FROM first GROUP BY 1)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day, c.days_since, c.n_active,
+       s.cohort_n,
+       ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_n, 6) AS retention
+FROM cells c JOIN size s USING (cohort_day)
+"""
+
+
+TRAIN_FRACTION_HEX = "c"  # md5 first nibble < 'c' → train (12/16 = 75 %)
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split of the document corpus: assignment is
+    a pure function of doc_id (first md5 nibble against a threshold), so
+    the split is reproducible on any engine, any partitioning, any rerun —
+    the property a 100 TB corpus split must have (no RNG state, no
+    sampling seed drift between engines). Reports per (lang, split) doc
+    and token totals plus the realized split fraction."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < TRAIN_FRACTION_HEX,
+        "train",
+    ).otherwise("test")
+    toks = tokens("text")
+    per = docs.select(
+        "lang", split.alias("split"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    lang_tot = per.groupBy("lang").agg(F.count("*").alias("lang_n"))
+    return (
+        per.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .join(lang_tot, "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("lang_n"), 6).alias(
+                "fraction"
+            ),
+        )
+    )
+
+
+_ORACLE_SPLIT = f"""
+WITH per AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{TRAIN_FRACTION_HEX}'
+              THEN 'train' ELSE 'test' END AS split,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+lang_tot AS (SELECT lang, count(*) AS lang_n FROM per GROUP BY 1)
+SELECT p.lang, p.split, count(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(count(*) AS DOUBLE) / min(t.lang_n), 6) AS fraction
+FROM per p JOIN lang_tot t USING (lang)
+GROUP BY p.lang, p.split
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -965,6 +1078,8 @@ QUERIES = {
     "group_median": q_group_median,
     "graph_pagerank": q_graph_pagerank,
     "dq_constraint_report": q_dq_constraint_report,
+    "cohort_retention": q_cohort_retention,
+    "train_test_split": q_train_test_split,
 }
 
 ORACLE = {
@@ -981,4 +1096,6 @@ ORACLE = {
     "group_median": _ORACLE_GROUP_MEDIAN,
     "graph_pagerank": _sql_pagerank(),
     "dq_constraint_report": _ORACLE_DQ,
+    "cohort_retention": _ORACLE_COHORT,
+    "train_test_split": _ORACLE_SPLIT,
 }

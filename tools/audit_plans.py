@@ -174,6 +174,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Union", r"partial_sum|partial_count"],
         [r"CartesianProduct"],
     ),
+    "cohort_retention": (
+        # first-activity partial-min, user-keyed cohort join, cell rollup
+        [r"partial_min", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "train_test_split": (
+        # pure hash gate + partial aggs; the only join is the tiny
+        # per-lang totals broadcast
+        [r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
 }
 
 
