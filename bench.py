@@ -57,17 +57,20 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
-    # Each query is timed as the best of two back-to-back runs: the first
-    # run absorbs one-time codegen/JIT/broadcast warmup and transient
+    # Each query is timed as the best of three back-to-back runs: the first
+    # runs absorb one-time codegen/JIT/broadcast warmup and transient
     # CPU-contention spikes (this box is a shared VM — identical queries
     # were observed to swing 2-4x run-to-run); the min is the steady-state
-    # latency the plan actually has. Caches created inside a query are
-    # dropped between runs so run 2 re-executes the full plan.
+    # latency the plan actually has. Three runs, not two, because C2 JIT
+    # needs more than one execution on codegen-heavy plans (measured on
+    # the 8-way-md5 MinHash plan: run2 ~5 s, run3+ ~3.1 s). Caches created
+    # inside a query are dropped between runs so every run re-executes the
+    # full plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             start = time.perf_counter()
             n = len(fn(spark, sf_dir).toPandas())  # Arrow-batched materialization
