@@ -128,6 +128,32 @@ def test_rollup_incremental_equals_full(spark):
     assert merged == full and merged
 
 
+def test_partitioning_independence(spark):
+    """SCALE.md's reproducibility claim, executed: the iterative operators
+    hold state as integers / fixed-scale decimals, so changing the shuffle
+    width (≈ changing the cluster size) must not change a single output
+    value."""
+    from data_ingestion_api_system_spark.operators.prep import (
+        q_graph_pagerank,
+        q_sim_kmeans_train,
+    )
+
+    def snap():
+        pr = [tuple(r) for r in q_graph_pagerank(spark, SF_DIR).collect()]
+        km = sorted(tuple(r) for r in q_sim_kmeans_train(spark, SF_DIR).collect())
+        return pr, km
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        wide = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert narrow == wide
+
+
 def test_pagerank_sane(spark):
     from data_ingestion_api_system_spark.operators.prep import (
         PR_TOPK,
