@@ -1064,6 +1064,59 @@ GROUP BY p.lang, p.split
 """
 
 
+N_FUZZY_PROBES = 5
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity-resolution staple): a small probe set
+    of corrupted customer names is matched back to the customer table by
+    minimum Levenshtein distance (deterministic tiebreak on the candidate
+    name). JVM `levenshtein` on both engines — no UDF.
+
+    Plan shape at 100 TB: the probe set broadcasts (it is the small,
+    human-scale side by construction); candidates stream through a narrow
+    distance computation + per-probe TakeOrdered. For probe sets too big
+    to broadcast, the blocking key (name prefix/phonetic bucket) turns
+    this into the same banded equi-join shape as the LSH dedup family."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    probes = F.broadcast(
+        c.filter(F.col("c_custkey") < N_FUZZY_PROBES).select(
+            # corrupt deterministically: drop the first character and
+            # append 'x' — 2 edits from the original
+            F.concat(F.substring("c_name", 2, 100), F.lit("x")).alias("probe")
+        )
+    )
+    scored = c.crossJoin(probes).select(
+        "probe",
+        F.col("c_name").alias("matched_name"),
+        F.levenshtein("probe", "c_name").alias("dist"),
+    )
+    w = Window.partitionBy("probe").orderBy(F.asc("dist"), F.asc("matched_name"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe", "matched_name", "dist")
+    )
+
+
+_ORACLE_FUZZY = f"""
+WITH probes AS (
+  SELECT substr(c_name, 2) || 'x' AS probe
+  FROM customer WHERE c_custkey < {N_FUZZY_PROBES}
+),
+scored AS (
+  SELECT p.probe, c.c_name AS matched_name,
+         levenshtein(p.probe, c.c_name) AS dist
+  FROM customer c, probes p
+)
+SELECT probe, matched_name, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe
+                               ORDER BY dist ASC, matched_name ASC) AS rk
+  FROM scored) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -1080,6 +1133,7 @@ QUERIES = {
     "dq_constraint_report": q_dq_constraint_report,
     "cohort_retention": q_cohort_retention,
     "train_test_split": q_train_test_split,
+    "fuzzy_name_match": q_fuzzy_name_match,
 }
 
 ORACLE = {
@@ -1098,4 +1152,5 @@ ORACLE = {
     "dq_constraint_report": _ORACLE_DQ,
     "cohort_retention": _ORACLE_COHORT,
     "train_test_split": _ORACLE_SPLIT,
+    "fuzzy_name_match": _ORACLE_FUZZY,
 }

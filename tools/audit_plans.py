@@ -185,6 +185,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count|partial_sum"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    "fuzzy_name_match": (
+        # probe set broadcasts (BNLJ is the right plan for a 5-row side
+        # with no equi-key); per-probe argmin via WindowGroupLimit
+        [r"BroadcastNestedLoopJoin", r"WindowGroupLimit|Window"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
 }
 
 
