@@ -101,6 +101,51 @@ def test_drop_duplicates_within_watermark(spark, stream_dir, tmp_path):
         q.stop()
 
 
+def test_stream_static_enrichment_join(spark, stream_dir, tmp_path):
+    """Stream-static join: each micro-batch of the stream is enriched
+    against a static dimension (re-read per batch, broadcast-sized) — the
+    standard lookup-enrichment pattern; rows with no dimension match pass
+    through with nulls (left join) rather than being dropped."""
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    dim = spark.createDataFrame(
+        [Row(user_id=1, segment="gold"), Row(user_id=2, segment="silver")],
+        "user_id long, segment string",
+    )
+    _write_batch(
+        spark,
+        tmp_path,
+        stream_dir,
+        "b0",
+        [
+            Row(event_id=1, ts=_ts(0), user_id=1, value=1.0),
+            Row(event_id=2, ts=_ts(1), user_id=2, value=2.0),
+            Row(event_id=3, ts=_ts(2), user_id=9, value=3.0),  # no dim row
+        ],
+        schema,
+    )
+    enriched = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.event_id: (r.user_id, r.segment)
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+        assert rows == {1: (1, "gold"), 2: (2, "silver"), 3: (9, None)}
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_merge_sink(spark, stream_dir, tmp_path):
     """foreachBatch MERGE: each micro-batch's per-user partial aggregates
     are folded into a persistent state table (read-combine-stage-swap, the
