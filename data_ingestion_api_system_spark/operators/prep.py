@@ -5,16 +5,24 @@ chunk→drain pipeline of /root/reference/src/app.js:106-186, which this layer
 generalizes from id-batches to document corpora).
 
 Operators here COMPOSE the certified primitives from ``text``/``dedup`` into
-the shapes a data-curation user actually runs:
+the shapes a data-curation user actually runs, plus the analytics/
+maintenance layer around them:
 
-- ``prep_training_mix``: quality-filter → exact-dedup → SimHash near-dup
-  drop → per-language token-budget selection, one declarative plan.
-- ``text_bigram_coherence``: corpus bigram statistics joined back per
-  document — the CCNet-style LM-coherence quality signal.
-- ``events_gap_fill``: dense time-grid reconstruction with zero-fill and
-  carry-forward — the rollup-completion operator for metric hypertables.
+- curation: ``prep_training_mix`` (quality → exact-dedup → SimHash near-dup
+  → per-language token budget), ``text_bigram_coherence`` (CCNet-style LM
+  quality signal), ``train_test_split`` (deterministic md5-gated split).
+- iterative algorithms, cross-engine exact via integer/fixed-scale state:
+  ``sim_kmeans_train`` (unrolled Lloyd rounds), ``graph_pagerank``
+  (integer-scaled ranks), ``sql_recursive_backoff`` (WITH RECURSIVE).
+- time-series & analytics: ``events_gap_fill`` (dense grid + LOCF),
+  ``events_funnel``, ``events_anomaly`` (integer-moment z-scores),
+  ``cohort_retention``, ``orders_scd2`` (validity intervals),
+  ``rollup_incremental`` (materialized+delta merge), ``group_median``.
+- semi-structured & quality: ``events_variant_shred`` (Spark 4 VARIANT),
+  ``dq_constraint_report``, ``fuzzy_name_match`` (min-Levenshtein).
 
-Scale notes per operator are inline. All are exact vs the DuckDB oracle.
+Scale notes per operator are inline. All are exact vs the DuckDB oracle at
+sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations
