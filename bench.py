@@ -88,6 +88,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # methodology marker so cross-round numbers are
+                # self-describing: r1 was single-run ("single"), r2+ is
+                # best-of-three ("best_of_3") — not directly comparable.
+                "timing": "best_of_3",
             }
         )
     )

@@ -58,28 +58,36 @@ def exact_avg_halfup(col_name: str, scale: int = 4) -> Column:
     the double, DuckDB rounds its full binary expansion; at a half
     boundary they disagree by 1 ulp of the rounded digit).
 
-    Construction (nonnegative sums): with A = sum·10^6 exact (the decimal
-    sum has ``scale`` ≤ 6 fractional digits, so A is integral) and
-    N = count, ``half_up(A/N) = (2A + N) div (2N)`` — Spark's ``div`` and
-    DuckDB's ``//`` are both exact integral division — then the identical
-    integer divides by 10^6 in both engines. Takes a column NAME (the
-    expression is assembled in SQL text). DuckDB twin:
-    :func:`sql_exact_avg_halfup`.
+    Construction (sign-safe): with A = sum·10^6 exact (the decimal sum has
+    ``scale`` ≤ 6 fractional digits, so A is integral) and N = count,
+    ``half_away_from_zero(A/N) = sign(A) · ((2|A| + N) div (2N))`` — the
+    abs() is load-bearing because Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors, so NEGATIVE operands would diverge by one
+    unit; on nonnegative operands the two agree and the identical integer
+    then divides by 10^6 in both engines (same construction as prep's
+    ``_halfup_mean_div``). Takes a column NAME (the expression is assembled
+    in SQL text). DuckDB twin: :func:`sql_exact_avg_halfup`.
     """
-    a = (
-        f"CAST(sum(CAST({col_name} AS DECIMAL(25,{scale}))) * 1000000 "
-        f"AS DECIMAL(38,0))"
-    )
+    s = f"sum(CAST({col_name} AS DECIMAL(25,{scale})))"
+    a = f"CAST(abs({s}) * 1000000 AS DECIMAL(38,0))"
     n = f"CAST(count({col_name}) AS DECIMAL(38,0))"
     return F.expr(
-        f"CAST((2 * {a} + {n}) div (2 * {n}) AS DOUBLE) / 1000000.0"
+        f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END"
+        f" * CAST((2 * {a} + {n}) div (2 * {n}) AS DOUBLE) / 1000000.0)"
     )
 
 
 def sql_exact_avg_halfup(expr: str, scale: int = 4) -> str:
-    """DuckDB twin of :func:`exact_avg_halfup`."""
-    a = f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,{scale}))) * 1000000 AS HUGEINT)"
-    return f"(CAST((2 * {a} + COUNT({expr})) // (2 * COUNT({expr})) AS DOUBLE) / 1000000.0)"
+    """DuckDB twin of :func:`exact_avg_halfup` (same sign-safe abs()+sign
+    construction; HUGEINT because DuckDB's ``//`` on DECIMAL operands is
+    plain division, not integer division)."""
+    s = f"SUM(CAST(({expr}) AS DECIMAL(25,{scale})))"
+    a = f"CAST(ABS({s}) * 1000000 AS HUGEINT)"
+    return (
+        f"((CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+        f" * CAST((2 * {a} + COUNT({expr})) // (2 * COUNT({expr})) AS DOUBLE)"
+        f" / 1000000.0)"
+    )
 
 
 def sql_exact_sum(expr: str, scale: int = 4, round_to: int = 2) -> str:

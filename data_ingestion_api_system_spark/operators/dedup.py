@@ -18,6 +18,8 @@ Engineering choices that make these oracle-checkable AND scale-correct:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -156,12 +158,48 @@ def _sql_minhash(idx: int) -> str:
     )
 
 
-# (app_id, sf_dir) → (sh, cand): three registry queries (minhash_lsh,
-# lsh_verified, cluster_cc) share the same shingle→signature→band→candidate
-# front half; memoizing it means one cached shingle table and one candidate
-# computation per session instead of three. Entries are lazy DataFrames —
-# an external clearCache() just makes them recompute, never stale.
-_LSH_FRONT_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# (app_id, sf_dir, file_fingerprint) → (sh, cand): three registry queries
+# (minhash_lsh, lsh_verified, cluster_cc) share the same
+# shingle→signature→band→candidate front half; memoizing it means one cached
+# shingle table and one candidate computation per session instead of three.
+# Entries are lazy DataFrames — an external clearCache() just makes them
+# recompute, never stale. The fingerprint keys out rewritten input files
+# (mtime+size of every part under documents.parquet), so a regenerated
+# sf_dir within one Spark application gets a fresh entry instead of the
+# stale persisted shingles; clear_lsh_front_cache() evicts + unpersists
+# explicitly (test teardown / memory pressure).
+_LSH_FRONT_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> str:
+    """mtime_ns:size fingerprint of the documents table's file set (single
+    file or directory of parts) — cheap stat-only identity for cache keys."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            parts = []
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+            return "|".join(parts)
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
+def clear_lsh_front_cache() -> None:
+    """Unpersist and drop every memoized LSH front half. Call from test
+    teardown or after rewriting input files to release executor storage
+    immediately (entries are otherwise evicted only by fingerprint change,
+    which leaves the old persisted RDD to LRU eviction)."""
+    for sh, _cand in _LSH_FRONT_CACHE.values():
+        try:
+            sh.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _LSH_FRONT_CACHE.clear()
 
 
 def _lsh_shingles_and_candidates(
@@ -170,8 +208,8 @@ def _lsh_shingles_and_candidates(
     """Shared MinHash-LSH front half: cached shingle table + candidate
     pairs from band-bucket collisions. Used by the standalone LSH query,
     the LSH→verify composition, and the cluster-assignment query —
-    memoized per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    memoized per (session, sf_dir, input-file fingerprint)."""
+    key = (spark.sparkContext.applicationId, sf_dir, _docs_fingerprint(sf_dir))
     if key in _LSH_FRONT_CACHE:
         sh, cand = _LSH_FRONT_CACHE[key]
         # re-assert persistence: an external clearCache() (bench does this

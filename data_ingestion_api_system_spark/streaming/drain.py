@@ -392,9 +392,13 @@ class IngestionPipeline:
         read path computes on the fly, so compaction is a pure no-op for
         query results — and it is idempotent under replayed/duplicate
         transitions because struct-max is insensitive to duplicates.
-        Readers keep working mid-compaction: the compacted file set is
-        staged to a sibling directory and swapped in with two directory
-        renames (the parquet-state analogue of Delta's atomic log commit).
+        In-process readers keep working mid-compaction because every
+        pipeline operation serializes on ``_op_lock`` — between the two
+        directory renames below, ``batch_log`` briefly does not exist, so
+        any OUT-of-process reader of the state directory must tolerate that
+        rename window (or retry on missing-path). The staged-then-swapped
+        file set is the parquet-state analogue of Delta's atomic log
+        commit, minus multi-process isolation.
 
         Returns the number of rows in the compacted log.
         """
