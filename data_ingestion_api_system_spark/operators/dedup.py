@@ -31,6 +31,19 @@ N_BANDS = 2
 ROWS_PER_BAND = 4  # 8 minhashes total, banded (4,4): collision prob ≈ j^4
 JACCARD_THRESHOLD = 0.35
 
+# Length-band folded into every LSH band key (SCALE.md's named 100 TB risk:
+# a boilerplate-dominated band bucket collecting docs of wildly different
+# sizes). Base-4 geometric bands over the distinct-shingle count, computed
+# integer-exactly on both engines as (length(bin(n)) - 1) div 2 — i.e.
+# floor(log4 n) via binary-digit count, no float log. Lossless for verified
+# output: J(A,B) >= t implies |A|/|B| >= t = 0.35 > 1/4, so |log4|A| -
+# log4|B|| < 1 and the floor bands differ by at most 1; each doc emits its
+# band key under BOTH len_band and len_band+1, so any pair within Jaccard
+# reach still collides (same-band pairs collide twice; dropDuplicates
+# collapses them). Cost: 2x banded rows; payoff: a band bucket can only
+# ever hold docs from two adjacent length bands.
+LEN_BAND_BASE = 4
+
 # Short-text guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (it never
 # returns an empty array), so texts shorter than SHINGLE_LEN would yield
 # phantom shingles while DuckDB's range(1, 1) is empty. CASE to array()
@@ -202,6 +215,92 @@ def clear_lsh_front_cache() -> None:
     _LSH_FRONT_CACHE.clear()
 
 
+def lsh_band_table(sh: DataFrame) -> DataFrame:
+    """Banded signature table (doc_id, band_idx, band_key) from a shingle
+    table (doc_id, shingles).
+
+    Signatures via ONE explode pass over the shingles: 8 independently
+    salted md5 columns per (doc, shingle) row, collapsed by a map-side
+    partial min per doc. Measured alternatives at sf0.1, with the scan
+    spread to full width: hashing a distinct-shingle vocabulary and joining
+    back is ~2.3× slower (two extra shuffles dwarf the saved md5 calls once
+    hashing parallelizes), and per-doc array_min(transform(...)) is ~5×
+    slower (8 serial array traversals per doc, no partial agg). Independent
+    digests per hash are load-bearing: slicing one digest into several
+    hashes correlates the per-band minima and inflates band collisions past
+    the j^r model (tried 16-bit and 32-bit slicing; both reverted).
+
+    Each band key carries a ``#<len_band>`` suffix (see LEN_BAND_BASE):
+    the distinct-shingle count (``count(*)`` of the same explode pass the
+    minima ride on — free) is banded base-4, and every (doc, band) emits
+    two rows, at len_band and len_band+1, so pairs within Jaccard reach of
+    the 0.35 threshold always still collide while a bucket is capped at
+    two adjacent length bands."""
+    n_hashes = N_BANDS * ROWS_PER_BAND
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hash_cols = [
+        F.substring(
+            F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))), 1, 16
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = (
+        ex.select("doc_id", *hash_cols)
+        .groupBy("doc_id")
+        .agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)],
+            F.count("*").alias("n_sh"),
+        )
+    )
+    # integer-exact floor(log4(n_sh)): binary-digit count, no float log
+    sig = sig.withColumn("len_band", F.expr("(length(bin(n_sh)) - 1) div 2"))
+    entries = []
+    for b in range(N_BANDS):
+        bk = F.concat_ws(
+            "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        )
+        for off in (0, 1):
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat(
+                        bk, F.lit("#"), (F.col("len_band") + off).cast("string")
+                    ).alias("band_key"),
+                )
+            )
+    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band_idx").alias("band_idx"), F.col("e.band_key").alias("band_key")
+    )
+
+
+def lsh_candidates(banded: DataFrame) -> DataFrame:
+    """Candidate pairs = docs sharing ≥1 (band_idx, band_key) bucket — the
+    equi-join that replaces all-pairs; shuffles only band keys and bare ids."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def lsh_front(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Un-memoized MinHash-LSH front half over any (doc_id, text) frame:
+    returns (shingle table, banded signatures, candidate pairs). Pure
+    function of its input — tests drive it with adversarial corpora."""
+    sh = (
+        docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    banded = lsh_band_table(sh)
+    return sh, banded, lsh_candidates(banded)
+
+
 def _lsh_shingles_and_candidates(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -227,50 +326,8 @@ def _lsh_shingles_and_candidates(
         .filter(F.size("shingles") > 0)
         .cache()
     )
-    # signatures via ONE explode pass over the cached shingles: 8
-    # independently salted md5 columns per (doc, shingle) row, collapsed by
-    # a map-side partial min per doc. Measured alternatives at sf0.1, with
-    # the scan spread to full width: hashing a distinct-shingle vocabulary
-    # and joining back is ~2.3× slower (two extra shuffles dwarf the saved
-    # md5 calls once hashing parallelizes), and per-doc
-    # array_min(transform(...)) is ~5× slower (8 serial array traversals
-    # per doc, no partial agg). Independent digests per hash are
-    # load-bearing: slicing one digest into several hashes correlates the
-    # per-band minima and inflates band collisions past the j^r model
-    # (tried 16-bit and 32-bit slicing; both reverted).
-    n_hashes = N_BANDS * ROWS_PER_BAND
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    hash_cols = [
-        F.substring(
-            F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))), 1, 16
-        ).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = (
-        ex.select("doc_id", *hash_cols)
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
-    )
-    band_keys = [
-        F.concat_ws(
-            "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        )
-        for b in range(N_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
-    ).cache()
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    banded = lsh_band_table(sh).cache()
+    cand = lsh_candidates(banded)
     _LSH_FRONT_CACHE[key] = (sh, cand)
     return sh, cand
 
@@ -364,6 +421,10 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are load-bearing for the recursive CC oracle: without them DuckDB may
 # re-evaluate the whole pipeline per recursion round (observed: minutes
 # at sf0.1 vs seconds) — and they are harmless for the other two.
+# Mirrors the Spark side's length banding exactly (same '#' || floor(log4
+# n_shingles) suffix via binary-digit count, same two-offset emission), so
+# the engines certify identical CANDIDATE sets, not merely identical
+# verified output.
 _SQL_LSH_CTES = f"""sh AS MATERIALIZED (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles
   FROM documents
@@ -371,11 +432,12 @@ _SQL_LSH_CTES = f"""sh AS MATERIALIZED (
 ),
 banded AS MATERIALIZED (
   SELECT doc_id, b.band_idx,
-         CASE b.band_idx
+         (CASE b.band_idx
            WHEN 0 THEN {_sql_minhash(0)} || '|' || {_sql_minhash(1)} || '|' || {_sql_minhash(2)} || '|' || {_sql_minhash(3)}
            ELSE {_sql_minhash(4)} || '|' || {_sql_minhash(5)} || '|' || {_sql_minhash(6)} || '|' || {_sql_minhash(7)}
-         END AS band_key
-  FROM sh, (VALUES (0), (1)) AS b(band_idx)
+         END) || '#' ||
+         CAST(((length(bin(len(shingles))) - 1) // 2) + lb.off AS VARCHAR) AS band_key
+  FROM sh, (VALUES (0), (1)) AS b(band_idx), (VALUES (0), (1)) AS lb(off)
 ),
 cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
