@@ -64,14 +64,19 @@ _BOILER_MINS = [
 
 def _mine_doc(seed: str, filler_chars: int) -> str:
     """BOILERPLATE + filler_chars mined characters: each appended char's
-    new trailing 4-gram (including the boundary-spanning ones) hashes
-    ABOVE the boilerplate minima under all eight salted hashes, so the
-    document's minhash signature is exactly the boilerplate's."""
+    new trailing 4-gram hashes ABOVE the boilerplate minima under all eight
+    salted hashes, so the document's minhash signature is exactly the
+    boilerplate's. The per-position candidate order is md5-derived, hence
+    APERIODIC — a linear-congruential order here was near-periodic mod 36,
+    so distinct 4-grams saturated at ~170 for every tier and all docs fell
+    into one length band, voiding the adversary."""
     text = list(BOILERPLATE)
-    salt = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
     for k in range(filler_chars):
-        for attempt in range(len(_ALPHA)):
-            c = _ALPHA[(salt + k * 7 + attempt * 31) % len(_ALPHA)]
+        order = sorted(
+            _ALPHA,
+            key=lambda ch: hashlib.md5(f"{seed}:{k}:{ch}".encode()).digest(),
+        )
+        for c in order:
             gram = "".join(text[-(SHINGLE_LEN - 1) :]) + c
             if all(_h(i, gram) > _BOILER_MINS[i] for i in range(N_HASHES)):
                 text.append(c)
@@ -113,6 +118,22 @@ def test_bucket_bounded_to_adjacent_length_bands(spark):
         assert worst_unbanded == 36, (
             f"mined adversary must collide all docs, got {worst_unbanded}"
         )
+
+        # premise guard: the 6 tiers must actually span ~5 base-4 bands
+        # (mined counts: 147/195/387/~1155/~4220/~16430 → bands 3,3,4,5,6,7);
+        # a periodic filler regression would collapse them into one band and
+        # make the bucket bound below vacuous-false
+        spanned = (
+            banded.withColumn(
+                "lb", F.substring_index("band_key", "#", -1).cast("int")
+            )
+            .groupBy("doc_id")
+            .agg(F.min("lb").alias("lb"))
+            .select("lb")
+            .distinct()
+            .count()
+        )
+        assert spanned == 5, f"adversary spans {spanned} length bands, want 5"
 
         # with the length suffix a bucket holds docs of two adjacent true
         # bands; tiers 0-1 share a band here, so the cap is 3 tiers = 18

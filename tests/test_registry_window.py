@@ -79,7 +79,35 @@ def test_prep_cannot_overflow_window():
 
 def test_no_duplicate_names_and_oracle_subset(registry):
     names, queries, oracle = registry
-    assert len(names) == len(set(names))
+    # names are dict keys (unique by construction), so compare the SUM of
+    # per-module QUERIES sizes against the merged registry: a cross-module
+    # name collision silently overwrites an entry and shrinks the merge
+    # (round-3 ADVICE: the previous len==len(set) form was vacuous)
+    from data_ingestion_api_system_spark.operators import (
+        dedup,
+        events,
+        multimodal,
+        pipeline,
+        prep,
+        rangejoin,
+        relational,
+        relational2,
+        relational3,
+        similarity,
+        text,
+        windows,
+    )
+    from data_ingestion_api_system_spark.streaming import jobs as streaming_jobs
+
+    mods = (
+        pipeline, prep, dedup, similarity, text, multimodal, rangejoin,
+        streaming_jobs, events, windows, relational, relational2, relational3,
+    )
+    per_module_total = sum(len(m.QUERIES) for m in mods)
+    assert per_module_total == len(queries), (
+        f"cross-module QUERIES name collision: modules define "
+        f"{per_module_total} entries but the merged registry has {len(queries)}"
+    )
     assert set(oracle) <= set(queries)
     # every entry is either oracle-checked or deliberately rows-only;
     # keep the rows-only set explicit so additions are a conscious choice
