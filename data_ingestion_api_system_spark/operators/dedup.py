@@ -191,10 +191,13 @@ def _docs_fingerprint(sf_dir: str) -> str:
     try:
         if os.path.isdir(p):
             parts = []
-            for root, _dirs, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()  # deterministic traversal across filesystems
                 for f in sorted(files):
-                    st = os.stat(os.path.join(root, f))
-                    parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+                    full = os.path.join(root, f)
+                    st = os.stat(full)
+                    rel = os.path.relpath(full, p)
+                    parts.append(f"{rel}:{st.st_mtime_ns}:{st.st_size}")
             return "|".join(parts)
         st = os.stat(p)
         return f"{st.st_mtime_ns}:{st.st_size}"
@@ -328,6 +331,15 @@ def _lsh_shingles_and_candidates(
     )
     banded = lsh_band_table(sh).cache()
     cand = lsh_candidates(banded)
+    # evict superseded entries for the same (app, sf_dir): a rewritten
+    # input dir changes the fingerprint, and without this the old persisted
+    # shingle table lingers in executor storage until LRU eviction
+    for old_key in [k for k in _LSH_FRONT_CACHE if k[:2] == key[:2]]:
+        old_sh, _old_cand = _LSH_FRONT_CACHE.pop(old_key)
+        try:
+            old_sh.unpersist()
+        except Exception:
+            pass  # session may already be stopped
     _LSH_FRONT_CACHE[key] = (sh, cand)
     return sh, cand
 

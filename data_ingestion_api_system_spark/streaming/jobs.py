@@ -26,30 +26,55 @@ from pyspark.sql import types as T
 from ..functions import exact_sum, sql_exact_sum
 from ..operators import tune
 
-_RAW_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as raw ns
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_is_raw_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_is_raw_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def _ts_is_raw_nanos(sf_dir: str) -> bool:
+    """Inspect the events parquet footer: TIMESTAMP(NANOS) files can only
+    be streamed as raw int64 nanos (legacy conf); timestamp[us] files read
+    directly as TimestampType. Mirrors tables._load_events adaptivity —
+    the testdata's ts encoding has changed between generations."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        ts = pq.read_schema(path).field("ts").type
+    except Exception:
+        return False
+    return getattr(ts, "unit", None) == "ns"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet: nanos→µs truncation
-    matching tables._load_events, as an unbounded readStream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming source over the events parquet, normalized to a
+    TimestampType ``ts`` exactly matching tables._load_events, as an
+    unbounded readStream."""
+    raw_nanos = _ts_is_raw_nanos(sf_dir)
+    if raw_nanos:
+        # must stay set for the lifetime of the streaming scan
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source requires a directory: stream the sf dir with a
     # glob filter selecting only the events table
     raw = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(raw_nanos))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:

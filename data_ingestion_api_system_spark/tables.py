@@ -53,18 +53,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default.
-    Read it as raw nanos (``legacy.parquet.nanosAsLong``) and truncate to
-    microseconds with integer division — NOT float division, which loses
-    precision above 2^53 ns — exactly matching DuckDB's nanos→micros
-    truncation, so both engines see identical instants."""
-    from pyspark.sql import functions as F
+    """Schema-adaptive events loader.
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: plain parquet TIMESTAMP(MICROS) (directly readable) and
+    TIMESTAMP(NANOS) (which Spark rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` exposes it as raw int64).
+    We inspect the *resolved* schema and normalize both to a
+    ``TimestampType`` column so every downstream operator sees identical
+    instants regardless of the file's footer:
+
+    - TimestampType        → pass through
+    - TimestampNTZType     → cast (wall clock reinterpreted in session tz;
+                             collect round-trips to the same wall clock, so
+                             this matches DuckDB's naive read exactly)
+    - LongType (raw nanos) → ``timestamp_micros(ts div 1000)`` — integer
+                             division, NOT float (precision loss above
+                             2^53 ns), matching DuckDB nanos→µs truncation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) footer: only readable via the legacy conf. It
+        # must stay set for the lifetime of the lazy scan (the parquet
+        # reader consults it at execution, not just schema resolution).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
