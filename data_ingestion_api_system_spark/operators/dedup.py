@@ -171,7 +171,7 @@ def _sql_minhash(idx: int) -> str:
     )
 
 
-# (app_id, sf_dir, file_fingerprint) → (sh, cand): three registry queries
+# (app_id, sf_dir, file_fingerprint) → (sh, banded, cand): three registry queries
 # (minhash_lsh, lsh_verified, cluster_cc) share the same
 # shingle→signature→band→candidate front half; memoizing it means one cached
 # shingle table and one candidate computation per session instead of three.
@@ -181,7 +181,9 @@ def _sql_minhash(idx: int) -> str:
 # sf_dir within one Spark application gets a fresh entry instead of the
 # stale persisted shingles; clear_lsh_front_cache() evicts + unpersists
 # explicitly (test teardown / memory pressure).
-_LSH_FRONT_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+_LSH_FRONT_CACHE: dict[
+    tuple[str, str, str], tuple[DataFrame, DataFrame, DataFrame]
+] = {}
 
 
 def _docs_fingerprint(sf_dir: str) -> str:
@@ -210,9 +212,10 @@ def clear_lsh_front_cache() -> None:
     teardown or after rewriting input files to release executor storage
     immediately (entries are otherwise evicted only by fingerprint change,
     which leaves the old persisted RDD to LRU eviction)."""
-    for sh, _cand in _LSH_FRONT_CACHE.values():
+    for sh, banded, _cand in _LSH_FRONT_CACHE.values():
         try:
             sh.unpersist()
+            banded.unpersist()
         except Exception:
             pass  # session may already be stopped
     _LSH_FRONT_CACHE.clear()
@@ -313,12 +316,15 @@ def _lsh_shingles_and_candidates(
     memoized per (session, sf_dir, input-file fingerprint)."""
     key = (spark.sparkContext.applicationId, sf_dir, _docs_fingerprint(sf_dir))
     if key in _LSH_FRONT_CACHE:
-        sh, cand = _LSH_FRONT_CACHE[key]
+        sh, banded, cand = _LSH_FRONT_CACHE[key]
         # re-assert persistence: an external clearCache() (bench does this
-        # between timed runs) unpersists the shingle table, and without the
-        # cache the candidate self-join computes the shingle+minhash pass
-        # on BOTH sides — measured 2x on the LSH front half
+        # between timed runs) unpersists BOTH cached tables, and without
+        # them the candidate self-join computes the shingle+minhash pass on
+        # BOTH sides — measured 2x on the LSH front half. The banded table
+        # matters most: it sits downstream of the 8-way md5 signature agg,
+        # so an uncached banded re-runs the whole minhash pipeline twice.
         sh.cache()
+        banded.cache()
         return sh, cand
     docs = load_table(spark, sf_dir, "documents")
     # cached: the shingle table feeds signature computation + both sides of
@@ -335,12 +341,13 @@ def _lsh_shingles_and_candidates(
     # input dir changes the fingerprint, and without this the old persisted
     # shingle table lingers in executor storage until LRU eviction
     for old_key in [k for k in _LSH_FRONT_CACHE if k[:2] == key[:2]]:
-        old_sh, _old_cand = _LSH_FRONT_CACHE.pop(old_key)
+        old_sh, old_banded, _old_cand = _LSH_FRONT_CACHE.pop(old_key)
         try:
             old_sh.unpersist()
+            old_banded.unpersist()
         except Exception:
             pass  # session may already be stopped
-    _LSH_FRONT_CACHE[key] = (sh, cand)
+    _LSH_FRONT_CACHE[key] = (sh, banded, cand)
     return sh, cand
 
 
