@@ -64,9 +64,14 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     instants regardless of the file's footer:
 
     - TimestampType        → pass through
-    - TimestampNTZType     → cast (wall clock reinterpreted in session tz;
-                             collect round-trips to the same wall clock, so
-                             this matches DuckDB's naive read exactly)
+    - TimestampNTZType     → re-read with ``ts`` forced to TimestampType in
+                             the read schema: the stored micros are read
+                             directly as instants AT THE SCAN (no cast
+                             projection, timezone-independent, and ts
+                             predicates stay pushdown/row-group-prunable —
+                             verified via explain: PushedFilters carries the
+                             ts range either way under UTC, but the forced
+                             schema doesn't depend on cast unwrapping)
     - LongType (raw nanos) → ``timestamp_micros(ts div 1000)`` — integer
                              division, NOT float (precision loss above
                              2^53 ns), matching DuckDB nanos→µs truncation.
@@ -86,7 +91,17 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     if isinstance(ts_type, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
-        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        forced = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampType() if f.name == "ts" else f.dataType,
+                    f.nullable,
+                )
+                for f in raw.schema.fields
+            ]
+        )
+        raw = spark.read.schema(forced).parquet(path)
     return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
