@@ -10,7 +10,9 @@ maintenance layer around them:
 
 - curation: ``prep_training_mix`` (quality → exact-dedup → SimHash near-dup
   → per-language token budget), ``text_bigram_coherence`` (CCNet-style LM
-  quality signal), ``train_test_split`` (deterministic md5-gated split).
+  quality signal), ``train_test_split`` (deterministic md5-gated split),
+  ``prep_decontaminate`` (benchmark n-gram overlap exclusion),
+  ``text_repetition_score`` (Gopher intra-doc repetition rules).
 - iterative algorithms, cross-engine exact via integer/fixed-scale state:
   ``sim_kmeans_train`` (unrolled Lloyd rounds), ``graph_pagerank``
   (integer-scaled ranks), ``sql_recursive_backoff`` (WITH RECURSIVE).
@@ -22,7 +24,7 @@ maintenance layer around them:
   ``dq_constraint_report``, ``fuzzy_name_match`` (min-Levenshtein).
 
 Scale notes per operator are inline. All are exact vs the DuckDB oracle at
-sf0.01 AND sf0.1.
+sf0.01 AND sf0.1 (round-5 additions verified at sf0.001/0.01/0.1).
 """
 
 from __future__ import annotations
@@ -1125,6 +1127,201 @@ SELECT probe, matched_name, dist FROM (
 """
 
 
+# --- benchmark decontamination -------------------------------------------
+
+DECON_NGRAM = 3  # word n-gram order; production pipelines use 8-13
+DECON_PROBE_MOD = 7  # doc_id % MOD == 0 → benchmark probe set (deterministic)
+
+
+def _word_ngrams(toks, n: int):
+    """Non-overlapping-safe word n-grams of an array<string> column:
+    positions 1..size-n+1, each joined with a single space. Spark's
+    ``sequence(1, 0)`` DESCENDS (never empty), so sub-n docs need the
+    explicit empty-array guard — same edge the shingle expr documents."""
+    return (
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def _sql_word_ngrams(t: str, n: int) -> str:
+    """DuckDB twin of :func:`_word_ngrams` (range end is exclusive;
+    list_slice bounds are inclusive)."""
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)),"
+        f" i -> array_to_string(list_slice({t}, CAST(i AS INT), CAST(i AS INT) + {n - 1}), ' '))"
+    )
+
+
+def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3/PaLM-style training-hygiene
+    step: flag every corpus document sharing at least one word
+    ``DECON_NGRAM``-gram with a held-out benchmark set, so evaluation data
+    can be excluded from the training mix. The benchmark here is the
+    deterministic probe slice ``doc_id % DECON_PROBE_MOD == 0``; in
+    production it is the eval suites themselves.
+
+    Plan shape at 100 TB: the benchmark n-gram set is small by nature
+    (eval suites, not the corpus), so it BROADCASTS — the corpus side is a
+    narrow tokenize→n-gram→explode with a map-side broadcast-hash semi
+    count, then ONE keyed shuffle (groupBy doc_id) whose input is already
+    reduced to matched grams only. If the benchmark ever outgrows the
+    broadcast threshold, the same plan degrades gracefully to a hash
+    semi-join on the gram — never all-pairs. Production uses n=8..13
+    (DECON_NGRAM=3 here because the synthetic corpus draws from a ~40-word
+    vocabulary; 8-grams would never collide)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ngr = docs.select(
+        "doc_id",
+        "lang",
+        _word_ngrams(tokens(F.col("text")), DECON_NGRAM).alias("raw_gs"),
+    ).select("doc_id", "lang", F.array_distinct("raw_gs").alias("gs"))
+    is_probe = F.col("doc_id") % DECON_PROBE_MOD == 0
+    bench = (
+        ngr.filter(is_probe)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    corpus = ngr.filter(~is_probe)
+    hits = (
+        corpus.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.size("gs").cast("bigint").alias("n_ngrams"),
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+_ORACLE_DECON = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, lang,
+         list_distinct({_sql_word_ngrams('t', DECON_NGRAM)}) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % {DECON_PROBE_MOD} = 0
+),
+corpus AS (SELECT * FROM ng WHERE doc_id % {DECON_PROBE_MOD} <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+  JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT c.doc_id, c.lang,
+       CAST(len(c.gs) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --- intra-document repetition (Gopher quality signals) -------------------
+
+REP_DUP_WORD_MAX = 0.3
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.3
+
+
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition — the Gopher/MassiveText quality rules
+    that catch boilerplate and degenerate generation loops: duplicate-word
+    fraction, most-frequent-bigram mass, and duplicate-trigram fraction,
+    with the standard keep/drop thresholds folded into a ``repetitive``
+    flag.
+
+    Plan shape at 100 TB: ZERO shuffles — every signal is a per-row array
+    expression (tokenize, n-gram, distinct/filter folds), so the operator
+    is a narrow map that widens with the scan. The top-bigram mass uses an
+    O(distinct·total) in-array count, fine for document-sized arrays; for
+    degenerate inputs (10^5+ tokens) the explode→count→max twin trades the
+    quadratic scan for two keyed shuffles — same results, chosen by doc
+    length at the planner level in a production deployment."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        t.alias("t"),
+        _word_ngrams(t, 2).alias("bg"),
+        _word_ngrams(t, 3).alias("tg"),
+    )
+    n_toks = F.size("t")
+    n_bg = F.size("bg")
+    n_tg = F.size("tg")
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda b: F.size(F.filter(F.col("bg"), lambda x: x == b)),
+        )
+    )
+    dup_word = F.round(F.lit(1.0) - F.size(F.array_distinct("t")) / n_toks, 6)
+    top_bigram = F.when(n_bg == 0, F.lit(0.0)).otherwise(F.round(top_bg / n_bg, 6))
+    dup_trigram = F.when(n_tg == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct("tg")) / n_tg, 6)
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        n_toks.cast("bigint").alias("n_tokens"),
+        dup_word.alias("dup_word_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        dup_trigram.alias("dup_trigram_frac"),
+        (
+            (dup_word > REP_DUP_WORD_MAX)
+            | (top_bigram > REP_TOP_BIGRAM_MAX)
+            | (dup_trigram > REP_DUP_TRIGRAM_MAX)
+        )
+        .cast("int")
+        .alias("repetitive"),
+    )
+
+
+_ORACLE_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS t,
+         {_sql_word_ngrams(_SQL_TOKS, 2)} AS bg,
+         {_sql_word_ngrams(_SQL_TOKS, 3)} AS tg
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang,
+         len(t) AS n_toks,
+         ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_word_frac,
+         CASE WHEN len(bg) = 0 THEN 0.0 ELSE ROUND(
+           CAST(list_max(list_transform(list_distinct(bg),
+                b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg), 6)
+         END AS top_bigram_frac,
+         CASE WHEN len(tg) = 0 THEN 0.0 ELSE ROUND(
+           1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+         END AS dup_trigram_frac
+  FROM base
+)
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_tokens,
+       dup_word_frac, top_bigram_frac, dup_trigram_frac,
+       CASE WHEN dup_word_frac > {REP_DUP_WORD_MAX}
+              OR top_bigram_frac > {REP_TOP_BIGRAM_MAX}
+              OR dup_trigram_frac > {REP_DUP_TRIGRAM_MAX}
+            THEN 1 ELSE 0 END AS repetitive
+FROM sig
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -1142,6 +1339,8 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "train_test_split": q_train_test_split,
     "fuzzy_name_match": q_fuzzy_name_match,
+    "prep_decontaminate": q_prep_decontaminate,
+    "text_repetition_score": q_text_repetition_score,
 }
 
 ORACLE = {
@@ -1161,4 +1360,6 @@ ORACLE = {
     "cohort_retention": _ORACLE_COHORT,
     "train_test_split": _ORACLE_SPLIT,
     "fuzzy_name_match": _ORACLE_FUZZY,
+    "prep_decontaminate": _ORACLE_DECON,
+    "text_repetition_score": _ORACLE_REPETITION,
 }
