@@ -191,6 +191,19 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastNestedLoopJoin", r"WindowGroupLimit|Window"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    "prep_decontaminate": (
+        # the benchmark n-gram set broadcasts; the corpus-side overlap
+        # count partial-aggregates map-side before the doc_id shuffle
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "text_repetition_score": (
+        # zero-shuffle narrow map: all Gopher signals are per-row array
+        # expressions (the only Exchange is spread()'s round-robin
+        # single-file compensation)
+        [r"Project"],
+        [r"Exchange hashpartitioning", r"Join", r"CartesianProduct"],
+    ),
 }
 
 
