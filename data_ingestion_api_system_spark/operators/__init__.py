@@ -97,8 +97,10 @@ _WINDOW_FILL = (
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "join_semi_anti",
-    # over-provision past 50 (driver truncates): next-stalest r1 entries so a
-    # wider window — or a shorter prep — still certifies useful names
+    # over-provision past 50 (driver truncates): new round-5 tail entry plus
+    # the next-stalest r1 entries, so a wider window — or a shorter prep —
+    # still certifies useful names
+    "dedup_containment",
     "set_ops",
     "agg_rollup",
     "agg_cube",

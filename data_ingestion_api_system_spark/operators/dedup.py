@@ -722,6 +722,68 @@ WHERE cosine >= 0.3
 """
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup report: |A∩B| / min(|A|,|B|) over the LSH
+    candidate pairs — the asymmetric overlap measure that catches a
+    document largely CONTAINED in another (quotes, boilerplate wrappers)
+    where symmetric Jaccard stays low.
+
+    Scope note, stated honestly: candidates come from the same MinHash band
+    buckets as `dedup_minhash_lsh`, whose length banding caps pairs at
+    adjacent base-4 size bands — so this reports containment among
+    near-size pairs. Full asymmetric containment search (tiny doc inside a
+    100× document) needs a different candidate generator (suffix-array or
+    asymmetric-LSH); on the kill-list path the near-size case is the
+    dominant one.
+
+    Plan shape: identical to the verified-LSH pipeline — band-bucket
+    equi-join candidates, then shingle arrays joined back to the bare
+    pairs only for the final per-pair fold. Reuses the memoized front
+    half, so running the whole dedup family costs ONE signature pass."""
+    tune(spark)
+    sh, cand = _lsh_shingles_and_candidates(spark, sf_dir)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sha, "doc_a").join(shb, "doc_b")
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.least(F.size("sh_a"), F.size("sh_b")),
+        6,
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("bigint").alias("n_sh_a"),
+            F.size("sh_b").cast("bigint").alias("n_sh_b"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+_ORACLE_CONTAINMENT = f"""
+WITH {_SQL_LSH_CTES},
+verified AS (
+  SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(len(sh_a) AS BIGINT) AS n_sh_a,
+       CAST(len(sh_b) AS BIGINT) AS n_sh_b,
+       ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / least(len(sh_a), len(sh_b)), 6) AS containment
+FROM verified
+WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / least(len(sh_a), len(sh_b)), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -730,6 +792,7 @@ QUERIES = {
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_containment": q_dedup_containment,
 }
 
 ORACLE = {
@@ -740,4 +803,5 @@ ORACLE = {
     "dedup_lsh_verified": _ORACLE_LSH_VERIFIED,
     "dedup_cluster_cc": _ORACLE_CLUSTER_CC,
     "dedup_simhash": _ORACLE_SIMHASH,
+    "dedup_containment": _ORACLE_CONTAINMENT,
 }
