@@ -66,6 +66,7 @@ _WINDOW_FILL = (
     # 1) broken-then-fixed in r4 (events ts regression) — the driver itself
     #    must certify the restoration, not just tools/check_oracle.py
     "streaming_tumbling_window",
+    "streaming_sliding_window",
     "streaming_session_window",
     "streaming_dedup",
     "streaming_stream_join",

@@ -124,6 +124,43 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide) per event_type as
+    a genuine streaming query — every event expands into exactly two live
+    windows inside the stateful aggregation (a generator in the plan, not a
+    join; state is two window rows per key, evicted by the watermark in a
+    production unbounded run). On this bounded source the result equals the
+    batch two-offset expansion, which is the oracle."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_ORACLE_STREAM_SLIDING = f"""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - off AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_exact_sum('value')} AS sum_value
+FROM events, (VALUES (0), (300)) AS offsets(off)
+GROUP BY 1, 2
+"""
+
+
 def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` (30-minute gap) per user — Spark's
     streaming sessionization operator, run to completion and rolled up per
@@ -282,6 +319,7 @@ GROUP BY user_id
 
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling,
+    "streaming_sliding_window": q_streaming_sliding,
     "streaming_session_window": q_streaming_session_window,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
@@ -289,6 +327,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_tumbling_window": _ORACLE_STREAM_TUMBLING,
+    "streaming_sliding_window": _ORACLE_STREAM_SLIDING,
     "streaming_session_window": _ORACLE_STREAM_SESSION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_stream_join": _ORACLE_STREAM_JOIN,
