@@ -76,3 +76,53 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruning must not change answers
     expected = orders.filter("o_orderpriority = '1-URGENT'").count()
     assert q.count() == expected > 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew countermeasure named in SCALE.md: AQE must detect a hot join
+    key at runtime and split its shuffle partition (thresholds lowered so
+    a ~20 MB hot key triggers at test scale). Asserts the final adaptive
+    plan actually ran the skew-split, not merely that the conf is on."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        # the conftest session uses 2 shuffle partitions (tiny state
+        # tables); median-based skew detection needs enough partitions for
+        # the hot one to stand out
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise((F.col("id") % 50) + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(51).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("dv"),
+        )
+        j = fact.join(dim, "k").select(F.length("payload").alias("pl"), "dv")
+        assert len(j.collect()) == 220_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
