@@ -102,6 +102,7 @@ _WINDOW_FILL = (
     # the next-stalest r1 entries, so a wider window — or a shorter prep —
     # still certifies useful names
     "dedup_containment",
+    "sim_quantize_int8",
     "set_ops",
     "agg_rollup",
     "agg_cube",

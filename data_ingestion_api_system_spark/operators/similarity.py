@@ -436,6 +436,68 @@ GROUP BY centroid_id
 """
 
 
+def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the vector
+    compression step an ANN index build runs before sharding (4x smaller
+    vectors, dot products in integer SIMD): per vector, scale =
+    max|x|/127 and q_i = floor(x_i*127/max|x| + 0.5), with the
+    reconstruction error reported per vector.
+
+    Cross-engine exactness: both engines compute the quantizer with the
+    SAME IEEE double operation order (x * 127.0 / maxabs + 0.5 → floor),
+    so the floor boundaries agree bit-for-bit; only the final error metric
+    is rounded for display.
+
+    Plan shape at 100 TB: zero shuffles — a narrow per-row array fold over
+    the scan (like the repetition scorer), embarrassingly parallel."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    maxabs = "aggregate(transform(v, x -> abs(x)), 0D, (a, x) -> greatest(a, x))"
+    qv = (
+        f"CASE WHEN {maxabs} = 0D THEN transform(v, x -> 0)"
+        f" ELSE transform(v, x -> CAST(floor(x * 127.0D / {maxabs} + 0.5D) AS INT)) END"
+    )
+    scale = f"{maxabs} / 127.0D"
+    max_err = (
+        f"aggregate(zip_with(v, {qv}, (x, q) -> abs(x - q * ({scale}))),"
+        f" 0D, (a, x) -> greatest(a, x))"
+    )
+    # qv serialized to a csv string: the driver's value comparator (and
+    # check_oracle's) normalizes scalar cells only — no registry query
+    # returns a raw array column
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.expr(scale), 9).alias("scale"),
+        F.expr(f"concat_ws(',', transform({qv}, q -> cast(q as string)))").alias("qv_csv"),
+        F.round(F.expr(max_err), 6).alias("max_abs_err"),
+    )
+
+
+_SQL_QUANT_MAXABS = "list_max(list_transform(v, x -> abs(x)))"
+_SQL_QUANT_QV = (
+    f"CASE WHEN {_SQL_QUANT_MAXABS} = 0 THEN list_transform(v, x -> 0)"
+    f" ELSE list_transform(v, x -> CAST(floor(x * 127.0 / {_SQL_QUANT_MAXABS} + 0.5) AS INT)) END"
+)
+
+_ORACLE_QUANTIZE = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (
+  SELECT vec_id, label, v,
+         {_SQL_QUANT_MAXABS} AS maxabs,
+         {_SQL_QUANT_QV} AS qv
+  FROM e
+)
+SELECT vec_id, label,
+       ROUND(maxabs / 127.0, 9) AS scale,
+       array_to_string(qv, ',') AS qv_csv,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[CAST(i AS INT)] - qv[CAST(i AS INT)] * (maxabs / 127.0)))), 6)
+         AS max_abs_err
+FROM q
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -444,6 +506,7 @@ QUERIES = {
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
     "sim_kmeans_step": q_sim_kmeans_step,
+    "sim_quantize_int8": q_sim_quantize_int8,
 }
 
 ORACLE = {
@@ -454,4 +517,5 @@ ORACLE = {
     "sim_lsh_ann": _ORACLE_LSH_ANN,
     "sim_lsh_bucket_stats": _ORACLE_LSH_STATS,
     "sim_kmeans_step": _ORACLE_KMEANS,
+    "sim_quantize_int8": _ORACLE_QUANTIZE,
 }
