@@ -213,11 +213,12 @@ def clear_lsh_front_cache() -> None:
     immediately (entries are otherwise evicted only by fingerprint change,
     which leaves the old persisted RDD to LRU eviction)."""
     for sh, banded, _cand in _LSH_FRONT_CACHE.values():
-        try:
-            sh.unpersist()
-            banded.unpersist()
-        except Exception:
-            pass  # session may already be stopped
+        # one try per handle: a failure on sh must not leak banded (ADVICE r5)
+        for df in (sh, banded):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session may already be stopped
     _LSH_FRONT_CACHE.clear()
 
 
@@ -342,11 +343,11 @@ def _lsh_shingles_and_candidates(
     # shingle table lingers in executor storage until LRU eviction
     for old_key in [k for k in _LSH_FRONT_CACHE if k[:2] == key[:2]]:
         old_sh, old_banded, _old_cand = _LSH_FRONT_CACHE.pop(old_key)
-        try:
-            old_sh.unpersist()
-            old_banded.unpersist()
-        except Exception:
-            pass  # session may already be stopped
+        for df in (old_sh, old_banded):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session may already be stopped
     _LSH_FRONT_CACHE[key] = (sh, banded, cand)
     return sh, cand
 

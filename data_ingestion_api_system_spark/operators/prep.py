@@ -1270,7 +1270,11 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda b: F.size(F.filter(F.col("bg"), lambda x: x == b)),
         )
     )
-    dup_word = F.round(F.lit(1.0) - F.size(F.array_distinct("t")) / n_toks, 6)
+    # zero-token guard mirrors the n_bg/n_tg branches: an empty/whitespace
+    # doc must score 0.0 on both engines, not NULL-by-division (ADVICE r5)
+    dup_word = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct("t")) / n_toks, 6)
+    )
     top_bigram = F.when(n_bg == 0, F.lit(0.0)).otherwise(F.round(top_bg / n_bg, 6))
     dup_trigram = F.when(n_tg == 0, F.lit(0.0)).otherwise(
         F.round(F.lit(1.0) - F.size(F.array_distinct("tg")) / n_tg, 6)
@@ -1302,7 +1306,9 @@ WITH base AS (
 sig AS (
   SELECT doc_id, lang,
          len(t) AS n_toks,
-         ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_word_frac,
+         CASE WHEN len(t) = 0 THEN 0.0 ELSE ROUND(
+           1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+         END AS dup_word_frac,
          CASE WHEN len(bg) = 0 THEN 0.0 ELSE ROUND(
            CAST(list_max(list_transform(list_distinct(bg),
                 b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg), 6)

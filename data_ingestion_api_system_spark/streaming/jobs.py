@@ -40,28 +40,28 @@ def _events_schema(ts_is_raw_nanos: bool) -> T.StructType:
     )
 
 
-def _ts_is_raw_nanos(sf_dir: str) -> bool:
-    """Inspect the events parquet footer: TIMESTAMP(NANOS) files can only
-    be streamed as raw int64 nanos (legacy conf); timestamp[us] files read
-    directly as TimestampType. Mirrors tables._load_events adaptivity —
-    the testdata's ts encoding has changed between generations."""
+def _ts_is_raw_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """Probe the events table's ts encoding via a batch read, the exact
+    strategy tables._load_events uses (ADVICE r5): a TIMESTAMP(NANOS)
+    footer either fails the read outright (legacy conf unset) or resolves
+    to LongType (conf already set by the batch loader); timestamp[us]
+    resolves to TimestampType. Unlike a pyarrow footer probe this needs no
+    extra dependency and handles directory-of-parts layouts for free."""
     import os
-
-    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "events.parquet")
     try:
-        ts = pq.read_schema(path).field("ts").type
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
     except Exception:
-        return False
-    return getattr(ts, "unit", None) == "ns"
+        return True  # NANOS footer rejected without the legacy conf
+    return isinstance(ts_type, T.LongType)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet, normalized to a
     TimestampType ``ts`` exactly matching tables._load_events, as an
     unbounded readStream."""
-    raw_nanos = _ts_is_raw_nanos(sf_dir)
+    raw_nanos = _ts_is_raw_nanos(spark, sf_dir)
     if raw_nanos:
         # must stay set for the lifetime of the streaming scan
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -12,10 +12,12 @@ from __future__ import annotations
 import pytest
 
 from data_ingestion_api_system_spark.operators import (
-    _WINDOW_FILL,
+    _FALLBACK_FILL,
     _WINDOW_SIZE,
     all_query_modules,
     collect_queries,
+    correctness_history,
+    staleness_fill,
 )
 
 
@@ -40,33 +42,57 @@ def test_window_holds_pipeline_and_all_of_prep(registry):
     assert not missing_prep, f"prep entries out of window: {missing_prep}"
 
 
-def test_window_holds_r5_must_certify(registry):
-    """The round-5 must-certify set (VERDICT.md round 4, 'Next round' #5):
-    everything the events ts-loader regression broke — the driver itself has
-    to re-green these, not just tools/check_oracle.py — plus the batch
-    events family whose last driver row is r1/r2."""
+def test_fill_is_argmax_stale(registry):
+    """The window tail must be the argmax-stale set: every in-window fill
+    entry is at most as fresh (last driver-green round) as every out-of-window
+    entry. Recomputed here from the committed CORRECTNESS_r*.json files, so
+    the ordering logic and the data cannot drift apart."""
     names, _, _ = registry
+    history = correctness_history()
+    if not history:
+        pytest.skip("no CORRECTNESS_r*.json history in this checkout")
+
+    from data_ingestion_api_system_spark.operators import pipeline, prep
+
+    fixed = set(pipeline.QUERIES) | set(prep.QUERIES)
+    tail = [n for n in names if n not in fixed]
+    in_window = [n for n in names[:_WINDOW_SIZE] if n not in fixed]
+    out_window = tail[len(in_window):]
+    if in_window and out_window:
+        max_in = max(history.get(n, -1) for n in in_window)
+        min_out = min(history.get(n, -1) for n in out_window)
+        assert max_in <= min_out, (
+            f"window not argmax-stale: in-window freshness {max_in} > "
+            f"out-of-window staleness {min_out}"
+        )
+
+
+def test_round6_window_holds_never_certified(registry):
+    """The two entries with no driver row through round 5 must be in the
+    round-6 window (VERDICT r5 'Next round' #1)."""
+    names, _, _ = registry
+    history = correctness_history()
+    if not history:
+        pytest.skip("no CORRECTNESS_r*.json history in this checkout")
     window = set(names[:_WINDOW_SIZE])
-    must_certify = {
-        # streaming formalisms, silently corrupted in r4
-        "streaming_tumbling_window",
-        "streaming_session_window",
-        "streaming_dedup",
-        "streaming_stream_join",
-        # in-window ERR in r4 (fill entries; the 8 prep events composites
-        # are covered by test_window_holds_pipeline_and_all_of_prep)
-        "asof_join_attribution",
-        "salted_aggregation",
-        # batch events family — loader victims, stale since r1/r2
-        "events_tumbling_window",
-        "events_sliding_window",
-        "events_type_stats",
-        "events_sessionize",
-        "events_json_extract",
-        "window_running_sum",
-    }
-    missing = must_certify - window
-    assert not missing, f"r5 must-certify entries out of window: {missing}"
+    never = {n for n in names if n not in history}
+    missing = never - window
+    assert not missing, f"never-certified entries out of window: {missing}"
+
+
+def test_staleness_fill_fallback_is_deterministic(registry):
+    """With no history, staleness_fill must follow the frozen fallback
+    prefix and keep registry natural order for names beyond it."""
+    names, queries, _ = registry
+
+    from data_ingestion_api_system_spark.operators import pipeline, prep
+
+    fixed = set(pipeline.QUERIES) | set(prep.QUERIES)
+    tail = [n for n in queries if n not in fixed]
+    got = staleness_fill(tail, history={})
+    rank = {n: i for i, n in enumerate(_FALLBACK_FILL)}
+    expected = sorted(tail, key=lambda n: rank.get(n, len(rank)))
+    assert got == expected
 
 
 def test_prep_cannot_overflow_window():
@@ -117,9 +143,9 @@ def test_all_query_modules_have_dicts():
         assert isinstance(getattr(mod, "ORACLE", None), dict), mod.__name__
 
 
-def test_window_fill_names_exist(registry):
-    """A typo in _WINDOW_FILL silently skips the name (the loop guards with
-    `if name in queries`); catch it here instead."""
+def test_fallback_fill_names_exist(registry):
+    """A typo in _FALLBACK_FILL silently demotes the name to the tail of the
+    no-history ordering; catch it here instead."""
     _, queries, _ = registry
-    unknown = [n for n in _WINDOW_FILL if n not in queries]
-    assert not unknown, f"_WINDOW_FILL names not in registry: {unknown}"
+    unknown = [n for n in _FALLBACK_FILL if n not in queries]
+    assert not unknown, f"_FALLBACK_FILL names not in registry: {unknown}"
