@@ -51,11 +51,12 @@ def encodings(tmp_path_factory):
     return str(us_dir), str(ns_dir)
 
 
-def test_footer_probe(encodings):
+def test_footer_probe(spark, encodings):
     us_dir, ns_dir = encodings
-    assert _ts_is_raw_nanos(us_dir) is False
-    assert _ts_is_raw_nanos(ns_dir) is True
-    assert _ts_is_raw_nanos("/nonexistent") is False
+    assert _ts_is_raw_nanos(spark, us_dir) is False
+    # NANOS: either the read fails (legacy conf unset) or, if a previous
+    # loader already set nanosAsLong, resolves to LongType — True both ways
+    assert _ts_is_raw_nanos(spark, ns_dir) is True
 
 
 def test_both_encodings_same_instants(spark, encodings):
