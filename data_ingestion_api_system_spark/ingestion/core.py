@@ -179,7 +179,9 @@ def simulate_progress(batches: DataFrame, modulus: int = 5) -> DataFrame:
     )
 
 
-def status_rollup(ingestions: DataFrame, batches: DataFrame) -> DataFrame:
+def status_rollup(
+    ingestions: DataFrame, batches: DataFrame, key: str = "ingestion_id"
+) -> DataFrame:
     """A15+A16: per-ingestion overall status.
 
     'completed' iff EVERY batch completed — vacuously true for zero batches
@@ -187,20 +189,32 @@ def status_rollup(ingestions: DataFrame, batches: DataFrame) -> DataFrame:
     iff ANY batch is triggered (src/app.js:171), else 'yet_to_start'.
     Driving from ``ingestions`` LEFT JOIN the aggregated ``batches`` is what
     preserves the vacuous-truth edge (a bare groupBy would drop zero-batch
-    ingestions entirely — SURVEY §7.4.2).
+    ingestions entirely — SURVEY §7.4.4).
 
-    Shuffle profile: one hash aggregate on ingestion_id (map-side partial
+    ``key``: the group/join column. Default is the public ``ingestion_id``;
+    callers whose inputs are partitioned by the underlying numeric
+    ``request_id`` should pass that instead — ``ingestion_id`` is a
+    *derived* string (``concat('ing-', request_id)``), and Catalyst cannot
+    prove hashpartitioning(request_id) satisfies a requirement on the
+    concat, so grouping on the string forces a pointless re-shuffle of
+    batch rows that are already co-located. Both columns identify the same
+    entity (src/app.js:133 uses the parent key directly); the output shape
+    is identical either way.
+
+    Shuffle profile: one hash aggregate on ``key`` (map-side partial
     bool_and/bool_or first — bytes shuffled ≈ #ingestions, not #batches),
     then a join on the same key, which AQE converts to broadcast when the
-    aggregate side is small.
+    aggregate side is small. With ``key='request_id'`` over inputs keyed by
+    it (spread_by here; bucketed tables at 100 TB), both steps plan zero
+    exchanges.
     """
-    agg = batches.groupBy("ingestion_id").agg(
+    agg = batches.groupBy(key).agg(
         F.bool_and(F.col("status") == STATUS_COMPLETED).alias("all_completed"),
         F.bool_or(F.col("status") == STATUS_TRIGGERED).alias("any_triggered"),
         F.count("*").alias("n_batches"),
         F.sum(F.size("ids")).alias("n_ids"),
     )
-    return ingestions.join(agg, "ingestion_id", "left").select(
+    return ingestions.join(agg, key, "left").select(
         "ingestion_id",
         F.col("priority"),
         F.when(F.coalesce("all_completed", F.lit(True)), STATUS_COMPLETED)
@@ -259,18 +273,19 @@ def requests_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     [1, 10^9+7] — src/app.js:112), priority bucketed from o_orderpriority
     (1/2→HIGH, 3→MEDIUM, else LOW), arrival_ts = o_orderdate.
 
-    Plan shape: lineitem groupBy(l_orderkey) with collect_list partial aggs,
-    then an equi-join to orders on the same key — one shuffle each side; at
-    100 TB both tables bucketed by orderkey make this shuffle-free.
-
-    Both scans are spread: the harness tables are single parquet files, so
-    without it the 600k-row collect_list shuffle WRITE runs in one serial
-    task (measured 2× the whole-query time at sf0.1).
+    Plan shape: both scans are spread BY THE ORDER KEY (``spread_by``), so
+    the one hash exchange doubles as the aggregate's distribution — the
+    lineitem groupBy(l_orderkey) and the orders equi-join plan no further
+    exchange. A round-robin spread + classic partial/final aggregate is
+    strictly worse here: collect_list partials don't shrink, so the same
+    bytes would cross the wire twice (measured: keyed layout takes the
+    sf0.1 rollup 2.6 s → 1.5 s). At 100 TB both tables arrive bucketed by
+    orderkey, spread_by no-ops, and the whole derivation is shuffle-free.
     """
-    from ..operators import spread
+    from ..operators import spread_by
 
-    lineitem = spread(load_table(spark, sf_dir, "lineitem"))
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    lineitem = spread_by(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    orders = spread_by(load_table(spark, sf_dir, "orders"), "o_orderkey")
     ids_per_order = lineitem.groupBy("l_orderkey").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),

@@ -33,36 +33,27 @@ def _size_bytes(conf_value: str, default: int = 128 * 2**20) -> int:
         return default
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition a compute-heavy narrow input up to the session's default
-    parallelism. The harness tables are ONE parquet file each (a single row
-    group), so the scan gets a single partition and every per-row expression
-    downstream runs serially in one task — profiled at ~5 s/task for
-    shingle+md5 work at sf0.1 while 31 cores idle (worse: broadcast-exchange
-    builders race the cache and re-run that serial task 2-3×). One tiny
-    round-robin shuffle of the raw rows buys full-width execution. On a real
-    100 TB layout the input arrives in thousands of splits and this guard
-    short-circuits to a no-op.
-
-    The split-count probe is metadata-only (leaf file list + driver-side
-    stat, each file contributing ceil(size/maxPartitionBytes) splits) —
-    no ``df.rdd`` conversion, which would force a full Python-RDD plan per
+def _is_narrow_scan(df: DataFrame, target: int) -> bool:
+    """True when the DataFrame's leaf scan will plan fewer than ``target``
+    partitions. Metadata-only probe (leaf file list + driver-side stat,
+    each file contributing ceil(size/maxPartitionBytes) splits) — no
+    ``df.rdd`` conversion, which would force a full Python-RDD plan per
     call (ADVICE r5). Non-local paths we can't stat count as one split
     each, which at worst repartitions an input that was already wide — a
     cheap no-op-equivalent for the tiny inputs this guards."""
     import os
     from urllib.parse import urlparse
 
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
     if len(files) >= target:
-        return df
+        return False
     max_bytes = _size_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
     )
     splits = 0
     for uri in files:
@@ -75,8 +66,40 @@ def spread(df: DataFrame) -> DataFrame:
             except OSError:
                 pass
         if splits >= target:
-            return df
+            return False
+    return True
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a compute-heavy narrow input up to the session's default
+    parallelism. The harness tables are ONE parquet file each (a single row
+    group), so the scan gets a single partition and every per-row expression
+    downstream runs serially in one task — profiled at ~5 s/task for
+    shingle+md5 work at sf0.1 while 31 cores idle (worse: broadcast-exchange
+    builders race the cache and re-run that serial task 2-3×). One tiny
+    round-robin shuffle of the raw rows buys full-width execution. On a real
+    100 TB layout the input arrives in thousands of splits and this guard
+    short-circuits to a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not _is_narrow_scan(df, target):
+        return df
     return df.repartition(target)
+
+
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Like :func:`spread`, but hash-partitions on ``cols`` instead of
+    round-robin — for inputs whose next stateful operator groups or joins
+    on exactly those columns. A downstream ``groupBy(cols)`` then reuses
+    this partitioning and plans NO further exchange, so the total shuffle
+    count is one, not two. That matters most for non-reducing aggregates
+    (``collect_list``: partial aggregation doesn't shrink the data, so the
+    classic partial→exchange→final plan ships the same bytes TWICE — once
+    as round-robin spread, once as partials). On a layout already bucketed
+    by ``cols`` this no-ops and the aggregate is shuffle-free end to end."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not _is_narrow_scan(df, target):
+        return df
+    return df.repartition(target, *cols)
 
 
 def tune(spark: SparkSession) -> SparkSession:

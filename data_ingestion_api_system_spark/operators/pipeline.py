@@ -243,21 +243,27 @@ def q_pipeline_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic partial-progress snapshot, including the vacuous-completed
     edge (zero-batch ingestions report 'completed', src/app.js:169).
 
-    One hash aggregate on ingestion_id (map-side bool_and/bool_or partials)
-    + one equi-join on the same key; at 100 TB both sides bucketed by
-    ingestion_id make the whole rollup shuffle-free.
+    Plan shape (the headline-bench flagship): the workload derivation
+    arrives hash-partitioned on the order key (spread_by inside
+    requests_from_orders), and the rollup groups/joins on ``request_id`` —
+    the numeric key that partitioning provably carries through the chunk
+    explode — so the aggregate and the parent join both plan ZERO new
+    exchanges; ``ingestion_id`` is projected from the parent side. At
+    100 TB with both tables bucketed by orderkey the whole query is
+    shuffle-free.
 
     The validated request set feeds BOTH rollup inputs (parents and
-    children); caching it materializes the expensive lineitem
-    collect_list aggregation once instead of per branch — measured 3x at
-    sf0.1 (14.2s → 4.5s).
+    children); caching it materializes the lineitem collect_list
+    derivation once instead of per branch (re-measured r6 on the keyed
+    plan: 1.7 s → 1.5 s at sf0.1; was 3× back when the derivation was
+    round-robin spread).
     """
     tune(spark)
     valid, _ = validate(requests_from_orders(spark, sf_dir))
     valid = valid.cache()
     ing = ingestions_from_requests(valid)
     b = simulate_progress(chunk_batches(valid))
-    return status_rollup(ing, b)
+    return status_rollup(ing, b, key="request_id")
 
 
 _ORACLE_STATUS_ROLLUP = f"""
