@@ -102,25 +102,88 @@ def convert_to_parquet(
     )
 
 
+def stream_source(
+    spark: SparkSession,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Generic streaming-source builder: one place where readStream
+    format/schema/options plumbing lives. The Kafka path composes this with
+    its connector options; tests exercise the very same plumbing with the
+    built-in ``rate-micro-batch`` source (no external jars), so a typo in
+    the option loop can't hide behind the missing Kafka classpath
+    (tests/test_stream_sources.py)."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load()
+
+
 def kafka_stream_source(
-    spark: SparkSession, bootstrap_servers: str, topic: str
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Kafka streaming source for the ingest pipeline (BASELINE.json
     'REST/Kafka sources'). Requires the spark-sql-kafka package on the
     classpath — not present in this container, so fail fast with context.
+    ``extra_options`` passes through e.g. startingOffsets/maxOffsetsPerTrigger
+    (the latter is the knob that bounds per-micro-batch work at scale).
     """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        **(extra_options or {}),
+    }
     try:
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .load()
-        )
+        return stream_source(spark, "kafka", opts)
     except Exception as e:  # noqa: BLE001
         raise RuntimeError(
             "Kafka source requires the spark-sql-kafka connector jars "
             "(org.apache.spark:spark-sql-kafka-0-10) on the classpath"
         ) from e
+
+
+# Kafka record wire shape (what spark-sql-kafka emits): used to synthesize
+# connector-shaped frames in tests and to document what parse_kafka_ingest
+# consumes.
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+_INGEST_REQUEST_JSON_SCHEMA = "ids array<bigint>, priority string"
+
+
+def parse_kafka_ingest(records: DataFrame) -> DataFrame:
+    """Decode Kafka-shaped records (``value`` = JSON ingest request bytes)
+    into the ingest-request rows the A2 validation filter consumes:
+    (request_id, ids, priority, arrival_ts). ``request_id`` is the Kafka
+    offset — unique per partition and monotone, the natural surrogate when
+    requests arrive via a log instead of HTTP. Works identically on a real
+    ``kafka_stream_source`` stream and on any batch/stream frame matching
+    KAFKA_RECORD_SCHEMA, so the decode logic is testable without the
+    connector jars (reference parity: src/app.js:106-119 does the same
+    body-parse → validate → stamp sequence on the HTTP path)."""
+    from pyspark.sql import functions as F
+
+    parsed = records.select(
+        F.col("offset").alias("request_id"),
+        F.from_json(
+            F.col("value").cast("string"), _INGEST_REQUEST_JSON_SCHEMA
+        ).alias("req"),
+        F.col("timestamp").alias("arrival_ts"),
+    )
+    return parsed.select(
+        "request_id",
+        F.col("req.ids").alias("ids"),
+        F.col("req.priority").alias("priority"),
+        "arrival_ts",
+    )
 
 
 def jdbc_table(
