@@ -245,18 +245,23 @@ def q_pipeline_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (the headline-bench flagship): the workload derivation
     arrives hash-partitioned on the order key (spread_by inside
-    requests_from_orders), and the rollup groups/joins on ``request_id`` —
-    the numeric key that partitioning provably carries through the chunk
-    explode — so the aggregate and the parent join both plan ZERO new
-    exchanges; ``ingestion_id`` is projected from the parent side. At
-    100 TB with both tables bucketed by orderkey the whole query is
-    shuffle-free.
+    requests_from_orders), and the rollup groups/joins on ``request_id``
+    — the numeric key partitioning carries through the chunk explode,
+    which it cannot for the concat-derived ``ingestion_id`` string;
+    ``ingestion_id`` is projected from the parent side. Uncached, the
+    whole query plans zero Catalyst-inserted exchanges (only the
+    spread_by repartitions + broadcasts — verified via explain), i.e. at
+    100 TB with both tables bucketed by orderkey it is shuffle-free.
 
     The validated request set feeds BOTH rollup inputs (parents and
     children); caching it materializes the lineitem collect_list
-    derivation once instead of per branch (re-measured r6 on the keyed
-    plan: 1.7 s → 1.5 s at sf0.1; was 3× back when the derivation was
-    round-robin spread).
+    derivation once instead of per branch. The cache boundary does hide
+    the child partitioning from the batches-side aggregate (one
+    ENSURE_REQUIREMENTS exchange of the slim exploded rows re-appears),
+    but it still measures fastest at sandbox scale (r6, sf0.1: cached
+    1.46 s vs uncached 1.71 s vs r5's round-robin plan 2.49 s). On a
+    bucketed production layout drop the cache and take the shuffle-free
+    plan.
     """
     tune(spark)
     valid, _ = validate(requests_from_orders(spark, sf_dir))

@@ -126,3 +126,31 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_uncached_rollup_plans_no_catalyst_exchange(spark):
+    """The status-rollup flagship's scale claim (operators/pipeline.py):
+    with the derivation spread_by the order key and the rollup keyed on
+    request_id, the UNCACHED plan contains no Catalyst-inserted exchange —
+    every Exchange is an explicit spread_by repartition (or a broadcast),
+    so on an orderkey-bucketed layout the query is shuffle-free."""
+    from data_ingestion_api_system_spark.ingestion.core import (
+        chunk_batches,
+        ingestions_from_requests,
+        requests_from_orders,
+        simulate_progress,
+        status_rollup,
+        validate,
+    )
+    from data_ingestion_api_system_spark.operators import tune
+
+    tune(spark)
+    valid, _ = validate(requests_from_orders(spark, SF_DIR))
+    rolled = status_rollup(
+        ingestions_from_requests(valid),
+        simulate_progress(chunk_batches(valid)),
+        key="request_id",
+    )
+    plan = formatted_plan(rolled)
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    assert "REPARTITION_BY_NUM" in plan  # the explicit spread_by exchanges
