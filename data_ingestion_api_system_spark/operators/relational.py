@@ -36,7 +36,7 @@ from ..functions import (
     sql_exact_sum_dec,
 )
 from ..tables import load_table
-from . import tune
+from . import spread_by, tune
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -105,11 +105,20 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer⋈orders⋈lineitem with selective filters on both ends.
     customer('BUILDING') is small → broadcast into orders, so only the
     orders⋈lineitem equi-join shuffles; top-10 runs as
-    TakeOrderedAndProject (no global sort materialization)."""
+    TakeOrderedAndProject (no global sort materialization).
+
+    spread_by(l_orderkey) on the filtered lineitem: the single-file harness
+    scan would otherwise probe the join and run the revenue partials in one
+    serial task; the key matches both the join and the leading group key,
+    so the one exchange serves all downstream distribution needs. No-op on
+    a multi-split layout."""
     tune(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
+    li = spread_by(
+        _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30"),
+        "l_orderkey",
+    )
     revenue = revenue_dec()
     return (
         li.join(
@@ -163,7 +172,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
-    li = _t(spark, sf_dir, "lineitem")
+    # spread_by(l_orderkey): parallelizes the serial single-file probe side
+    # and pre-aligns the first fact-fact join; no-op on real layouts
+    li = spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     revenue = revenue_dec()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -239,7 +250,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = spread_by(
+        _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R"),
+        "l_orderkey",
+    )
     revenue = revenue_dec()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -281,9 +295,16 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-then-semi-join shape: find orderkeys whose total quantity
     clears a threshold, then enrich. The HAVING runs on the aggregated
     (small) side before the join — never filter after joining what you
-    could filter before."""
+    could filter before.
+
+    spread_by on the agg key: the harness lineitem is one single-row-group
+    file, so without it the scan AND the map-side decimal-sum partials run
+    serially in one task; hash-partitioning on l_orderkey parallelizes the
+    sum 32-wide while the one exchange doubles as the aggregate's
+    distribution. On a real multi-split (or orderkey-bucketed) layout it
+    no-ops and the classic partial→final plan resumes."""
     tune(spark)
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     big = (
