@@ -107,18 +107,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem equi-join shuffles; top-10 runs as
     TakeOrderedAndProject (no global sort materialization).
 
-    spread_by(l_orderkey) on the filtered lineitem: the single-file harness
-    scan would otherwise probe the join and run the revenue partials in one
-    serial task; the key matches both the join and the leading group key,
-    so the one exchange serves all downstream distribution needs. No-op on
-    a multi-split layout."""
+    Deliberately NOT spread: an interleaved A/B at sf0.1 (r6) showed
+    repartitioning the filtered probe side costs more than the serial
+    broadcast-probe it parallelizes (1.12 s vs 1.04 s) — hash-lookup
+    probes are cheap per row, unlike the decimal-partial aggregation that
+    makes spread_by pay in q18."""
     tune(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    li = spread_by(
-        _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30"),
-        "l_orderkey",
-    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
     revenue = revenue_dec()
     return (
         li.join(
@@ -172,9 +169,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
-    # spread_by(l_orderkey): parallelizes the serial single-file probe side
-    # and pre-aligns the first fact-fact join; no-op on real layouts
-    li = spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # NOT spread: A/B at sf0.1 (r6) put the repartition cost above the
+    # serial-probe saving (1.33 s vs 1.03 s) — see q3's docstring
+    li = _t(spark, sf_dir, "lineitem")
     revenue = revenue_dec()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -250,10 +247,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
-    li = spread_by(
-        _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R"),
-        "l_orderkey",
-    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     revenue = revenue_dec()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -301,8 +295,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     file, so without it the scan AND the map-side decimal-sum partials run
     serially in one task; hash-partitioning on l_orderkey parallelizes the
     sum 32-wide while the one exchange doubles as the aggregate's
-    distribution. On a real multi-split (or orderkey-bucketed) layout it
-    no-ops and the classic partial→final plan resumes."""
+    distribution (interleaved A/B at sf0.1, r6: 1.36 s vs 1.56 s — and
+    unlike q3/q5's cheap broadcast probes, this map side is real compute).
+    On a real multi-split (or orderkey-bucketed) layout it no-ops and the
+    classic partial→final plan resumes."""
     tune(spark)
     li = spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
