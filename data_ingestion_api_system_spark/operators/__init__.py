@@ -126,8 +126,9 @@ def tune(spark: SparkSession) -> SparkSession:
 # Deriving the fill from the driver's own records (VERDICT r5 #2) makes the
 # rotation self-maintaining: each round the driver commits a new
 # CORRECTNESS_r{N}.json, which reorders the next round's tail to the
-# argmax-stale set with zero hand-editing. With ~83 tail entries and ~27
-# fill slots the full cycle is 3 rounds.
+# argmax-stale set with zero hand-editing (never-certified entries —
+# including brand-new non-prep operators — sort first). With ~84 tail
+# entries and ~26 fill slots the full cycle is 3-4 rounds.
 _WINDOW_SIZE = 50
 
 # Fallback fill order if no CORRECTNESS_r*.json history is readable (e.g.

@@ -1328,6 +1328,72 @@ FROM sig
 """
 
 
+# --- temperature-based corpus mixing ---------------------------------------
+
+MIX_EPOCH_DOCS = 100_000  # documents drawn per training epoch
+
+
+def q_prep_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (the mT5/CC-100 recipe): sampling
+    probability per language ∝ n_tokens^α with α = 0.5, which upsamples
+    low-resource languages relative to their natural share. Emits per
+    language the corpus stats, the natural (proportional) share, the
+    tempered sampling probability, and the resulting per-epoch document
+    draw — the table a training dataloader consumes.
+
+    α = 0.5 (sqrt) deliberately: IEEE-754 sqrt is correctly rounded, so
+    both engines derive bit-identical weights — pow(x, 0.7) is NOT so
+    guaranteed and could drift across libm implementations. The final
+    draw count uses floor, never round-half, so no tie-breaking rule is
+    exercised.
+
+    Plan shape at 100 TB: one map-side-combinable aggregate to ≤O(100)
+    language rows, then window math on that tiny set — shuffle bytes are
+    constant in corpus size; the single-partition window over language
+    rows is deliberate (same containment argument as the queue-order
+    top-100)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stats = (
+        docs.select("lang", tokens("text").alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("t")).alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    w = F.sqrt(F.col("n_tokens"))
+    natural = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    p = w / F.sum(w).over(everything)
+    return stats.select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(natural, 6).alias("natural_share"),
+        F.round(p, 6).alias("sample_prob"),
+        F.floor(p * MIX_EPOCH_DOCS).cast("bigint").alias("epoch_docs"),
+        F.round(p / natural, 6).alias("boost"),
+    )
+
+
+_ORACLE_TEMPERATURE_MIX = f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n_docs, sum(len({_SQL_TOKS})) AS n_tokens
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS natural_share,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS sample_prob,
+       CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                  * {MIX_EPOCH_DOCS}) AS BIGINT) AS epoch_docs,
+       ROUND((sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ())
+             / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6) AS boost
+FROM stats
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -1347,6 +1413,7 @@ QUERIES = {
     "fuzzy_name_match": q_fuzzy_name_match,
     "prep_decontaminate": q_prep_decontaminate,
     "text_repetition_score": q_text_repetition_score,
+    "prep_temperature_mix": q_prep_temperature_mix,
 }
 
 ORACLE = {
@@ -1368,4 +1435,5 @@ ORACLE = {
     "fuzzy_name_match": _ORACLE_FUZZY,
     "prep_decontaminate": _ORACLE_DECON,
     "text_repetition_score": _ORACLE_REPETITION,
+    "prep_temperature_mix": _ORACLE_TEMPERATURE_MIX,
 }

@@ -595,6 +595,72 @@ GROUP BY p.word, p.exact_count
 """
 
 
+# --- overlapping context windows (RAG / training-window chunker) -----------
+
+CHUNK_W = 64  # window size in tokens
+CHUNK_S = 48  # stride (W - S = 16 tokens of overlap between windows)
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker: split every document into overlapping
+    {CHUNK_W}-token windows at stride {CHUNK_S} — the standard unit for
+    retrieval indexing and fixed-context training when documents exceed
+    the model context. A doc with n tokens yields 1 window when n ≤ W,
+    else ((n-W+S-1) div S) + 1, so the last window always reaches the
+    final token; zero-token docs yield no rows. Windows are emitted as
+    (doc_id, chunk_idx, token count, md5 of the joined window) — the md5
+    keeps the oracle's value-hash over scalar columns while still pinning
+    the exact window CONTENT, not just its length.
+
+    Plan shape at 100 TB: tokenize + window enumeration are per-row array
+    expressions and the explode is a Generate — a pure narrow map that
+    widens with the scan, zero shuffles. Integer arithmetic only (div,
+    not float ceil) so both engines count windows identically."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "lang", tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    n = F.size("t")
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.expr(f"((size(t) - {CHUNK_W} + {CHUNK_S} - 1) div {CHUNK_S}) + 1")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.slice(F.col("t"), i * CHUNK_S + 1, CHUNK_W),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        F.posexplode(windows).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+_ORACLE_CHUNK_WINDOWS = f"""
+WITH sized AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS t, len({_SQL_TOKS}) AS n
+  FROM documents
+  WHERE len({_SQL_TOKS}) > 0
+),
+expanded AS (
+  SELECT doc_id, lang, t,
+         unnest(range(0, CASE WHEN n <= {CHUNK_W} THEN 1
+                              ELSE ((n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}) + 1 END)) AS ci
+  FROM sized
+)
+SELECT doc_id, lang, CAST(ci AS INT) AS chunk_idx,
+       CAST(len(t[ci*{CHUNK_S}+1 : ci*{CHUNK_S}+{CHUNK_W}]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(t[ci*{CHUNK_S}+1 : ci*{CHUNK_S}+{CHUNK_W}], ' ')) AS chunk_md5
+FROM expanded
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -606,6 +672,7 @@ QUERIES = {
     "text_sequence_pack": q_text_sequence_pack,
     "text_stratified_sample": q_text_stratified_sample,
     "text_pii_redact": q_text_pii_redact,
+    "text_chunk_windows": q_text_chunk_windows,
     "sketch_count_min": q_sketch_count_min,
 }
 
@@ -620,5 +687,6 @@ ORACLE = {
     "text_sequence_pack": _ORACLE_SEQUENCE_PACK,
     "text_stratified_sample": _ORACLE_STRATIFIED,
     "text_pii_redact": _ORACLE_PII,
+    "text_chunk_windows": _ORACLE_CHUNK_WINDOWS,
     "sketch_count_min": _ORACLE_COUNT_MIN,
 }

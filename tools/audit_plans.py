@@ -204,6 +204,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Project"],
         [r"Exchange hashpartitioning", r"Join", r"CartesianProduct"],
     ),
+    "text_chunk_windows": (
+        # overlapping-window chunker: tokenize + enumerate + explode is a
+        # pure narrow Generate — no keyed shuffle, no join
+        [r"Generate"],
+        [r"Exchange hashpartitioning", r"Join", r"CartesianProduct"],
+    ),
+    "prep_temperature_mix": (
+        # corpus stats partial-aggregate map-side to O(#langs) rows; the
+        # window math runs on that tiny set only
+        [r"partial_count|partial_sum", r"Window"],
+        [r"Join", r"CartesianProduct"],
+    ),
 }
 
 
