@@ -57,24 +57,27 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
-    # Each query is timed as the best of three back-to-back runs: the first
-    # runs absorb one-time codegen/JIT/broadcast warmup and transient
+    # Each query runs once untimed (warmup), then is timed as the best of
+    # three back-to-back runs. The warmup absorbs one-time codegen compile /
+    # broadcast build; the min-of-3 absorbs C2 JIT promotion and transient
     # CPU-contention spikes (this box is a shared VM — identical queries
-    # were observed to swing 2-4x run-to-run); the min is the steady-state
-    # latency the plan actually has. Three runs, not two, because C2 JIT
-    # needs more than one execution on codegen-heavy plans (measured on
-    # the 8-way-md5 MinHash plan: run2 ~5 s, run3+ ~3.1 s). Caches created
-    # inside a query are dropped between runs so every run re-executes the
-    # full plan.
+    # were observed to swing 2-4x run-to-run), so the reported number is the
+    # steady-state latency the plan actually has. The dedicated warmup rep
+    # exists because 3 total runs proved insufficient for the two largest
+    # codegen plans (measured: status-rollup runs 1-4 = 10.3/8.4/3.4/1.8 s —
+    # best-of-3-including-cold reported 3.4 s for a 1.8 s steady state).
+    # Caches created inside a query are dropped between runs so every timed
+    # run re-executes the full plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, rows = float("inf"), 0
-        for _ in range(3):
+        for rep in range(4):
             spark.catalog.clearCache()
             start = time.perf_counter()
             n = len(fn(spark, sf_dir).toPandas())  # Arrow-batched materialization
-            best = min(best, time.perf_counter() - start)
+            if rep > 0:  # rep 0 is the untimed warmup
+                best = min(best, time.perf_counter() - start)
             rows = n
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
@@ -89,9 +92,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 # methodology marker so cross-round numbers are
-                # self-describing: r1 was single-run ("single"), r2+ is
-                # best-of-three ("best_of_3") — not directly comparable.
-                "timing": "best_of_3",
+                # self-describing: r1 was single-run ("single"), r2-r5
+                # best-of-three including the cold run ("best_of_3"), r6+
+                # one untimed warmup then best-of-three ("warm_best_of_3")
+                # — not directly comparable across markers.
+                "timing": "warm_best_of_3",
             }
         )
     )

@@ -246,6 +246,57 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC),
 """
 
 
+def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE sliding frame: per user, the count and exact sum of event
+    values in the trailing 10 minutes (RANGE BETWEEN 600 PRECEDING AND
+    CURRENT ROW over epoch seconds) — the rate-limiter / rolling-exposure
+    primitive a ROWS frame cannot express when event spacing is irregular.
+
+    RANGE frames include *peers* (equal order keys) on both engines, so
+    duplicate timestamps within a user need no tiebreak for the frame
+    itself; ``event_id`` keys the output rows. The frame axis is exact
+    epoch MICROSECONDS (``unix_micros`` / ``epoch_us``) rather than an
+    INTERVAL literal or cast-to-seconds: both are integers with no
+    truncate-vs-round divergence on sub-second timestamps (Spark's
+    cast-to-long floors, DuckDB's CAST(epoch(..)) rounds — measured 496/2000
+    rows apart at sf0.001), so both engines walk identical integer axes.
+    Sum via the decimal exact-sum dance — per-frame double addition order
+    differs between engines otherwise.
+
+    Scale: shuffles once on user_id (high-cardinality, even), then each
+    partition is one sort + a sliding two-pointer frame — the standard
+    distributed window; no global sort, no driver state."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        us.alias("epoch_us"),
+        F.count("*").over(w).alias("n_10min"),
+        F.round(F.sum(F.col("value").cast("decimal(25,4)")).over(w), 2)
+        .cast("double")
+        .alias("sum_value_10min"),
+    )
+
+
+_ORACLE_TIME_RANGE = """
+SELECT user_id, event_id,
+       epoch_us(ts) AS epoch_us,
+       COUNT(*) OVER w AS n_10min,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,4))) OVER w, 2) AS DOUBLE)
+         AS sum_value_10min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_distribution_funcs": q_window_distribution,
@@ -253,6 +304,7 @@ QUERIES = {
     "window_lag_lead": q_window_lag_lead,
     "window_rank_dense": q_window_rank_dense,
     "window_moving_avg": q_window_moving_avg,
+    "window_time_range_frame": q_window_time_range_frame,
 }
 
 ORACLE = {
@@ -262,4 +314,5 @@ ORACLE = {
     "window_lag_lead": _ORACLE_LAG_LEAD,
     "window_rank_dense": _ORACLE_RANK,
     "window_moving_avg": _ORACLE_MOVING_AVG,
+    "window_time_range_frame": _ORACLE_TIME_RANGE,
 }
