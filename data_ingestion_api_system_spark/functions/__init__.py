@@ -178,3 +178,26 @@ def tokens(col: Column | str) -> Column:
     empty tokens (JVM-side split; matches DuckDB
     ``list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0)``)."""
     return F.filter(F.split(_col(col), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def word_ngrams(toks, n: int) -> Column:
+    """Word n-grams of an array<string> column: positions 1..size-n+1, each
+    joined with a single space. Spark's ``sequence(1, 0)`` DESCENDS (never
+    empty), so sub-n docs need the explicit empty-array guard — same edge
+    the dedup shingle expr documents. DuckDB twin: :func:`sql_word_ngrams`."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def sql_word_ngrams(t: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams` (range end is exclusive;
+    list_slice bounds are inclusive; the greatest() keeps sub-n inputs at
+    an empty range instead of a descending one)."""
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)),"
+        f" i -> array_to_string(list_slice({t}, CAST(i AS INT), CAST(i AS INT) + {n - 1}), ' '))"
+    )

@@ -1133,28 +1133,11 @@ DECON_NGRAM = 3  # word n-gram order; production pipelines use 8-13
 DECON_PROBE_MOD = 7  # doc_id % MOD == 0 → benchmark probe set (deterministic)
 
 
-def _word_ngrams(toks, n: int):
-    """Non-overlapping-safe word n-grams of an array<string> column:
-    positions 1..size-n+1, each joined with a single space. Spark's
-    ``sequence(1, 0)`` DESCENDS (never empty), so sub-n docs need the
-    explicit empty-array guard — same edge the shingle expr documents."""
-    return (
-        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
-    )
-
-
-def _sql_word_ngrams(t: str, n: int) -> str:
-    """DuckDB twin of :func:`_word_ngrams` (range end is exclusive;
-    list_slice bounds are inclusive)."""
-    return (
-        f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)),"
-        f" i -> array_to_string(list_slice({t}, CAST(i AS INT), CAST(i AS INT) + {n - 1}), ' '))"
-    )
+# Shared with operators.text (cross-doc spans) — canonical definitions live
+# in ..functions; the leading-underscore aliases keep existing call sites
+# and tests/test_prep.py's direct import stable.
+from ..functions import word_ngrams as _word_ngrams  # noqa: E402
+from ..functions import sql_word_ngrams as _sql_word_ngrams  # noqa: E402
 
 
 def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import exact_avg, sql_exact_avg, tokens
+from ..functions import (
+    exact_avg,
+    sql_exact_avg,
+    sql_word_ngrams as _sql_word_ngrams,
+    tokens,
+    word_ngrams as _word_ngrams,
+)
 from ..tables import load_table
 from . import spread, tune
 
@@ -661,6 +667,201 @@ FROM expanded
 """
 
 
+# --- TF-IDF keyword extraction ---------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOPK} keywords by TF-IDF — the classic
+    corpus-statistics signal behind keyword indexing, near-topic grouping,
+    and quality heuristics (a doc whose top terms are boilerplate scores
+    differently from one with distinctive vocabulary).
+
+    Scoring uses the LINEAR idf variant score = tf · (N/df): computed as
+    CAST(tf·N AS DOUBLE)/df — one correctly-rounded IEEE division of exact
+    integers, bit-identical across engines — where log-idf would hinge on
+    each engine's libm ln() agreeing to the last ulp (not guaranteed).
+    Ranking per doc: score DESC, then term ASC so equal scores can't
+    diverge. Ties in the corpus-frequency tail are common, so the tiebreak
+    is load-bearing, not defensive.
+
+    Plan shape at 100 TB: explode → two keyed aggregations (doc_id+term,
+    then term) → a term-keyed join back → a per-doc window. The df table is
+    vocabulary-sized; AQE broadcasts it while it fits and falls back to a
+    shuffle join beyond that — both correct, no code change. The window
+    partitions by doc_id (high-cardinality, even) and Spark 4 plans it as
+    WindowGroupLimit: each group keeps a {TFIDF_TOPK}-element heap, no full
+    per-doc sort."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.transform(tokens("text"), F.lower)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            F.col("rk").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+_ORACLE_TFIDF = f"""
+WITH words AS (
+  SELECT doc_id, lower(w) AS term
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+  FROM tf t JOIN df d USING (term), n
+)
+SELECT doc_id, CAST(rk AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+# --- cross-document duplicate n-gram spans ---------------------------------
+
+SPAN_N = 8  # span length in words; the RefinedWeb/MassiveText working size
+SPAN_DUP_FRAC = 0.5  # docs above this shared-span fraction get flagged
+
+
+def q_text_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span detection — the corpus-level
+    complement of ``text_repetition_score`` (intra-doc) and the n-gram
+    analogue of exact dedup: for every document, the fraction of its
+    distinct {SPAN_N}-word spans that also occur in at least one OTHER
+    document. High fractions mark boilerplate/templated/mirrored text that
+    survives document-level exact dedup because the docs differ somewhere.
+
+    Per doc the span set is DISTINCT (array_distinct) so a span repeated
+    inside one doc can't inflate its own cross-doc count; a span is
+    'shared' when its document frequency is ≥ 2. Docs shorter than
+    {SPAN_N} words have no spans and are reported with zero counts via the
+    left join (the flag stays 0) — same row universe as the input corpus.
+
+    Plan shape at 100 TB: explode distinct spans → one aggregation keyed by
+    span (map-side combinable counts) → join back on span → per-doc
+    re-aggregation keyed by doc_id. Identical bones to the decontamination
+    operator, but self-joined against the corpus itself rather than a
+    broadcast probe set — the span-keyed exchange is the honest cost of a
+    corpus-global question. Hashing spans to md5 before the shuffle would
+    cut key bytes ~2x at scale; kept as raw text here so the oracle can
+    share the key."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                _word_ngrams(F.transform(tokens("text"), F.lower), SPAN_N)
+            )
+        ).alias("span"),
+    )
+    span_df = spans.groupBy("span").agg(F.count("*").alias("span_docs"))
+    per_doc = (
+        spans.join(span_df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("span_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.when(
+            F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(F.round(F.col("n_shared") / F.col("n_spans"), 6))
+        .alias("shared_frac"),
+        (
+            F.coalesce("n_shared", F.lit(0))
+            / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1))
+            >= SPAN_DUP_FRAC
+        )
+        .cast("int")
+        .alias("boilerplate"),
+    )
+
+
+_ORACLE_CROSS_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_transform({_SQL_TOKS}, x -> lower(x)) AS t
+  FROM documents
+),
+spans AS (
+  -- _sql_word_ngrams yields an empty list for sub-n docs by construction
+  SELECT doc_id, unnest(list_distinct({_sql_word_ngrams('t', SPAN_N)})) AS span
+  FROM toks
+),
+span_df AS (
+  SELECT span, count(*) AS span_docs FROM spans GROUP BY span
+),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM spans s JOIN span_df d USING (span)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, lang,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.n_shared AS DOUBLE) / p.n_spans, 6) END AS shared_frac,
+       CASE WHEN CAST(coalesce(p.n_shared, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_spans, 0), 1) >= {SPAN_DUP_FRAC}
+            THEN 1 ELSE 0 END AS boilerplate
+FROM documents LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -673,6 +874,8 @@ QUERIES = {
     "text_stratified_sample": q_text_stratified_sample,
     "text_pii_redact": q_text_pii_redact,
     "text_chunk_windows": q_text_chunk_windows,
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "text_cross_doc_spans": q_text_cross_doc_spans,
     "sketch_count_min": q_sketch_count_min,
 }
 
@@ -688,5 +891,7 @@ ORACLE = {
     "text_stratified_sample": _ORACLE_STRATIFIED,
     "text_pii_redact": _ORACLE_PII,
     "text_chunk_windows": _ORACLE_CHUNK_WINDOWS,
+    "text_tfidf_topk": _ORACLE_TFIDF,
+    "text_cross_doc_spans": _ORACLE_CROSS_SPANS,
     "sketch_count_min": _ORACLE_COUNT_MIN,
 }
