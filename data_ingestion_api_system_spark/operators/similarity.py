@@ -498,6 +498,122 @@ FROM q
 """
 
 
+PQ_SUBSPACES = 4
+PQ_SUBDIM = DIMS // PQ_SUBSPACES  # 16 dims per subspace
+PQ_CODES = 4  # codes per subspace codebook (seeded from the first vectors)
+
+
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the code-assignment half of a PQ/IVF-PQ ANN
+    index (Jégou et al., the FAISS workhorse): each {DIMS}-dim vector is
+    split into {PQ_SUBSPACES} subvectors of {PQ_SUBDIM} dims, each
+    subvector snaps to its nearest codebook entry by squared L2, and the
+    vector compresses to {PQ_SUBSPACES} small code ids plus a per-vector
+    quantization error. Codebooks are seeded deterministically from the
+    first {PQ_CODES} vectors' subvectors (the same convention as the
+    k-means seeds) so both engines hold identical codebooks; a production
+    build would train them with sim_kmeans_step per subspace — same plan,
+    iterated.
+
+    Cross-engine exactness: sub-distances are sequential left-to-right
+    folds of (x-y)^2 over the same element order on both engines (the
+    module's dot-product discipline), the argmin orders by the raw double
+    distance with a code-id tiebreak, and the per-vector total error folds
+    the {PQ_SUBSPACES} sub-distances in subspace order before the single
+    display round.
+
+    Plan shape at 100 TB: the codebook ({PQ_SUBSPACES}x{PQ_CODES}
+    subvector rows) BROADCASTS; the corpus explodes x{PQ_SUBSPACES},
+    assigns narrowly against the broadcast (window argmin keyed by
+    (vec_id, subspace) — re-grouping rows that never left their
+    partition... the one keyed exchange), and re-aggregates by vec_id.
+    Compression output is ~{PQ_SUBSPACES} bytes/vector vs {DIMS}x4 raw."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    slices = F.array(
+        *[
+            F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    subs = e.select(
+        "vec_id", "label", F.posexplode(slices).alias("s", "sv")
+    )
+    book = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_CODES).select(
+            F.col("vec_id").alias("code_id"),
+            F.posexplode(slices).alias("s", "cv"),
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    scored = subs.join(book, "s").select(
+        "vec_id", "label", "s", "code_id", dist.alias("dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("code_id"))
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    ordered = F.sort_array(F.collect_list(F.struct("s", "code_id", "dist")))
+    return best.groupBy("vec_id", "label").agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["code_id"].cast("string")), ","
+        ).alias("codes_csv"),
+        F.round(
+            F.aggregate(
+                F.transform(ordered, lambda x: x["dist"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("quant_error"),
+    )
+
+
+_SQL_PQ_SLICES = (
+    f"(SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) ss"
+)
+
+
+def _sql_pq_slice(col: str) -> str:
+    return (
+        f"list_slice({col}, CAST(s * {PQ_SUBDIM} + 1 AS INT),"
+        f" CAST(s * {PQ_SUBDIM} + {PQ_SUBDIM} AS INT))"
+    )
+
+
+_ORACLE_PQ = f"""
+WITH e AS ({_SQL_EMB}),
+subs AS (
+  SELECT vec_id, label, s, {_sql_pq_slice('v')} AS sv FROM e, {_SQL_PQ_SLICES}
+),
+book AS (
+  SELECT vec_id AS code_id, s, {_sql_pq_slice('v')} AS cv
+  FROM e, {_SQL_PQ_SLICES} WHERE vec_id < {PQ_CODES}
+),
+scored AS (
+  SELECT subs.vec_id, subs.label, subs.s, book.code_id,
+         list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+           i -> (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+              * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS dist
+  FROM subs JOIN book USING (s)
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist ASC, code_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT vec_id, label,
+       string_agg(CAST(code_id AS VARCHAR), ',' ORDER BY s) AS codes_csv,
+       ROUND(list_sum(list(dist ORDER BY s)), 6) AS quant_error
+FROM best
+GROUP BY vec_id, label
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -507,6 +623,7 @@ QUERIES = {
     "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
     "sim_kmeans_step": q_sim_kmeans_step,
     "sim_quantize_int8": q_sim_quantize_int8,
+    "sim_pq_codes": q_sim_pq_codes,
 }
 
 ORACLE = {
@@ -518,4 +635,5 @@ ORACLE = {
     "sim_lsh_bucket_stats": _ORACLE_LSH_STATS,
     "sim_kmeans_step": _ORACLE_KMEANS,
     "sim_quantize_int8": _ORACLE_QUANTIZE,
+    "sim_pq_codes": _ORACLE_PQ,
 }
