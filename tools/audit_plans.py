@@ -216,6 +216,33 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count|partial_sum", r"Window"],
         [r"Join", r"CartesianProduct"],
     ),
+    "window_time_range_frame": (
+        # one user_id shuffle into a RANGE-frame window; no join
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "text_tfidf_topk": (
+        # df table joined back keyed (AQE may broadcast it); per-doc top-k
+        # runs as a group-limit heap, not a full per-doc sort
+        [
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+            r"partial_count",
+            r"WindowGroupLimit",
+        ],
+        [r"CartesianProduct"],
+    ),
+    "text_cross_doc_spans": (
+        # span-keyed count joined back, then the doc_id re-aggregation;
+        # counts partial-aggregate map-side, never a cartesian
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sim_pq_codes": (
+        # the 16-row codebook broadcasts; the only keyed exchange is the
+        # (vec_id, s) argmin window + final vec_id regroup
+        [r"BroadcastHashJoin", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
