@@ -785,6 +785,119 @@ WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
 """
 
 
+SEMDEDUP_K = 4  # clusters (seeded from the first vectors, kmeans convention)
+SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the larger id drops
+# (fit to the synthetic embeddings: max pairwise cosine ~0.51; 0.35 drops
+# ~19% of the sf0.01 corpus — the drop-rate band real SemDeDup runs target.
+# 0.25 dropped 75%, 0.45 only 1%.)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then compare pairs ONLY within a cluster and drop
+    every vector that has a near-duplicate with a smaller id — the
+    embedding-space analogue of the MinHash kill list. Differs from
+    ``dedup_embedding_cosine`` in both blocking and output: blocks are
+    DERIVED k-means cells (broadcast-centroid argmax assignment, the
+    sim_kmeans_step plan), not a given label column, and the result is the
+    per-vector keep/drop verdict a curation pipeline consumes, not the raw
+    pair list.
+
+    Determinism: assignment and pair cosines round to 6 decimals before any
+    comparison (the module's fold discipline makes the pre-round doubles
+    bit-identical), with centroid-id / vec-id tiebreaks.
+
+    Plan shape at 100 TB: centroids broadcast; assignment is narrow; the
+    within-cluster self-join is the honest quadratic — bounded because
+    SemDeDup scales k with corpus size (k ~ n/cell_size keeps cells
+    constant-sized), so pairs stay O(n · cell_size). The cluster key is the
+    shuffle key; skewed cells split under AQE. Here k={SEMDEDUP_K} seeds
+    from the first vectors keep both engines' codebooks identical; a
+    production build iterates sim_kmeans_step first."""
+    tune(spark)
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id", "label", "cast(embedding as array<double>) as v"
+        )
+    )
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("bv")
+        )
+    )
+    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    nv = F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))")
+    nb = F.expr("sqrt(aggregate(transform(bv, x -> x * x), 0D, (acc, x) -> acc + x))")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(cent)
+        .select("vec_id", "v", "centroid_id", F.round(dot / (nv * nb), 6).alias("c_cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"), "v")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("cluster"), F.col("v").alias("av")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"), F.col("v").alias("bv")
+    )
+    pdot = F.expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    pna = F.expr("sqrt(aggregate(transform(av, x -> x * x), 0D, (acc, x) -> acc + x))")
+    pnb = F.expr("sqrt(aggregate(transform(bv, x -> x * x), 0D, (acc, x) -> acc + x))")
+    near = (
+        a.join(b, (F.col("cluster") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_b", F.round(pdot / (pna * pnb), 6).alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.count("*").alias("n_near"), F.max("cosine").alias("max_cosine"))
+    )
+    return assigned.join(near, assigned.vec_id == near.vec_b, "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near_smaller"),
+        F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
+        (F.col("n_near").isNotNull()).cast("int").alias("dropped"),
+    )
+
+
+_ORACLE_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS bv FROM e WHERE vec_id < {SEMDEDUP_K}),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster, v FROM (
+    SELECT e.vec_id, c.centroid_id, e.v,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_SQL_DOT64.replace('av', 'v')} /
+                        ({_SQL_N64.format('v')} * {_SQL_N64.format('bv')}), 6) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM e, cent c) WHERE rk = 1
+),
+near AS (
+  SELECT b.vec_id AS vec_b, count(*) AS n_near, max(cosine) AS max_cosine
+  FROM (
+    SELECT a.vec_id AS va, b.vec_id,
+           ROUND({_SQL_DOT64} / ({_SQL_N64.format('av')} * {_SQL_N64.format('bv')}), 6) AS cosine
+    FROM (SELECT vec_id, cluster, v AS av FROM assigned) a
+    JOIN (SELECT vec_id, cluster AS cl_b, v AS bv FROM assigned) b
+      ON a.cluster = b.cl_b AND a.vec_id < b.vec_id
+  ) b
+  WHERE cosine >= {SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT a.vec_id, a.cluster,
+       CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near_smaller,
+       coalesce(n.max_cosine, 0.0) AS max_cosine,
+       CASE WHEN n.vec_b IS NULL THEN 0 ELSE 1 END AS dropped
+FROM assigned a LEFT JOIN near n ON n.vec_b = a.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -794,6 +907,7 @@ QUERIES = {
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_simhash": q_dedup_simhash,
     "dedup_containment": q_dedup_containment,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE = {
@@ -805,4 +919,5 @@ ORACLE = {
     "dedup_cluster_cc": _ORACLE_CLUSTER_CC,
     "dedup_simhash": _ORACLE_SIMHASH,
     "dedup_containment": _ORACLE_CONTAINMENT,
+    "dedup_semantic": _ORACLE_SEMANTIC,
 }
