@@ -1377,6 +1377,161 @@ FROM stats
 """
 
 
+# --- DSIR-style importance weighting ---------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (DSIR uses 10k; the ~40-word
+# synthetic vocabulary saturates far fewer)
+DSIR_NGRAM = 2
+
+
+def _dsir_bucket_spark(g: str) -> str:
+    """Bucket [0, {B}) from the first two hex nibbles of a salted md5 —
+    the count-min strpos construction, identical on any md5 engine."""
+    h = f"md5(concat('ds:', {g}))"
+    n1 = f"(position(substr({h}, 1, 1) IN '0123456789abcdef') - 1)"
+    n2 = f"(position(substr({h}, 2, 1) IN '0123456789abcdef') - 1)"
+    return f"(({n1}) * 16 + ({n2})) % {DSIR_BUCKETS}"
+
+
+def _dsir_bucket_sql(g: str) -> str:
+    h = f"md5('ds:' || {g})"
+    n1 = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+    n2 = f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    return f"(({n1}) * 16 + ({n2})) % {DSIR_BUCKETS}"
+
+
+def q_prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weighting in the DSIR mold (Xie et al.
+    2023): score every corpus document by how target-like its hashed
+    n-gram profile is, where the target is a small exemplar set (here the
+    deterministic probe slice ``doc_id % DECON_PROBE_MOD == 0``; in
+    production, curated high-quality text). Documents with importance ≥ 1
+    look more like the target than the corpus average — the resampling
+    gate that tilts a pretraining mix toward a domain.
+
+    Numerics, stated honestly: DSIR proper sums log-probability ratios of
+    the hashed-bigram features; this operator uses the integer-exact
+    surrogate
+
+        importance = (num·S) / (den·T)
+        num = Σ_g (1 + target_count[bucket(g)])   (add-one smoothing)
+        den = Σ_g (1 + corpus_count[bucket(g)])
+        T/S = the matching normalizers (total occurrences + B)
+
+    i.e. the doc's mean smoothed target-frequency over its mean smoothed
+    corpus-frequency. Monotone in the same direction as the log-ratio
+    score, but every aggregate is an INTEGER sum — commutative, so plain
+    map-side partial aggregation works with no ordered-fold gymnastics —
+    and the two final divisions are correctly-rounded IEEE ops both
+    engines execute identically. Gram-less docs (< {DSIR_NGRAM} tokens)
+    keep a neutral weight of 1.
+
+    Plan shape at 100 TB: the bucket count tables are B rows — broadcast
+    both; the corpus side is narrow tokenize→n-gram→explode with one keyed
+    shuffle (the per-doc integer rollup). Same bones as decontamination,
+    with counting instead of membership."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ngr = docs.select(
+        "doc_id",
+        "lang",
+        _word_ngrams(tokens(F.col("text")), DSIR_NGRAM).alias("gs"),
+    )
+    is_probe = F.col("doc_id") % DECON_PROBE_MOD == 0
+    ex = ngr.select(
+        "doc_id", "lang", is_probe.alias("probe"), F.explode("gs").alias("g")
+    ).withColumn("b", F.expr(_dsir_bucket_spark("g")))
+    target = ex.filter("probe").groupBy("b").agg(F.count("*").alias("tcnt"))
+    source = ex.filter(~F.col("probe")).groupBy("b").agg(
+        F.count("*").alias("scnt")
+    )
+    totals = F.broadcast(
+        target.agg(
+            (F.sum("tcnt") + F.lit(DSIR_BUCKETS)).alias("t_norm")
+        ).crossJoin(
+            source.agg((F.sum("scnt") + F.lit(DSIR_BUCKETS)).alias("s_norm"))
+        )
+    )
+    per_doc = (
+        ex.filter(~F.col("probe"))
+        .join(F.broadcast(target), "b", "left")
+        .join(F.broadcast(source), "b", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.lit(1) + F.coalesce("tcnt", F.lit(0))).alias("num"),
+            F.sum(F.lit(1) + F.coalesce("scnt", F.lit(0))).alias("den"),
+        )
+    )
+    corpus = ngr.filter(~is_probe).select("doc_id", "lang")
+    imp = (F.col("num").cast("double") / F.col("den")) * (
+        F.col("s_norm").cast("double") / F.col("t_norm")
+    )
+    return (
+        corpus.join(per_doc, ["doc_id", "lang"], "left")
+        .crossJoin(totals)
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("num", F.lit(0)).cast("bigint").alias("num"),
+            F.coalesce("den", F.lit(0)).cast("bigint").alias("den"),
+            F.when(F.col("n_grams").isNull(), F.lit(1.0))
+            .otherwise(F.round(imp, 6))
+            .alias("importance"),
+            F.when(F.col("n_grams").isNull(), F.lit(1))
+            .otherwise((imp >= 1.0).cast("int"))
+            .alias("selected"),
+        )
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, lang, {_sql_word_ngrams('t', DSIR_NGRAM)} AS gs FROM toks
+),
+ex AS (
+  SELECT doc_id, lang, doc_id % {DECON_PROBE_MOD} = 0 AS probe,
+         {_dsir_bucket_sql('g.g')} AS b
+  FROM ng, unnest(gs) AS g(g)
+),
+target AS (SELECT b, count(*) AS tcnt FROM ex WHERE probe GROUP BY b),
+source AS (SELECT b, count(*) AS scnt FROM ex WHERE NOT probe GROUP BY b),
+totals AS (
+  SELECT (SELECT sum(tcnt) FROM target) + {DSIR_BUCKETS} AS t_norm,
+         (SELECT sum(scnt) FROM source) + {DSIR_BUCKETS} AS s_norm
+),
+per_doc AS (
+  SELECT e.doc_id, e.lang, count(*) AS n_grams,
+         sum(1 + coalesce(t.tcnt, 0)) AS num,
+         sum(1 + coalesce(s.scnt, 0)) AS den
+  FROM ex e
+  LEFT JOIN target t USING (b)
+  LEFT JOIN source s USING (b)
+  WHERE NOT e.probe
+  GROUP BY e.doc_id, e.lang
+)
+SELECT c.doc_id, c.lang,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.num, 0) AS BIGINT) AS num,
+       CAST(coalesce(p.den, 0) AS BIGINT) AS den,
+       CASE WHEN p.n_grams IS NULL THEN 1.0
+            ELSE ROUND((CAST(p.num AS DOUBLE) / p.den)
+                       * (CAST(tt.s_norm AS DOUBLE) / tt.t_norm), 6) END
+         AS importance,
+       CASE WHEN p.n_grams IS NULL THEN 1
+            WHEN (CAST(p.num AS DOUBLE) / p.den)
+                 * (CAST(tt.s_norm AS DOUBLE) / tt.t_norm) >= 1.0 THEN 1
+            ELSE 0 END AS selected
+FROM (SELECT doc_id, lang FROM ng WHERE doc_id % {DECON_PROBE_MOD} <> 0) c
+LEFT JOIN per_doc p USING (doc_id, lang)
+CROSS JOIN totals tt
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "text_bigram_coherence": q_text_bigram_coherence,
@@ -1397,6 +1552,7 @@ QUERIES = {
     "prep_decontaminate": q_prep_decontaminate,
     "text_repetition_score": q_text_repetition_score,
     "prep_temperature_mix": q_prep_temperature_mix,
+    "prep_dsir_weights": q_prep_dsir_weights,
 }
 
 ORACLE = {
@@ -1419,4 +1575,5 @@ ORACLE = {
     "prep_decontaminate": _ORACLE_DECON,
     "text_repetition_score": _ORACLE_REPETITION,
     "prep_temperature_mix": _ORACLE_TEMPERATURE_MIX,
+    "prep_dsir_weights": _ORACLE_DSIR,
 }
