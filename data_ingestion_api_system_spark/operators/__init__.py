@@ -133,10 +133,15 @@ _WINDOW_SIZE = 50
 
 # Fallback fill order if no CORRECTNESS_r*.json history is readable (e.g.
 # the package imported outside the repo checkout): the staleness order as of
-# round 5 — never-certified first, then the round-1 tail, then round-2.
+# round 6 — never-certified first, then the round-1 tail, then round-2.
 _FALLBACK_FILL = (
     "dedup_containment",
+    "dedup_semantic",
     "sim_quantize_int8",
+    "sim_pq_codes",
+    "text_tfidf_topk",
+    "text_cross_doc_spans",
+    "window_time_range_frame",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "join_semi_anti",
