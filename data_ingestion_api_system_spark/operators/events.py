@@ -3,7 +3,7 @@ streaming formalisms, evaluated batch-mode here; the same logic runs as a
 real Structured Streaming query in ``..streaming`` with watermarks).
 
 Timestamps: events.ts arrives as parquet TIMESTAMP(NANOS); the loader
-truncates to microseconds identically to DuckDB (see tables._load_events).
+truncates to microseconds identically to DuckDB (see tables._load_ts_normalized).
 All second-granularity outputs use floor semantics on both engines.
 
 Scale: time-bucketed aggregations shuffle on (bucket, key) — uniform by

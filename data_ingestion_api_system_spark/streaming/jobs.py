@@ -42,7 +42,7 @@ def _events_schema(ts_is_raw_nanos: bool) -> T.StructType:
 
 def _ts_is_raw_nanos(spark: SparkSession, sf_dir: str) -> bool:
     """Probe the events table's ts encoding via a batch read, the exact
-    strategy tables._load_events uses (ADVICE r5): a TIMESTAMP(NANOS)
+    strategy tables._load_ts_normalized uses (ADVICE r5): a TIMESTAMP(NANOS)
     footer either fails the read outright (legacy conf unset) or resolves
     to LongType (conf already set by the batch loader); timestamp[us]
     resolves to TimestampType. Unlike a pyarrow footer probe this needs no
@@ -59,7 +59,7 @@ def _ts_is_raw_nanos(spark: SparkSession, sf_dir: str) -> bool:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet, normalized to a
-    TimestampType ``ts`` exactly matching tables._load_events, as an
+    TimestampType ``ts`` exactly matching tables._load_ts_normalized, as an
     unbounded readStream."""
     raw_nanos = _ts_is_raw_nanos(spark, sf_dir)
     if raw_nanos:

@@ -43,38 +43,59 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+# Tables carrying a timestamp-typed column, i.e. the surface exposed to the
+# encoding-drift failure class that cost round 4 nineteen queries when the
+# regenerated events.ts footer switched to TIMESTAMP(NANOS). Every such
+# column loads through the schema-adaptive path below so a regeneration of
+# ANY of these tables (nanos, ntz, or date32 re-encoding) keeps the exact
+# same TimestampType view the operators and oracles were built against.
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; choose from {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
+    if name in _TS_COLUMNS:
+        df = _load_ts_normalized(spark, path, _TS_COLUMNS[name])
+        if name == "events":
+            df = df.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
+        return df
     return spark.read.parquet(path)
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Schema-adaptive events loader.
+def _load_ts_normalized(
+    spark: SparkSession, path: str, ts_cols: tuple[str, ...]
+) -> DataFrame:
+    """Schema-adaptive loader for tables with timestamp columns.
 
     ``events.ts`` has shipped in two physical encodings across testdata
     generations: plain parquet TIMESTAMP(MICROS) (directly readable) and
     TIMESTAMP(NANOS) (which Spark rejects unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` exposes it as raw int64).
-    We inspect the *resolved* schema and normalize both to a
-    ``TimestampType`` column so every downstream operator sees identical
-    instants regardless of the file's footer:
+    ``spark.sql.legacy.parquet.nanosAsLong`` exposes it as raw int64) —
+    and the orders/lineitem date columns sit one regeneration away from
+    the same drift. We inspect the *resolved* schema and normalize every
+    declared column to ``TimestampType`` so downstream operators see
+    identical instants regardless of the footer:
 
     - TimestampType        → pass through
-    - TimestampNTZType     → re-read with ``ts`` forced to TimestampType in
-                             the read schema: the stored micros are read
-                             directly as instants AT THE SCAN (no cast
-                             projection, timezone-independent, and ts
-                             predicates stay pushdown/row-group-prunable —
-                             verified via explain: PushedFilters carries the
-                             ts range either way under UTC, but the forced
-                             schema doesn't depend on cast unwrapping)
-    - LongType (raw nanos) → ``timestamp_micros(ts div 1000)`` — integer
+    - TimestampNTZType     → re-read with the column forced to
+                             TimestampType in the read schema: the stored
+                             micros are read directly as instants AT THE
+                             SCAN (no cast projection, timezone-independent
+                             under the pinned UTC session, and predicates
+                             stay pushdown/row-group-prunable)
+    - LongType (raw nanos) → ``timestamp_micros(col div 1000)`` — integer
                              division, NOT float (precision loss above
-                             2^53 ns), matching DuckDB nanos→µs truncation.
+                             2^53 ns), matching DuckDB nanos→µs truncation
+    - DateType (date32)    → cast to timestamp (midnight UTC), the exact
+                             instants the timestamp[us] encoding stores
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -87,22 +108,30 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         # reader consults it at execution, not just schema resolution).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-    ts_type = raw.schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, T.TimestampNTZType):
+    ntz_cols = [
+        c
+        for c in ts_cols
+        if isinstance(raw.schema[c].dataType, T.TimestampNTZType)
+    ]
+    if ntz_cols:
         forced = T.StructType(
             [
                 T.StructField(
                     f.name,
-                    T.TimestampType() if f.name == "ts" else f.dataType,
+                    T.TimestampType() if f.name in ntz_cols else f.dataType,
                     f.nullable,
                 )
                 for f in raw.schema.fields
             ]
         )
         raw = spark.read.schema(forced).parquet(path)
-    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    for c in ts_cols:
+        dt = raw.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            raw = raw.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, T.DateType):
+            raw = raw.withColumn(c, F.col(c).cast("timestamp"))
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -139,3 +139,82 @@ def test_current_testdata_shapes(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     el = emb.schema["embedding"].dataType.elementType.typeName()
     assert el in ("float", "double"), el
+
+
+# --- orders / lineitem date-column drift (the round-4 failure class) -------
+
+N_ORDERS = 14
+
+
+def _write_orders(path, ts_type):
+    import datetime as dt
+
+    base = dt.datetime(1995, 3, 1)
+    days = [base + dt.timedelta(days=i * 37) for i in range(N_ORDERS)]
+    if ts_type == "date32":
+        col = pa.array([d.date() for d in days], pa.date32())
+    else:
+        col = pa.array(days, ts_type)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(1, N_ORDERS + 1), pa.int64()),
+            "o_custkey": pa.array([i % 5 for i in range(N_ORDERS)], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"][i % 2] for i in range(N_ORDERS)),
+            "o_totalprice": pa.array(
+                [1000.0 + 17.25 * i for i in range(N_ORDERS)], pa.float64()
+            ),
+            "o_orderdate": col,
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "3-MEDIUM", "5-LOW"][i % 3] for i in range(N_ORDERS)
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+@pytest.fixture(scope="module")
+def orders_dirs(tmp_path_factory):
+    out = {}
+    cases = (
+        ("us", pa.timestamp("us")),
+        ("ns", pa.timestamp("ns")),
+        ("date32", "date32"),
+    )
+    for label, t in cases:
+        d = tmp_path_factory.mktemp(f"orders_{label}")
+        _write_orders(d / "orders.parquet", t)
+        out[label] = str(d)
+    return out
+
+
+def test_orders_date_encodings_normalize_to_timestamp(spark, orders_dirs):
+    """Every plausible o_orderdate re-encoding (micros, NANOS, date32) must
+    load as the same TimestampType instants — the exact drift that broke
+    events.ts in round 4, pinned for the other date-carrying tables."""
+    got = {}
+    for label, d in orders_dirs.items():
+        df = load_table(spark, d, "orders")
+        assert df.schema["o_orderdate"].dataType.typeName() == "timestamp", label
+        got[label] = sorted(map(tuple, df.select("o_orderkey", "o_orderdate").collect()))
+    assert got["us"] == got["ns"] == got["date32"]
+
+
+def test_orders_query_matches_oracle_on_all_encodings(spark, orders_dirs):
+    """Run a date-grouping registry query against each encoding and compare
+    with the DuckDB oracle reading the very same file (DuckDB normalizes its
+    own view of ns/date32, so agreement proves both engines still see the
+    same dates end-to-end)."""
+    qfn = entrymod.queries()["window_moving_avg"]
+    sql = entrymod.oracle_sql()["window_moving_avg"]
+    results = {}
+    for label, d in orders_dirs.items():
+        spark_rows = sorted(map(tuple, qfn(spark, d).collect()))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        con.close()
+        assert spark_rows == want, f"{label}: Spark != DuckDB"
+        results[label] = spark_rows
+    assert results["us"] == results["ns"] == results["date32"]
