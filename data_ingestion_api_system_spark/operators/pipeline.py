@@ -254,18 +254,21 @@ def q_pipeline_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with both tables bucketed by orderkey it is shuffle-free.
 
     The validated request set feeds BOTH rollup inputs (parents and
-    children); caching it materializes the lineitem collect_list
-    derivation once instead of per branch. The cache boundary does hide
-    the child partitioning from the batches-side aggregate (one
-    ENSURE_REQUIREMENTS exchange of the slim exploded rows re-appears),
-    but it still measures fastest at sandbox scale (r6, sf0.1: cached
-    1.46 s vs uncached 1.71 s vs r5's round-robin plan 2.49 s). On a
-    bucketed production layout drop the cache and take the shuffle-free
-    plan.
+    children), so the collect_list derivation computes twice — and that is
+    STILL faster than caching it: under the keyed-spread layout the
+    derivation is a single exchange, while a cache must serialize the
+    array-heavy rows into storage and hides the child partitioning from
+    the batches-side aggregate (one ENSURE_REQUIREMENTS exchange
+    re-appears). A/B at sf0.1, 5 reps with clearCache between (r6):
+    uncached 2.41/1.87/1.68/1.58/1.50 s vs cached 12.9/4.04/2.06/1.99/
+    1.94 s — uncached wins cold AND steady-state. (Before the keyed
+    spread the cache won: r5 measured cached 1.46 s vs uncached 1.71 s —
+    layout changes flip this tradeoff, so re-measure after touching the
+    derivation.) On a bucketed production layout the plan is shuffle-free
+    either way.
     """
     tune(spark)
     valid, _ = validate(requests_from_orders(spark, sf_dir))
-    valid = valid.cache()
     ing = ingestions_from_requests(valid)
     b = simulate_progress(chunk_batches(valid))
     return status_rollup(ing, b, key="request_id")
