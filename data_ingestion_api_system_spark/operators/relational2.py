@@ -595,6 +595,111 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 64
+HIST_LO = 0.0
+HIST_HI = 110_000.0  # l_extendedprice tops out ~105k at every SF
+HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equal-width histogram sketch probed for quantiles — the
+    DETERMINISTIC member of the sketch family (count-min is its frequency
+    twin): per-bin counts are plain integer partial aggregates, so unlike
+    t-digest/KLL the sketch is engine-independent and exactly oracle-able,
+    while still being how distributed percentile dashboards actually run
+    at 100 TB (constant memory, partials merge by addition, one tiny
+    64-row cumulative pass at the end).
+
+    For each probe quantile q the operator reports the target rank
+    ceil(q·N), the first bin whose cumulative count reaches it, that
+    bin's UPPER EDGE as the quantile estimate (error ≤ one bin width —
+    the fixed {HIST_BINS}-bin layout over [{HIST_LO}, {HIST_HI}) makes
+    that a guaranteed ±{HIST_W} bound on l_extendedprice), and the
+    cumulative count at the bin. Bin assignment is
+    floor((x-lo)/w) clamped to the edge bins: one correctly-rounded IEEE
+    division + floor, bit-identical across engines.
+
+    Plan shape: one map-side-combinable aggregate keyed by bin (64 keys),
+    then windows over the 64-row sketch — the single-partition window is
+    on the REDUCED sketch, the pattern the module's scale notes bless."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - F.lit(HIST_LO)) / F.lit(HIST_W)),
+            F.lit(0),
+        ),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    sketch = li.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = sketch.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    probes = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+        )
+    )
+    hit = (
+        cum.crossJoin(probes)
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n_total")))
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "target_rank", "n_total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.join(cum.select("bin", "cum"), "bin").select(
+        "q",
+        F.col("target_rank").cast("bigint").alias("target_rank"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        "bin",
+        F.round(F.lit(HIST_LO) + (F.col("bin") + 1) * F.lit(HIST_W), 2).alias(
+            "quantile_est"
+        ),
+        F.col("cum").cast("bigint").alias("cum_at_bin"),
+    )
+
+
+_ORACLE_HISTOGRAM = f"""
+WITH sketch AS (
+  SELECT CAST(least(greatest(floor((l_extendedprice - {HIST_LO}) / {HIST_W}),
+                             0), {HIST_BINS - 1}) AS INT) AS bin,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n_total
+  FROM sketch
+),
+probes AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT q, target_rank, n_total, min(bin) AS bin
+  FROM (
+    SELECT c.*, p.q, CAST(ceil(p.q * c.n_total) AS BIGINT) AS target_rank
+    FROM cum c, probes p)
+  WHERE cum >= target_rank
+  GROUP BY q, target_rank, n_total
+)
+SELECT h.q,
+       CAST(h.target_rank AS BIGINT) AS target_rank,
+       CAST(h.n_total AS BIGINT) AS n_total,
+       h.bin,
+       ROUND({HIST_LO} + (h.bin + 1) * {HIST_W}, 2) AS quantile_est,
+       CAST(c.cum AS BIGINT) AS cum_at_bin
+FROM hit h JOIN cum c USING (bin)
+"""
+
+
 QUERIES = {
     "tpch_q4_order_priority": q_tpch_q4,
     "tpch_q7_nation_volume": q_tpch_q7,
@@ -609,6 +714,7 @@ QUERIES = {
     "apply_in_pandas_rank": q_apply_in_pandas_rank,
     "grouped_agg_udaf": q_grouped_agg_udaf,
     "udtf_chunk_text": q_udtf_chunk_text,
+    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
     "approx_distinct_sketch": q_approx_distinct,
 }
 
@@ -626,5 +732,6 @@ ORACLE = {
     "apply_in_pandas_rank": _ORACLE_APPLY_IN_PANDAS,
     "grouped_agg_udaf": _ORACLE_GROUPED_AGG,
     "udtf_chunk_text": _ORACLE_UDTF_CHUNK,
+    "sketch_histogram_quantiles": _ORACLE_HISTOGRAM,
     # approx_distinct_sketch: rows-only by design
 }
