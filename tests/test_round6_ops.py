@@ -118,3 +118,46 @@ def test_pq_seed_vectors_self_assign(spark):
     # every corpus vector got a full code tuple
     assert (out.codes_csv.str.count(",") == 3).all()
     assert (out.quant_error >= 0).all()
+
+
+def test_histogram_sketch_brackets_exact_quantiles(spark):
+    """The sketch's guarantee: the reported upper-edge estimate is >= the
+    exact q-quantile and within one bin width of it (DuckDB computes the
+    exact discrete quantile on the same file)."""
+    import duckdb
+
+    from data_ingestion_api_system_spark.operators.relational2 import (
+        HIST_W,
+        q_sketch_histogram_quantiles,
+    )
+
+    out = q_sketch_histogram_quantiles(spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    for _, row in out.iterrows():
+        exact = con.execute(
+            f"SELECT quantile_disc(l_extendedprice, {row.q}) FROM lineitem"
+        ).fetchone()[0]
+        assert row.quantile_est >= exact - 1e-9, (row.q, exact, row.quantile_est)
+        assert row.quantile_est - exact <= HIST_W + 1e-9, (row.q, exact)
+    con.close()
+    # cumulative counts are sane: rank target met, total consistent
+    assert (out.cum_at_bin >= out.target_rank).all()
+    assert out.n_total.nunique() == 1
+
+
+def test_dsir_probe_exclusion_and_positive_weights(spark):
+    from data_ingestion_api_system_spark.operators.prep import (
+        DECON_PROBE_MOD,
+        q_prep_dsir_weights,
+    )
+
+    out = q_prep_dsir_weights(spark, SF_DIR).toPandas()
+    # the probe (target) slice never appears in the scored corpus
+    assert not (out.doc_id % DECON_PROBE_MOD == 0).any()
+    assert (out.importance > 0).all()
+    # this corpus has no gram-less docs, so every row carries evidence
+    assert (out.n_grams > 0).all()
+    assert (out.num >= out.n_grams).all() and (out.den >= out.n_grams).all()
