@@ -92,14 +92,62 @@ FROM documents, (SELECT unnest(range(0, 4)) AS i) frames
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through mapInPandas: dimensions rescale to a bounding box
+    with integer arithmetic, the payload downsampled by a deterministic
+    byte stride (the thumbnailer shape, codec-stubbed). The oracle
+    recomputes dims and the strided subsample relationally — ASCII text
+    makes byte stride == char stride — so the Arrow round-trip is
+    certified value-exact end-to-end."""
+    tune(spark)
+    from ..sources.multimodal import resize_images
+
+    return resize_images(binary_documents(spark, sf_dir))
+
+
+_ORACLE_RESIZE = """
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN (ascii(substr(text, 1, 1)) % 64) + 1 ELSE 0 END AS w,
+         CASE WHEN octet_length(encode(text)) > 1
+              THEN (ascii(substr(text, 2, 1)) % 64) + 1 ELSE 0 END AS h
+  FROM documents
+),
+dims AS (
+  SELECT *, greatest(w, h) AS m,
+         greatest(1, (n + 255) // 256) AS k
+  FROM base
+),
+ds AS (
+  SELECT doc_id, w, h, m, k,
+         array_to_string(list_transform(range(1, n + 1, CAST(k AS BIGINT)),
+                                        i -> substr(text, CAST(i AS INT), 1)),
+                         '') AS sampled
+  FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INT) AS in_width,
+       CAST(h AS INT) AS in_height,
+       CAST(CASE WHEN m = 0 THEN 0 ELSE greatest(w * 32 // m, 1) END AS INT) AS out_width,
+       CAST(CASE WHEN m = 0 THEN 0 ELSE greatest(h * 32 // m, 1) END AS INT) AS out_height,
+       CAST(length(sampled) AS BIGINT) AS ds_len,
+       md5(sampled) AS ds_md5,
+       'stubbed' AS decode_status
+FROM ds
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_size_rollup": q_multimodal_size_rollup,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLE = {
     "multimodal_features": _ORACLE_FEATURES,
     "multimodal_size_rollup": _ORACLE_SIZE_ROLLUP,
     "multimodal_frame_sample": _ORACLE_FRAME_SAMPLE,
+    "multimodal_resize": _ORACLE_RESIZE,
 }

@@ -93,6 +93,77 @@ def sample_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
 
 
+RESIZE_MAX_SIDE = 32  # target bounding box for the dimension rescale
+RESIZE_BUDGET = 256  # byte budget for the payload downsample
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_width int, in_height int, out_width int, "
+    "out_height int, ds_len bigint, ds_md5 string, decode_status string"
+)
+
+
+def _resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stub: rescales the (stubbed) decoded dimensions to fit a
+    {RESIZE_MAX_SIDE}px bounding box with exact integer arithmetic
+    (w·MAX // max(w,h), floor ≥ 1), and 'resamples' the payload by taking
+    every k-th byte with k = ceil(n/{RESIZE_BUDGET}) — the strided-subsample
+    shape a real thumbnailer has, deterministic so the oracle can recompute
+    it. Swap the body for PIL's ``Image.resize`` when codecs exist (see
+    decode_image)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            w = (payload[0] % 64) + 1 if n else 0
+            h = (payload[1] % 64) + 1 if n > 1 else 0
+            m = max(w, h)
+            out_w = max(w * RESIZE_MAX_SIDE // m, 1) if m else 0
+            out_h = max(h * RESIZE_MAX_SIDE // m, 1) if m else 0
+            k = max(1, -(-n // RESIZE_BUDGET))  # ceil without floats
+            ds = payload[::k]
+            rows.append(
+                (
+                    int(doc_id),
+                    w,
+                    h,
+                    out_w,
+                    out_h,
+                    len(ds),
+                    hashlib.md5(ds).hexdigest(),
+                    "stubbed",
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "in_width",
+                "in_height",
+                "out_width",
+                "out_height",
+                "ds_len",
+                "ds_md5",
+                "decode_status",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64",
+                "in_width": "int32",
+                "in_height": "int32",
+                "out_width": "int32",
+                "out_height": "int32",
+                "ds_len": "int64",
+            }
+        )
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """Run the Arrow-batched resize stub over a (doc_id, payload) frame."""
+    return df.mapInPandas(_resize_images, schema=RESIZE_SCHEMA)
+
+
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stand-in multimodal table: utf-8 text bytes as the opaque payload
     plus typed metadata — the exact column layout an image/audio table
