@@ -243,6 +243,19 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"Window"],
         [r"CartesianProduct", r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
     ),
+    "sketch_histogram_quantiles": (
+        # bin counts partial-aggregate map-side; everything after runs on
+        # the 64-row sketch (the 3-row probe crossJoin is a broadcast BNLJ
+        # over that sketch — allowed by design, never the corpus)
+        [r"partial_count", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "multimodal_resize": (
+        # Arrow mapInPandas pass — no keyed shuffle, no join (the only
+        # Exchange is spread()'s single-file compensation)
+        [r"MapInPandas|ArrowEvalPython|PythonMapInArrow"],
+        [r"Exchange hashpartitioning", r"Join", r"CartesianProduct"],
+    ),
 }
 
 
