@@ -139,9 +139,15 @@ _FALLBACK_FILL = (
     "dedup_semantic",
     "sim_quantize_int8",
     "sim_pq_codes",
+    "sim_recall_eval",
+    "text_chunk_windows",
     "text_tfidf_topk",
     "text_cross_doc_spans",
+    "text_perplexity_ngram",
+    "multimodal_resize",
     "window_time_range_frame",
+    "sketch_histogram_quantiles",
+    "sketch_bloom_membership",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "join_semi_anti",

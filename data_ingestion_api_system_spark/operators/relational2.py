@@ -700,6 +700,140 @@ FROM hit h JOIN cum c USING (bin)
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch: build over the orders fact's customer keys,
+# probe with the customer dimension — the shape of a runtime join filter
+# (Spark's own InjectRuntimeFilter does exactly this with bloom_filter_agg).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_HEX = 4  # 4 hex digits -> 16-bit positions, m = 65536 exactly
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_positions(key) -> list:
+    """The K deterministic bit positions of a key: the first 4 hex digits of
+    K independently-salted md5s — uniform over [0, 65536) with no modulo
+    bias, and byte-identical across engines (same construction family as
+    the dedup MinHash salts, dedup.py)."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))),
+                1,
+                BLOOM_BITS_HEX,
+            ),
+            16,
+            10,
+        ).cast("int")
+        for i in range(BLOOM_K)
+    ]
+
+
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter: build the bit set from the distinct
+    customer keys present in ``orders``, probe with every customer, and
+    report per-market-segment membership counts with the measured
+    false-positive rate (true membership from an exact join, for the
+    evaluation only).
+
+    Scale shape: the bit set is AT MOST m = 65536 rows regardless of fact
+    size — it broadcasts, so the probe side is a scan + broadcast join with
+    ZERO probe-side shuffle (exactly how a runtime filter must behave: the
+    filter ships to the scan, the fact never moves). Build side is one
+    distinct + explode over K positions, map-side combinable. The exact
+    ground-truth join exists only for FP accounting; production use stops
+    at `positive`. Bloom guarantee pinned by tests: no false negatives."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    mem = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        mem.select(F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = customer.select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    ppos = probe.select(
+        "k", F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos")
+    ).distinct()
+    perkey = (
+        ppos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    flagged = (
+        probe.join(perkey, "k")
+        .join(mem.withColumn("is_member", F.lit(1)), "k", "left")
+        .select(
+            "c_mktsegment",
+            (F.col("n_pos") == F.col("n_hit")).cast("int").alias("positive"),
+            F.coalesce("is_member", F.lit(0)).alias("is_member"),
+        )
+    )
+    n_probes = F.count("*").cast("bigint")
+    n_members = F.sum("is_member").cast("bigint")
+    n_false_pos = F.sum(
+        F.when((F.col("positive") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+    ).cast("bigint")
+    return flagged.groupBy("c_mktsegment").agg(
+        n_probes.alias("n_probes"),
+        n_members.alias("n_members"),
+        F.sum("positive").cast("bigint").alias("n_positive"),
+        n_false_pos.alias("n_false_pos"),
+        F.when(n_probes == n_members, F.lit(0.0))
+        .otherwise(F.round(n_false_pos.cast("double") / (n_probes - n_members), 6))
+        .alias("fp_rate"),
+    )
+
+
+def _sql_bloom_pos(key: str) -> str:
+    return (
+        f"('0x' || substr(md5(i.range || ':' || {key}), 1, {BLOOM_BITS_HEX}))::INT"
+    )
+
+
+_ORACLE_BLOOM = f"""
+WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+  SELECT DISTINCT {_sql_bloom_pos('k')} AS pos
+  FROM mem, range(0, {BLOOM_K}) i
+),
+probe AS (SELECT c_custkey AS k, c_mktsegment FROM customer),
+ppos AS (
+  SELECT DISTINCT k, {_sql_bloom_pos('k')} AS pos
+  FROM probe, range(0, {BLOOM_K}) i
+),
+perkey AS (
+  SELECT ppos.k, count(*) AS n_pos,
+         sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM ppos LEFT JOIN bits USING (pos)
+  GROUP BY ppos.k
+),
+flagged AS (
+  SELECT probe.c_mktsegment,
+         CASE WHEN perkey.n_pos = perkey.n_hit THEN 1 ELSE 0 END AS positive,
+         CASE WHEN mem.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM probe
+  JOIN perkey USING (k)
+  LEFT JOIN mem USING (k)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(is_member) AS BIGINT) AS n_members,
+       CAST(sum(positive) AS BIGINT) AS n_positive,
+       CAST(sum(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CASE WHEN count(*) = sum(is_member) THEN 0.0
+            ELSE ROUND(CAST(sum(CASE WHEN positive = 1 AND is_member = 0
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / (count(*) - sum(is_member)), 6) END AS fp_rate
+FROM flagged GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "tpch_q4_order_priority": q_tpch_q4,
     "tpch_q7_nation_volume": q_tpch_q7,
@@ -715,6 +849,7 @@ QUERIES = {
     "grouped_agg_udaf": q_grouped_agg_udaf,
     "udtf_chunk_text": q_udtf_chunk_text,
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
+    "sketch_bloom_membership": q_sketch_bloom_membership,
     "approx_distinct_sketch": q_approx_distinct,
 }
 
@@ -733,5 +868,6 @@ ORACLE = {
     "grouped_agg_udaf": _ORACLE_GROUPED_AGG,
     "udtf_chunk_text": _ORACLE_UDTF_CHUNK,
     "sketch_histogram_quantiles": _ORACLE_HISTOGRAM,
+    "sketch_bloom_membership": _ORACLE_BLOOM,
     # approx_distinct_sketch: rows-only by design
 }

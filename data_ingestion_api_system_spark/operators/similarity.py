@@ -614,6 +614,127 @@ GROUP BY vec_id, label
 """
 
 
+RECALL_QUERIES = 8
+RECALL_K = 5
+
+
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the sign-LSH ANN index against exact brute
+    force — the health metric a production ANN deployment reports before
+    routing traffic to the index. For each of the first 8 vectors as
+    queries: exact top-5 by cosine over the rest of the corpus vs the
+    LSH-bucket top-5 (same bucketing as q_sim_lsh_ann); recall@5 =
+    |ann ∩ exact| / 5.
+
+    One scored pass feeds BOTH rankings: the query batch broadcasts
+    (8 rows), the corpus computes each (candidate, query) cosine once, and
+    the in-bucket flag carries the ANN restriction — so the evaluation
+    costs one corpus scan + two per-query top-k windows, not two scans.
+    At 100 TB the exact side is the expensive one (that's inherent to
+    ground truth); run it on a fixed evaluation sample and reuse this plan
+    unchanged — the per-query partitions are 8, so the window shuffle is
+    trivially small after the map-side TakeOrdered."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    sig = e.select("vec_id", "v", F.expr(_spark_lsh_bucket("v")).alias("bucket"))
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") < RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("bv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = sig.filter(F.col("vec_id") >= RECALL_QUERIES).select(
+        "vec_id", F.col("v").alias("av"), "bucket"
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = cand.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cos.alias("cosine"),
+        (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    ann = (
+        scored.filter("in_bucket")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    n_hit = (
+        exact.join(ann, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(n_ann, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / RECALL_K, 6
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+_ORACLE_RECALL = f"""
+WITH e AS ({_SQL_EMB}),
+sig AS (SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS bv, bucket AS qbucket
+      FROM sig WHERE vec_id < {RECALL_QUERIES}),
+cand AS (SELECT vec_id, v AS av, bucket FROM sig WHERE vec_id >= {RECALL_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine,
+         bucket = qbucket AS in_bucket
+  FROM cand, q
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= {RECALL_K}
+),
+ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM scored WHERE in_bucket) WHERE rk <= {RECALL_K}
+),
+anns AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY query_id),
+hits AS (SELECT query_id, count(*) AS n_hits
+         FROM exact JOIN ann USING (query_id, vec_id) GROUP BY query_id)
+SELECT base.query_id,
+       CAST(base.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(anns.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / {RECALL_K}, 6) AS recall_at_5
+FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) base
+LEFT JOIN anns USING (query_id)
+LEFT JOIN hits USING (query_id)
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -624,6 +745,7 @@ QUERIES = {
     "sim_kmeans_step": q_sim_kmeans_step,
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_pq_codes": q_sim_pq_codes,
+    "sim_recall_eval": q_sim_recall_eval,
 }
 
 ORACLE = {
@@ -636,4 +758,5 @@ ORACLE = {
     "sim_kmeans_step": _ORACLE_KMEANS,
     "sim_quantize_int8": _ORACLE_QUANTIZE,
     "sim_pq_codes": _ORACLE_PQ,
+    "sim_recall_eval": _ORACLE_RECALL,
 }

@@ -862,6 +862,100 @@ FROM documents LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model perplexity per document — the
+    KenLM-style quality signal (CCNet/Dolma filter by LM perplexity; this is
+    the same statistic with the LM trained on the corpus itself). Add-one
+    smoothed transition probability P(w2|w1) = (c2(w1,w2)+1)/(c1(w1)+V);
+    per-doc score = mean log-prob over the doc's bigram instances, reported
+    with perplexity exp(-mean).
+
+    Determinism: the ratio is a correctly-rounded IEEE division of exact
+    integers (bit-identical across engines), but natural log is NOT — a
+    measured 56% of ln() outputs differ by 1 ulp between the JVM (fdlibm)
+    and DuckDB (libm). Each log-prob is therefore rounded to 6 decimals
+    before the exact-decimal average (`exact_avg` scale=6 keeps the rounded
+    values exact); a 1-ulp input difference then flips the comparison only
+    when ln lands within an ulp of a 0.5e-6 boundary (~2e-10/value). Same
+    residual-risk class as the repo-wide round-of-double convention.
+
+    Plan shape at 100 TB: identical to q_text_bigram_coherence (one explode
+    pass, two map-side-partial count aggregations, hash joins back on
+    (w1,w2)/(w1), AQE skew-split for stopword-heavy prefixes) plus one
+    1-row broadcast for the vocabulary size — the "model" lives in the two
+    count tables, no driver state. At scale the count tables would be
+    min-count pruned (unseen bigrams already cost (0+1)/(c1+V) under
+    add-one, so pruning singletons changes scores bounded by 1/(c1+V))."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(lt) - 1),"
+                " i -> struct(element_at(lt, i) AS w1, element_at(lt, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = F.broadcast(
+        docs.select(F.explode(lt).alias("w")).agg(
+            F.countDistinct("w").alias("vsz")
+        )
+    )
+    logp = F.round(
+        F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("vsz"))),
+        6,
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(vocab)
+        .select("doc_id", "lang", logp.alias("logp"))
+    )
+    avg_lp = exact_avg("logp", scale=6, round_to=6)
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 4).alias("ppl"),
+    )
+
+
+_SQL_LT = f"list_transform({_SQL_TOKS}, t -> lower(t))"
+
+_ORACLE_PERPLEXITY = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_SQL_LT} AS lt
+  FROM documents WHERE len({_SQL_TOKS}) >= 2
+),
+vocab AS (
+  SELECT count(DISTINCT w) AS vsz
+  FROM (SELECT unnest({_SQL_LT}) AS w FROM documents)
+),
+bgidx AS (
+  SELECT doc_id, lang, lt, CAST(unnest(range(1, len(lt))) AS INT) AS i FROM d
+),
+bg AS (
+  SELECT doc_id, lang, lt[i] AS w1, lt[i + 1] AS w2 FROM bgidx
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + vocab.vsz)), 6) AS logp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {sql_exact_avg('logp', scale=6)} AS avg_logprob,
+       ROUND(exp(-({sql_exact_avg('logp', scale=6)})), 4) AS ppl
+FROM scored GROUP BY doc_id, lang
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -876,6 +970,7 @@ QUERIES = {
     "text_chunk_windows": q_text_chunk_windows,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_cross_doc_spans": q_text_cross_doc_spans,
+    "text_perplexity_ngram": q_text_perplexity_ngram,
     "sketch_count_min": q_sketch_count_min,
 }
 
@@ -893,5 +988,6 @@ ORACLE = {
     "text_chunk_windows": _ORACLE_CHUNK_WINDOWS,
     "text_tfidf_topk": _ORACLE_TFIDF,
     "text_cross_doc_spans": _ORACLE_CROSS_SPANS,
+    "text_perplexity_ngram": _ORACLE_PERPLEXITY,
     "sketch_count_min": _ORACLE_COUNT_MIN,
 }

@@ -256,6 +256,28 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas|ArrowEvalPython|PythonMapInArrow"],
         [r"Exchange hashpartitioning", r"Join", r"CartesianProduct"],
     ),
+    "text_perplexity_ngram": (
+        # bigram/prefix counts partial-aggregate map-side, joined back
+        # keyed; the vocabulary scalar is a 1-row broadcast (BNLJ over one
+        # row is fine), never a corpus cartesian
+        [
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+            r"partial_count",
+        ],
+        [r"CartesianProduct"],
+    ),
+    "sim_recall_eval": (
+        # 8-query batch broadcasts against the corpus (BNLJ by design);
+        # both top-k rankings run as group-limit heaps over query_id
+        [r"BroadcastNestedLoopJoin", r"WindowGroupLimit"],
+        [r"CartesianProduct"],
+    ),
+    "sketch_bloom_membership": (
+        # the bit set (≤65536 rows) broadcasts to the probe side — the
+        # runtime-join-filter shape; build/probe counts partial-aggregate
+        [r"BroadcastHashJoin", r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
