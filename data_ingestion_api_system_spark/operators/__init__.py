@@ -145,9 +145,11 @@ _FALLBACK_FILL = (
     "text_cross_doc_spans",
     "text_perplexity_ngram",
     "multimodal_resize",
+    "events_markov_transitions",
     "window_time_range_frame",
     "sketch_histogram_quantiles",
     "sketch_bloom_membership",
+    "basket_brand_pairs",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "join_semi_anti",

@@ -223,12 +223,66 @@ GROUP BY 1, 2
 """
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the sequence model behind next-action prediction and funnel-shape
+    drift detection. Each user's events order by (ts, event_id); adjacent
+    pairs count into a from_type × to_type matrix, row-normalized into
+    transition probabilities.
+
+    Scale shape: ONE shuffle on user_id for the lag window (sequences are
+    per-user, so partitions are balanced by user hash; no global sort),
+    then the pair count partial-aggregates map-side into at most
+    |types|² rows — the matrix is tiny no matter the corpus, so the
+    row-normalization window runs on |types|² rows. The (ts, event_id)
+    tiebreak makes simultaneous events deterministic on both engines."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    row = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(row), 6).alias("prob"),
+    )
+
+
+_ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM t
+"""
+
+
 QUERIES = {
     "events_tumbling_window": q_events_tumbling,
     "events_sliding_window": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
     "events_type_stats": q_events_type_stats,
+    "events_markov_transitions": q_events_markov_transitions,
 }
 
 ORACLE = {
@@ -237,4 +291,5 @@ ORACLE = {
     "events_sessionize": _ORACLE_SESSIONIZE,
     "events_json_extract": _ORACLE_JSON,
     "events_type_stats": _ORACLE_TYPE_STATS,
+    "events_markov_transitions": _ORACLE_MARKOV,
 }

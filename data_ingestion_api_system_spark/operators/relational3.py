@@ -440,6 +440,129 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Market-basket association mining: brand pairs co-purchased within an order,
+# with support / confidence / lift — the a-priori first pass.
+# ---------------------------------------------------------------------------
+
+MIN_PAIR_ORDERS = 10  # a-priori support threshold (absolute basket count)
+
+
+def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand-pair mining over order baskets (support, both
+    confidences, lift). Baskets are the distinct brands per order; pairs
+    are generated per basket by a NARROW array expression over the sorted
+    brand set (collect_set → sorted array → index-pair expansion) — one
+    shuffle on l_orderkey, no self-join of the fact against itself. The
+    pair space then partial-aggregates map-side to ≤ |brands|² rows, and
+    the per-brand basket counts join onto that tiny table.
+
+    At 100 TB mining raw part keys instead of brands, the same plan holds
+    with an a-priori pruning pass first (drop items below MIN_PAIR_ORDERS
+    support before pair expansion — any pair containing an infrequent item
+    is itself infrequent, so the prune is lossless for the final cut);
+    baskets are bounded (items per order), so pair expansion is
+    O(basket²) per row, never corpus×corpus."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = baskets.select(
+        "l_orderkey",
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    ).select("l_orderkey", "p.a", "p.b")
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_ORDERS)
+    )
+    item_counts = baskets.select(
+        "l_orderkey", F.explode("brands").alias("brand")
+    ).groupBy("brand").agg(F.count("*").alias("n_item"))
+    n_orders = F.broadcast(baskets.agg(F.count("*").alias("n_orders")))
+    ca = item_counts.select(
+        F.col("brand").alias("a"), F.col("n_item").alias("c_a")
+    )
+    cb = item_counts.select(
+        F.col("brand").alias("b"), F.col("n_item").alias("c_b")
+    )
+    return (
+        pair_counts.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(n_orders)
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("c_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("c_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_ORACLE_BASKET = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+),
+idx AS (
+  -- static index grid (range() can't be lateral in DuckDB): 25 distinct
+  -- brands exist, so no basket can hold more than 25 — the j <= len
+  -- predicate trims the grid to each basket's true size
+  SELECT l_orderkey, brands, CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
+  FROM baskets,
+       range(1, 26) i, range(1, 26) j
+  WHERE i.range < j.range AND j.range <= len(brands)
+),
+pairs AS (SELECT l_orderkey, brands[i] AS a, brands[j] AS b FROM idx),
+pair_counts AS (
+  SELECT a, b, count(*) AS n_pair FROM pairs GROUP BY a, b
+  HAVING count(*) >= {MIN_PAIR_ORDERS}
+),
+item_counts AS (
+  SELECT brand, count(*) AS n_item
+  FROM (SELECT l_orderkey, unnest(brands) AS brand FROM baskets)
+  GROUP BY brand
+),
+tot AS (SELECT count(*) AS n_orders FROM baskets)
+SELECT p.a AS brand_a, p.b AS brand_b,
+       CAST(p.n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) / tot.n_orders, 6) AS support,
+       ROUND(CAST(p.n_pair AS DOUBLE) / ca.n_item, 6) AS conf_a_to_b,
+       ROUND(CAST(p.n_pair AS DOUBLE) / cb.n_item, 6) AS conf_b_to_a,
+       ROUND(CAST(p.n_pair * tot.n_orders AS DOUBLE) / (ca.n_item * cb.n_item), 6)
+         AS lift
+FROM pair_counts p
+JOIN item_counts ca ON ca.brand = p.a
+JOIN item_counts cb ON cb.brand = p.b
+CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "date_functions": q_date_functions,
     "tpch_q8_market_share": q_tpch_q8,
@@ -450,6 +573,7 @@ QUERIES = {
     "salted_aggregation": q_salted_aggregation,
     "unpivot_measures": q_unpivot_measures,
     "map_columns_roundtrip": q_map_columns,
+    "basket_brand_pairs": q_basket_brand_pairs,
 }
 
 ORACLE = {
@@ -462,4 +586,5 @@ ORACLE = {
     "salted_aggregation": _ORACLE_SALTED,
     "unpivot_measures": _ORACLE_UNPIVOT,
     "map_columns_roundtrip": _ORACLE_MAP,
+    "basket_brand_pairs": _ORACLE_BASKET,
 }

@@ -63,6 +63,87 @@ def test_recall_eval_bounds(spark):
     ).all()
 
 
+def test_bloom_synthetic_membership_properties(spark):
+    """Structural Bloom properties on a synthetic key universe (the corpus
+    test can't force false positives; a 200-member filter probed with 5000
+    keys does): members are ALWAYS positive, and every reported positive's
+    positions are a subset of the bit set (internal consistency)."""
+    from data_ingestion_api_system_spark.operators.relational2 import (
+        _bloom_positions,
+    )
+
+    members = spark.range(0, 200).select(F.col("id").alias("k"))
+    probes = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bits = {
+        r.p
+        for r in members.select(
+            F.explode(F.array(*_bloom_positions(F.col("k")))).alias("p")
+        ).collect()
+    }
+    rows = probes.select(
+        "k", F.array(*_bloom_positions(F.col("k"))).alias("ps")
+    ).collect()
+    positive = {r.k for r in rows if all(p in bits for p in r.ps)}
+    assert set(range(200)) <= positive  # no false negatives, ever
+    fps = positive - set(range(200))
+    # 800 bits set of 65536, k=4 → FP rate ≈ (800/65536)^4 ≈ 2e-8; a
+    # generous ceiling still catches a broken hash (which would collapse
+    # positions and flood positives)
+    assert len(fps) < 50
+
+
+def test_markov_rows_normalize_and_conserve_transitions(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        q_events_markov_transitions,
+    )
+    from data_ingestion_api_system_spark.tables import load_table
+
+    out = q_events_markov_transitions(spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) <= n_types * n_types
+    # each row of the matrix is a probability distribution
+    sums = out.groupby("from_type").prob.sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    # every event except each user's first contributes exactly one transition
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert out.n_transitions.sum() == n_events - n_users
+
+
+def test_basket_pair_expansion_and_lift_identity(spark):
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        q_basket_brand_pairs,
+    )
+
+    # the narrow index-pair expansion enumerates exactly C(n,2) ordered pairs
+    df = spark.createDataFrame([(1, ["A", "B", "C", "D"])], "k long, brands array<string>")
+    pairs = df.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).collect()
+    got = {(r.p.a, r.p.b) for r in pairs}
+    assert got == {
+        ("A", "B"), ("A", "C"), ("A", "D"),
+        ("B", "C"), ("B", "D"), ("C", "D"),
+    }
+
+    out = q_basket_brand_pairs(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.brand_a < out.brand_b).all()
+    assert ((out.support > 0) & (out.support <= 1)).all()
+    assert ((out.conf_a_to_b > 0) & (out.conf_a_to_b <= 1)).all()
+    # lift = conf(a→b)·conf(b→a)/support (algebraic identity of the three
+    # reported ratios); holds within the 6dp rounding of each factor
+    expected_lift = out.conf_a_to_b * out.conf_b_to_a / out.support
+    assert ((out.lift - expected_lift).abs() < 5e-3).all()
+
+
 def test_perplexity_matches_pure_python_lm(spark):
     from data_ingestion_api_system_spark.operators.text import (
         q_text_perplexity_ngram,

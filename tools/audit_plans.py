@@ -278,6 +278,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"partial_count|partial_sum"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "events_markov_transitions": (
+        # one user_id shuffle for the lag window; the matrix count
+        # partial-aggregates map-side; no join anywhere
+        [r"Window", r"hashpartitioning\(user_id", r"partial_count"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "basket_brand_pairs": (
+        # pair expansion is a narrow Generate after the basket aggregate —
+        # never a fact self-join; the 1-row n_orders crossJoin broadcasts
+        [r"Generate", r"partial_count"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
