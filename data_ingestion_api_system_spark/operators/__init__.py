@@ -146,10 +146,12 @@ _FALLBACK_FILL = (
     "text_perplexity_ngram",
     "multimodal_resize",
     "events_markov_transitions",
+    "events_rfm_segmentation",
     "window_time_range_frame",
     "sketch_histogram_quantiles",
     "sketch_bloom_membership",
     "basket_brand_pairs",
+    "graph_triangle_count",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "join_semi_anti",

@@ -276,6 +276,92 @@ FROM t
 """
 
 
+def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic marketing-analytics rollup, and a stand-in for any per-entity
+    quintile scoring. Per user: days since last event (vs the corpus max
+    date), event count, exact-decimal value total; each dimension scored
+    1-5 by ntile with a user_id tiebreak so the bucketing is a total order
+    on both engines.
+
+    Scale note: exact ntile needs a global sort — Spark plans an
+    un-partitioned Window (single partition for the ~|users| aggregate
+    rows, fine at millions, not at billions). At billions of entities the
+    drop-in replacement is approx_percentile boundaries broadcast against
+    the per-user rollup (a narrow map, no global sort) at the cost of
+    boundary-exactness; the per-user aggregate itself shuffles once on
+    user_id either way."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_date"),
+        F.count("*").alias("n_events"),
+        exact_sum("value", scale=4, round_to=2).alias("total_value"),
+    )
+    corpus_max = F.broadcast(
+        ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max_date"))
+    )
+    base = per_user.crossJoin(corpus_max).select(
+        "user_id",
+        F.datediff("corpus_max_date", "last_date").cast("int").alias("recency_days"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.asc("n_events"), F.asc("user_id"))
+    w_m = Window.orderBy(F.asc("total_value"), F.asc("user_id"))
+    scored = base.select(
+        "*",
+        (6 - F.ntile(5).over(w_r)).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        "total_value",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.lit("R"), F.col("r_score").cast("string"),
+            F.lit("F"), F.col("f_score").cast("string"),
+            F.lit("M"), F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+_ORACLE_RFM = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CAST(ts AS DATE)) AS last_date,
+         count(*) AS n_events,
+         {sql_exact_sum('value', scale=4, round_to=2)} AS total_value
+  FROM events GROUP BY user_id
+),
+corpus AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_date FROM events),
+base AS (
+  SELECT user_id,
+         CAST(date_diff('day', last_date, corpus_max_date) AS INT) AS recency_days,
+         CAST(n_events AS BIGINT) AS n_events,
+         total_value
+  FROM per_user, corpus
+),
+scored AS (
+  SELECT *,
+         6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_score,
+         ntile(5) OVER (ORDER BY n_events ASC, user_id ASC) AS f_score,
+         ntile(5) OVER (ORDER BY total_value ASC, user_id ASC) AS m_score
+  FROM base
+)
+SELECT user_id, recency_days, n_events, total_value,
+       r_score, f_score, m_score,
+       'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     "events_tumbling_window": q_events_tumbling,
     "events_sliding_window": q_events_sliding,
@@ -283,6 +369,7 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "events_type_stats": q_events_type_stats,
     "events_markov_transitions": q_events_markov_transitions,
+    "events_rfm_segmentation": q_events_rfm_segmentation,
 }
 
 ORACLE = {
@@ -292,4 +379,5 @@ ORACLE = {
     "events_json_extract": _ORACLE_JSON,
     "events_type_stats": _ORACLE_TYPE_STATS,
     "events_markov_transitions": _ORACLE_MARKOV,
+    "events_rfm_segmentation": _ORACLE_RFM,
 }

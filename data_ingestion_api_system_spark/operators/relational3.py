@@ -448,6 +448,26 @@ GROUP BY 1, 2
 MIN_PAIR_ORDERS = 10  # a-priori support threshold (absolute basket count)
 
 
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, brands sorted-distinct) — the shared front half of the
+    basket-mining and co-occurrence-graph operators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+
+
+_PAIR_EXPAND = (
+    "flatten(transform(brands, (x, i) ->"
+    " transform(slice(brands, i + 2, size(brands)),"
+    " y -> struct(x AS a, y AS b))))"
+)
+
+
 def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent brand-pair mining over order baskets (support, both
     confidences, lift). Baskets are the distinct brands per order; pairs
@@ -464,23 +484,9 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets are bounded (items per order), so pair expansion is
     O(basket²) per row, never corpus×corpus."""
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
-    )
+    baskets = _brand_baskets(spark, sf_dir)
     pairs = baskets.select(
-        "l_orderkey",
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, (x, i) ->"
-                " transform(slice(brands, i + 2, size(brands)),"
-                " y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p"),
+        "l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p")
     ).select("l_orderkey", "p.a", "p.b")
     pair_counts = (
         pairs.groupBy("a", "b")
@@ -563,6 +569,106 @@ CROSS JOIN tot
 """
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting + local clustering coefficient over the
+    brand co-occurrence graph (edge = brand pair in ≥ MIN_PAIR_ORDERS
+    baskets) — the canonical distributed graph-analytics kernel after
+    PageRank/connected-components (both elsewhere in the registry).
+
+    Orientation method: edges are stored once as a<b, wedges come from
+    edges(a,b) ⋈ edges(b,c) on the shared middle vertex (a<b<c holds by
+    construction so each triangle is enumerated exactly once), and the
+    closing edge (a,c) is a hash-join existence check — three equi-joins,
+    no enumeration of non-edges. At web scale the standard refinement is
+    ordering vertices by (degree, id) instead of id so every wedge pivot
+    has low degree, bounding the join fan-out; same plan, different sort
+    key. Per-node counts then come from one explode over the 3 corners."""
+    tune(spark)
+    baskets = _brand_baskets(spark, sf_dir)
+    edges = (
+        baskets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= MIN_PAIR_ORDERS)
+        .select("a", "b")
+    )
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("brand")
+    ).groupBy("brand").agg(F.count("*").alias("n_triangles"))
+    deg = (
+        edges.select(F.col("a").alias("brand"))
+        .unionAll(edges.select(F.col("b").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(corners, "brand", "left").select(
+        "brand",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            )
+        )
+        .alias("clustering_coeff"),
+    )
+
+
+_ORACLE_TRIANGLES = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+),
+idx AS (
+  SELECT l_orderkey, brands, CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
+  FROM baskets,
+       range(1, 26) i, range(1, 26) j
+  WHERE i.range < j.range AND j.range <= len(brands)
+),
+edges AS (
+  SELECT a, b FROM (
+    SELECT brands[i] AS a, brands[j] AS b, count(*) AS n
+    FROM idx GROUP BY a, b
+  ) WHERE n >= {MIN_PAIR_ORDERS}
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT brand, count(*) AS n_triangles FROM (
+    SELECT unnest([a, b, c]) AS brand FROM tri
+  ) GROUP BY brand
+),
+deg AS (
+  SELECT brand, count(*) AS degree FROM (
+    SELECT a AS brand FROM edges UNION ALL SELECT b AS brand FROM edges
+  ) GROUP BY brand
+)
+SELECT deg.brand,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(coalesce(corners.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree < 2 THEN 0.0
+            ELSE ROUND(CAST(2 * coalesce(corners.n_triangles, 0) AS DOUBLE)
+                       / (deg.degree * (deg.degree - 1)), 6) END
+         AS clustering_coeff
+FROM deg LEFT JOIN corners USING (brand)
+"""
+
+
 QUERIES = {
     "date_functions": q_date_functions,
     "tpch_q8_market_share": q_tpch_q8,
@@ -574,6 +680,7 @@ QUERIES = {
     "unpivot_measures": q_unpivot_measures,
     "map_columns_roundtrip": q_map_columns,
     "basket_brand_pairs": q_basket_brand_pairs,
+    "graph_triangle_count": q_graph_triangle_count,
 }
 
 ORACLE = {
@@ -587,4 +694,5 @@ ORACLE = {
     "unpivot_measures": _ORACLE_UNPIVOT,
     "map_columns_roundtrip": _ORACLE_MAP,
     "basket_brand_pairs": _ORACLE_BASKET,
+    "graph_triangle_count": _ORACLE_TRIANGLES,
 }

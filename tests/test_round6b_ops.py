@@ -144,6 +144,49 @@ def test_basket_pair_expansion_and_lift_identity(spark):
     assert ((out.lift - expected_lift).abs() < 5e-3).all()
 
 
+def test_triangle_count_invariants_and_k4(spark):
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        q_graph_triangle_count,
+    )
+
+    out = q_graph_triangle_count(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # every triangle contributes exactly 3 corner rows
+    assert out.n_triangles.sum() % 3 == 0
+    assert ((out.clustering_coeff >= 0) & (out.clustering_coeff <= 1)).all()
+    assert (out.degree >= 1).all()
+
+    # orientation method on a known graph: K4 has 4 triangles, each node in 3
+    edges = spark.createDataFrame(
+        [(a, b) for a in "ABCD" for b in "ABCD" if a < b], "a string, b string"
+    )
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    assert tri.count() == 4  # each triangle enumerated exactly once
+
+
+def test_rfm_bucket_balance_and_segment_format(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        q_events_rfm_segmentation,
+    )
+    from data_ingestion_api_system_spark.tables import load_table
+
+    out = q_events_rfm_segmentation(spark, SF_DIR).toPandas()
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(out) == n_users
+    for col in ("r_score", "f_score", "m_score"):
+        assert out[col].between(1, 5).all()
+        sizes = out[col].value_counts()
+        assert sizes.max() - sizes.min() <= 1  # ntile balance
+    expected = "R" + out.r_score.astype(str) + "F" + out.f_score.astype(str) \
+        + "M" + out.m_score.astype(str)
+    assert (out.segment == expected).all()
+
+
 def test_perplexity_matches_pure_python_lm(spark):
     from data_ingestion_api_system_spark.operators.text import (
         q_text_perplexity_ngram,

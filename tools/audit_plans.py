@@ -290,6 +290,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"partial_count"],
         [r"CartesianProduct"],
     ),
+    "graph_triangle_count": (
+        # wedge + closing-edge are hash equi-joins over the edge table —
+        # no enumeration of non-edges, no cartesian
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct"],
+    ),
+    "events_rfm_segmentation": (
+        # one user_id aggregate shuffle, then ntile windows over the
+        # per-user rollup; the corpus-max is a 1-row broadcast
+        [r"Window", r"partial_count|partial_max"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
