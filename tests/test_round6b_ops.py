@@ -187,6 +187,36 @@ def test_rfm_bucket_balance_and_segment_format(spark):
     assert (out.segment == expected).all()
 
 
+def test_pair_expansion_matches_combinations_randomized(spark):
+    """The narrow index-pair expansion equals itertools.combinations for
+    every sorted-distinct list — 40 seeded-random baskets (sizes 0-25)
+    checked in one DataFrame pass."""
+    import itertools
+    import random
+
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        _PAIR_EXPAND,
+    )
+
+    rng = random.Random(42)
+    universe = [f"B{i:02d}" for i in range(25)]
+    baskets = {
+        k: sorted(rng.sample(universe, rng.randint(0, 25)))
+        for k in range(40)
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in baskets.items()], "k long, brands array<string>"
+    )
+    rows = df.select(
+        "k", F.explode(F.expr(_PAIR_EXPAND)).alias("p")
+    ).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.k, set()).add((r.p.a, r.p.b))
+    for k, brands in baskets.items():
+        assert got.get(k, set()) == set(itertools.combinations(brands, 2)), k
+
+
 def test_perplexity_matches_pure_python_lm(spark):
     from data_ingestion_api_system_spark.operators.text import (
         q_text_perplexity_ngram,
