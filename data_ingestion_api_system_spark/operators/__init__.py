@@ -144,6 +144,8 @@ _FALLBACK_FILL = (
     "text_tfidf_topk",
     "text_cross_doc_spans",
     "text_perplexity_ngram",
+    "text_weighted_sample",
+    "text_inverted_index",
     "multimodal_resize",
     "events_markov_transitions",
     "events_rfm_segmentation",

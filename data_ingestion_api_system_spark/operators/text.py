@@ -956,6 +956,112 @@ FROM scored GROUP BY doc_id, lang
 """
 
 
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws u ∈ (0,1] from a deterministic md5 hash and scores
+    key = ln(u)/w with w = token count; the global top-k by key is a
+    weight-proportional sample — THE distributed one-pass weighted sampler
+    (per-partition top-k partials merge associatively, so it's a
+    TakeOrdered, never a global sort). Used here to subsample a training
+    corpus proportionally to token mass.
+
+    Determinism: u = (M+1)/2^48 from a 48-bit md5 slice is an exact dyadic
+    double on both engines; ln carries the measured 1-ulp JVM/libm
+    divergence, so the key rounds to 8 decimals with a doc_id tiebreak
+    before the top-k (same convention as text_perplexity_ngram)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.size(tokens("text"))
+    m = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+    u = (m.cast("double") + 1) / F.lit(float(2**48))
+    key = F.round(F.log(u) / w, 8)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            w.cast("bigint").alias("n_tokens"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+       ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                / 281474976710656.0)
+             / len({_SQL_TOKS}), 8) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+INDEX_MIN_DF = 5  # index only terms appearing in >= this many docs
+INDEX_POSTINGS_CAP = 20  # stored posting-list prefix per term
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the classic distributed text artifact: term →
+    (document frequency, total occurrences, capped sorted posting list).
+    One explode pass, one term-keyed aggregation with map-side partials
+    (term vocabulary ≪ occurrences; Zipf-hot terms are the AQE skew-split
+    case), postings capped to a sorted prefix so the output row is bounded
+    no matter how hot the term — the shape a posting-shard writer consumes.
+    Low-df terms drop below INDEX_MIN_DF (index pruning)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    term_docs = docs.select(
+        "doc_id", F.explode(F.transform(tokens("text"), F.lower)).alias("term")
+    )
+    return (
+        term_docs.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("n_occurrences"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")),
+                    1,
+                    INDEX_POSTINGS_CAP,
+                ).cast("array<string>"),
+            ).alias("postings_csv"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+        .select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            "postings_csv",
+        )
+    )
+
+
+_ORACLE_INVERTED = f"""
+WITH td AS (
+  SELECT doc_id, unnest({_SQL_LT}) AS term FROM documents
+),
+agg AS (
+  SELECT term,
+         count(DISTINCT doc_id) AS df,
+         count(*) AS n_occurrences,
+         array_to_string(
+           list_slice(list_sort(list(DISTINCT doc_id)), 1, {INDEX_POSTINGS_CAP}),
+           ',') AS postings_csv
+  FROM td GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences, postings_csv
+FROM agg WHERE df >= {INDEX_MIN_DF}
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -971,6 +1077,8 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_cross_doc_spans": q_text_cross_doc_spans,
     "text_perplexity_ngram": q_text_perplexity_ngram,
+    "text_weighted_sample": q_text_weighted_sample,
+    "text_inverted_index": q_text_inverted_index,
     "sketch_count_min": q_sketch_count_min,
 }
 
@@ -989,5 +1097,7 @@ ORACLE = {
     "text_tfidf_topk": _ORACLE_TFIDF,
     "text_cross_doc_spans": _ORACLE_CROSS_SPANS,
     "text_perplexity_ngram": _ORACLE_PERPLEXITY,
+    "text_weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+    "text_inverted_index": _ORACLE_INVERTED,
     "sketch_count_min": _ORACLE_COUNT_MIN,
 }

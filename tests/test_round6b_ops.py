@@ -217,6 +217,46 @@ def test_pair_expansion_matches_combinations_randomized(spark):
         assert got.get(k, set()) == set(itertools.combinations(brands, 2)), k
 
 
+def test_weighted_sample_key_formula_and_determinism(spark):
+    import hashlib
+
+    from data_ingestion_api_system_spark.operators.text import (
+        WEIGHTED_SAMPLE_K,
+        q_text_weighted_sample,
+    )
+
+    out = q_text_weighted_sample(spark, SF_DIR).toPandas()
+    assert len(out) == WEIGHTED_SAMPLE_K
+    assert (out.sample_key <= 0).all()  # ln(u)/w with u in (0,1]
+    # exact key re-derivation for every sampled row
+    for row in out.itertuples():
+        m = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[:12], 16)
+        u = (m + 1) / 2**48
+        expected = round(math.log(u) / row.n_tokens, 8)
+        assert abs(row.sample_key - expected) < 2e-8, row.doc_id
+    # rerun-stable (deterministic hash draw, no rand())
+    again = q_text_weighted_sample(spark, SF_DIR).toPandas()
+    assert (out.doc_id.values == again.doc_id.values).all()
+
+
+def test_inverted_index_posting_invariants(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        INDEX_MIN_DF,
+        INDEX_POSTINGS_CAP,
+        q_text_inverted_index,
+    )
+
+    out = q_text_inverted_index(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.df >= INDEX_MIN_DF).all()
+    assert (out.n_occurrences >= out.df).all()
+    for row in out.itertuples():
+        postings = [int(p) for p in row.postings_csv.split(",")]
+        assert len(postings) == min(row.df, INDEX_POSTINGS_CAP)
+        assert postings == sorted(postings)
+        assert len(set(postings)) == len(postings)
+
+
 def test_perplexity_matches_pure_python_lm(spark):
     from data_ingestion_api_system_spark.operators.text import (
         q_text_perplexity_ngram,

@@ -302,6 +302,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"partial_count|partial_max"],
         [r"CartesianProduct"],
     ),
+    "text_weighted_sample": (
+        # A-ES sampling is a narrow map + TakeOrdered — per-partition
+        # top-k partials merge, never a global sort, never a join
+        [r"TakeOrderedAndProject"],
+        [r"Join", r"CartesianProduct", r"Exchange hashpartitioning"],
+    ),
+    "text_inverted_index": (
+        # one term-keyed aggregation; postings cap bounds the output row
+        [r"HashAggregate", r"hashpartitioning\(term"],
+        [r"Join", r"CartesianProduct"],
+    ),
 }
 
 
