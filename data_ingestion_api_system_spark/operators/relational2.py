@@ -737,41 +737,52 @@ def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation only).
 
     Scale shape: the bit set is AT MOST m = 65536 rows regardless of fact
-    size — it broadcasts, so the probe side is a scan + broadcast join with
-    ZERO probe-side shuffle (exactly how a runtime filter must behave: the
-    filter ships to the scan, the fact never moves). Build side is one
-    distinct + explode over K positions, map-side combinable. The exact
-    ground-truth join exists only for FP accounting; production use stops
-    at `positive`. Bloom guarantee pinned by tests: no false negatives."""
+    size — it broadcasts, and the membership decision is K CHAINED
+    broadcast left joins (one per hash position, each a column of the
+    probe row), so the probe side genuinely never shuffles for `positive`
+    (exactly how a runtime filter must behave: the filter ships to the
+    scan, the fact never moves — verified: the only probe-branch exchanges
+    in the plan belong to the ground-truth equi-join below). Build side is
+    one distinct + explode over K positions, map-side combinable. The
+    exact ground-truth join exists only for FP accounting; production use
+    stops at `positive`. Bloom guarantee pinned by tests: no false
+    negatives."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     mem = orders.select(F.col("o_custkey").alias("k")).distinct()
-    bits = (
-        mem.select(F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    probe = customer.select(F.col("c_custkey").alias("k"), "c_mktsegment")
-    ppos = probe.select(
-        "k", F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos")
+    bits = mem.select(
+        F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos")
     ).distinct()
-    perkey = (
-        ppos.join(F.broadcast(bits), "pos", "left")
-        .groupBy("k")
-        .agg(
-            F.count("*").alias("n_pos"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
-        )
+    probe = customer.select(
+        F.col("c_custkey").alias("k"),
+        "c_mktsegment",
+        *[
+            p.alias(f"pos_{i}")
+            for i, p in enumerate(_bloom_positions(F.col("c_custkey")))
+        ],
     )
-    flagged = (
-        probe.join(perkey, "k")
-        .join(mem.withColumn("is_member", F.lit(1)), "k", "left")
-        .select(
-            "c_mktsegment",
-            (F.col("n_pos") == F.col("n_hit")).cast("int").alias("positive"),
-            F.coalesce("is_member", F.lit(0)).alias("is_member"),
+    tested = probe
+    for i in range(BLOOM_K):
+        tested = tested.join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"bpos_{i}"), F.lit(1).alias(f"hit_{i}")
+                )
+            ),
+            F.col(f"pos_{i}") == F.col(f"bpos_{i}"),
+            "left",
         )
+    positive = (
+        sum(F.coalesce(f"hit_{i}", F.lit(0)) for i in range(BLOOM_K))
+        == BLOOM_K
+    )
+    flagged = tested.join(
+        mem.withColumn("is_member", F.lit(1)), "k", "left"
+    ).select(
+        "c_mktsegment",
+        positive.cast("int").alias("positive"),
+        F.coalesce("is_member", F.lit(0)).alias("is_member"),
     )
     n_probes = F.count("*").cast("bigint")
     n_members = F.sum("is_member").cast("bigint")

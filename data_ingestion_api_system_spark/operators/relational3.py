@@ -468,6 +468,20 @@ _PAIR_EXPAND = (
 )
 
 
+def _triangles(edges: DataFrame) -> DataFrame:
+    """(a,b,c) triangles of an oriented (a<b) edge table via the
+    orientation method — wedges from the shared middle vertex, closed by
+    an (a,c) hash-join existence check. Shared by q_graph_triangle_count
+    and the K4 pin in tests (so the test exercises THIS join logic, not a
+    copy)."""
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+
+
 def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent brand-pair mining over order baskets (support, both
     confidences, lift). Baskets are the distinct brands per order; pairs
@@ -484,7 +498,10 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets are bounded (items per order), so pair expansion is
     O(basket²) per row, never corpus×corpus."""
     tune(spark)
-    baskets = _brand_baskets(spark, sf_dir)
+    # cache: three branches (pair expansion, item counts, n_orders) read
+    # the basket table — without it each branch re-runs the lineitem⋈part
+    # join + orderkey aggregate (verified: 4 orderkey exchanges, 8 scans)
+    baskets = _brand_baskets(spark, sf_dir).cache()
     pairs = baskets.select(
         "l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p")
     ).select("l_orderkey", "p.a", "p.b")
@@ -584,21 +601,20 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     has low degree, bounding the join fan-out; same plan, different sort
     key. Per-node counts then come from one explode over the 3 corners."""
     tune(spark)
-    baskets = _brand_baskets(spark, sf_dir)
+    # cache: the edge table feeds five branches (both wedge sides, the
+    # closing join, and degree twice) — uncached, each re-runs the whole
+    # mining pipeline (verified before the fix: 5× basket aggregation)
     edges = (
-        baskets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        _brand_baskets(spark, sf_dir)
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= MIN_PAIR_ORDERS)
         .select("a", "b")
+        .cache()
     )
-    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    wedges = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
-    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = wedges.join(
-        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
-    ).select("a", "b", "c")
+    tri = _triangles(edges)
     corners = tri.select(
         F.explode(F.array("a", "b", "c")).alias("brand")
     ).groupBy("brand").agg(F.count("*").alias("n_triangles"))

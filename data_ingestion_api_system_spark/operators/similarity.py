@@ -628,12 +628,14 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scored pass feeds BOTH rankings: the query batch broadcasts
     (8 rows), the corpus computes each (candidate, query) cosine once, and
-    the in-bucket flag carries the ANN restriction — so the evaluation
-    costs one corpus scan + two per-query top-k windows, not two scans.
+    the two ranks become COLUMNS of that same pass (row_number over
+    query_id for exact, over (query_id, in_bucket) for ANN), so
+    n_exact/n_ann/n_hits all fall out of ONE aggregation — no self-joins,
+    no recomputation (the plan carries a single corpus scan; verified).
     At 100 TB the exact side is the expensive one (that's inherent to
     ground truth); run it on a fixed evaluation sample and reuse this plan
     unchanged — the per-query partitions are 8, so the window shuffle is
-    trivially small after the map-side TakeOrdered."""
+    trivially small after the WindowGroupLimit partial."""
     tune(spark)
     e = _emb(spark, sf_dir)
     sig = e.select("vec_id", "v", F.expr(_spark_lsh_bucket("v")).alias("bucket"))
@@ -660,38 +662,28 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    exact = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= RECALL_K)
-        .select("query_id", "vec_id")
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
     )
-    ann = (
-        scored.filter("in_bucket")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= RECALL_K)
-        .select("query_id", "vec_id")
+    w_ann = Window.partitionBy("query_id", "in_bucket").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
     )
-    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
-    n_hit = (
-        exact.join(ann, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
+    flags = scored.select(
+        "query_id",
+        (F.row_number().over(w_exact) <= RECALL_K).alias("is_exact"),
+        (
+            F.col("in_bucket") & (F.row_number().over(w_ann) <= RECALL_K)
+        ).alias("is_ann"),
     )
-    return (
-        exact.groupBy("query_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(n_ann, "query_id", "left")
-        .join(n_hit, "query_id", "left")
-        .select(
-            "query_id",
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double") / RECALL_K, 6
-            ).alias("recall_at_5"),
-        )
+    one_if = lambda c: F.sum(c.cast("int"))  # noqa: E731
+    return flags.groupBy("query_id").agg(
+        one_if(F.col("is_exact")).cast("bigint").alias("n_exact"),
+        one_if(F.col("is_ann")).cast("bigint").alias("n_ann"),
+        one_if(F.col("is_exact") & F.col("is_ann")).cast("bigint").alias("n_hits"),
+        F.round(
+            one_if(F.col("is_exact") & F.col("is_ann")).cast("double") / RECALL_K,
+            6,
+        ).alias("recall_at_5"),
     )
 
 

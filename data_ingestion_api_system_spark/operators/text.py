@@ -1009,37 +1009,43 @@ INDEX_POSTINGS_CAP = 20  # stored posting-list prefix per term
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build — the classic distributed text artifact: term →
     (document frequency, total occurrences, capped sorted posting list).
-    One explode pass, one term-keyed aggregation with map-side partials
-    (term vocabulary ≪ occurrences; Zipf-hot terms are the AQE skew-split
-    case), postings capped to a sorted prefix so the output row is bounded
-    no matter how hot the term — the shape a posting-shard writer consumes.
-    Low-df terms drop below INDEX_MIN_DF (index pruning)."""
+    Bounded-state construction: occurrences first dedupe to (term, doc_id)
+    rows (a two-phase count aggregate — no set-valued buffer anywhere),
+    df/occurrence stats partial-aggregate from those rows, and the posting
+    prefix comes from a ``row_number() <= cap`` filter that Spark rewrites
+    to a WindowGroupLimit (asserted) — each map task keeps only the cap
+    smallest doc_ids per term BEFORE the shuffle, so a Zipf-hot term costs
+    skew-split aggregation time but never an unbounded aggregation buffer
+    (a naive capped ``collect_set`` slice would still buffer every
+    distinct doc_id of a stopword before slicing). Low-df terms drop
+    below INDEX_MIN_DF (index pruning)."""
     tune(spark)
+    from pyspark.sql import Window
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     term_docs = docs.select(
         "doc_id", F.explode(F.transform(tokens("text"), F.lower)).alias("term")
     )
-    return (
-        term_docs.groupBy("term")
-        .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count("*").alias("n_occurrences"),
-            F.concat_ws(
-                ",",
-                F.slice(
-                    F.sort_array(F.collect_set("doc_id")),
-                    1,
-                    INDEX_POSTINGS_CAP,
-                ).cast("array<string>"),
-            ).alias("postings_csv"),
-        )
+    pairs = term_docs.groupBy("term", "doc_id").agg(F.count("*").alias("n_td"))
+    stats = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("n_td").alias("n_occurrences"))
         .filter(F.col("df") >= INDEX_MIN_DF)
-        .select(
-            "term",
-            F.col("df").cast("bigint").alias("df"),
-            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
-            "postings_csv",
-        )
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= INDEX_POSTINGS_CAP
+    )
+    postings = capped.groupBy("term").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+        ).alias("postings_csv")
+    )
+    return stats.join(postings, "term").select(
+        "term",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        "postings_csv",
     )
 
 

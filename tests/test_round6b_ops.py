@@ -116,17 +116,12 @@ def test_basket_pair_expansion_and_lift_identity(spark):
         q_basket_brand_pairs,
     )
 
-    # the narrow index-pair expansion enumerates exactly C(n,2) ordered pairs
+    # the narrow index-pair expansion enumerates exactly C(n,2) ordered
+    # pairs — using the operator's own expression, not an inline copy
+    from data_ingestion_api_system_spark.operators.relational3 import _PAIR_EXPAND
+
     df = spark.createDataFrame([(1, ["A", "B", "C", "D"])], "k long, brands array<string>")
-    pairs = df.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, (x, i) ->"
-                " transform(slice(brands, i + 2, size(brands)),"
-                " y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).collect()
+    pairs = df.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p")).collect()
     got = {(r.p.a, r.p.b) for r in pairs}
     assert got == {
         ("A", "B"), ("A", "C"), ("A", "D"),
@@ -156,16 +151,14 @@ def test_triangle_count_invariants_and_k4(spark):
     assert ((out.clustering_coeff >= 0) & (out.clustering_coeff <= 1)).all()
     assert (out.degree >= 1).all()
 
-    # orientation method on a known graph: K4 has 4 triangles, each node in 3
+    # orientation method on a known graph: K4 has 4 triangles, each node
+    # in 3 — against the OPERATOR's own join helper, not a copy
+    from data_ingestion_api_system_spark.operators.relational3 import _triangles
+
     edges = spark.createDataFrame(
         [(a, b) for a in "ABCD" for b in "ABCD" if a < b], "a string, b string"
     )
-    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    wedges = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
-    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = wedges.join(
-        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
-    )
+    tri = _triangles(edges)
     assert tri.count() == 4  # each triangle enumerated exactly once
 
 

@@ -267,10 +267,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct"],
     ),
     "sim_recall_eval": (
-        # 8-query batch broadcasts against the corpus (BNLJ by design);
-        # both top-k rankings run as group-limit heaps over query_id
-        [r"BroadcastNestedLoopJoin", r"WindowGroupLimit"],
-        [r"CartesianProduct"],
+        # 8-query batch broadcasts against the corpus (BNLJ by design,
+        # ONE pass); both rankings are rank COLUMNS of that pass and the
+        # counts fall out of one aggregation — a self-join of the scored
+        # set (which would re-run the corpus pass) is forbidden
+        [r"BroadcastNestedLoopJoin", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin", r"ShuffledHashJoin"],
     ),
     "sketch_bloom_membership": (
         # the bit set (≤65536 rows) broadcasts to the probe side — the
@@ -309,9 +311,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Join", r"CartesianProduct", r"Exchange hashpartitioning"],
     ),
     "text_inverted_index": (
-        # one term-keyed aggregation; postings cap bounds the output row
-        [r"HashAggregate", r"hashpartitioning\(term"],
-        [r"Join", r"CartesianProduct"],
+        # (term,doc_id) dedupe + term stats are two-phase count aggregates
+        # (no set buffers); the posting cap runs as a WindowGroupLimit so
+        # hot terms never build an unbounded aggregation buffer
+        [r"HashAggregate", r"hashpartitioning\(term", r"WindowGroupLimit"],
+        [r"CartesianProduct"],
     ),
 }
 
