@@ -147,6 +147,7 @@ _FALLBACK_FILL = (
     "text_weighted_sample",
     "text_inverted_index",
     "multimodal_resize",
+    "streaming_stateful_totals",
     "events_markov_transitions",
     "events_rfm_segmentation",
     "window_time_range_frame",

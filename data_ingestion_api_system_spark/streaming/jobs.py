@@ -317,12 +317,42 @@ GROUP BY user_id
 """
 
 
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState``) as a
+    certified query: per-user cumulative (count, exact-decimal value sum)
+    maintained in the state store across micro-batches, run to completion
+    with availableNow. The memory sink holds every per-trigger emission;
+    each user's FINAL emission (strictly largest n_events — the counter is
+    cumulative) is their full-history total, so the result must equal the
+    plain batch per-user aggregate — which is exactly the oracle. State is
+    a scale-4 integer pair per user (see streaming/stateful.py), so the
+    totals are bit-exact regardless of batch boundaries or row order."""
+    tune(spark)
+    from ..streaming.stateful import running_user_totals
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = _run_to_memory(running_user_totals(ev), mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+_ORACLE_STREAM_STATEFUL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": q_streaming_tumbling,
     "streaming_sliding_window": q_streaming_sliding,
     "streaming_session_window": q_streaming_session_window,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stream_join": q_streaming_stream_join,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
 }
 
 ORACLE = {
@@ -331,4 +361,5 @@ ORACLE = {
     "streaming_session_window": _ORACLE_STREAM_SESSION,
     "streaming_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_stream_join": _ORACLE_STREAM_JOIN,
+    "streaming_stateful_totals": _ORACLE_STREAM_STATEFUL,
 }

@@ -30,10 +30,14 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# state keeps the value total as a scale-4 INTEGER so accumulation is
+# exact and order-independent across micro-batches/row order — the same
+# decimal-sum discipline as functions.exact_sum, which is what lets the
+# streaming entry share an exact DuckDB oracle (sum(DECIMAL(25,4))).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_scaled", T.LongType()),
     ]
 )
 
@@ -42,18 +46,18 @@ def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total_scaled = state.get if state.exists else (0, 0)
     batch_n = 0
     for pdf in pdfs:
         batch_n += len(pdf)
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_scaled += int(pdf["value"].mul(10000).round().astype("int64").sum())
+    state.update((n, total_scaled))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [round(total, 6)],
+            "total_value": [round(total_scaled / 10000.0, 6)],
             "batch_events": [batch_n],
         }
     )
@@ -100,18 +104,22 @@ try:  # the API exists in Spark >= 4.0; guard so the module imports anywhere
             self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
         ) -> Iterator[pd.DataFrame]:
             (user_id,) = key
-            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, total_scaled = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
             batch_n = 0
             for pdf in rows:
                 batch_n += len(pdf)
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
+                total_scaled += int(
+                    pdf["value"].mul(10000).round().astype("int64").sum()
+                )
+            self._totals.update((n, total_scaled))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
-                    "total_value": [round(total, 6)],
+                    "total_value": [round(total_scaled / 10000.0, 6)],
                     "batch_events": [batch_n],
                 }
             )
