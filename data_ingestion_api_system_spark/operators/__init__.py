@@ -112,6 +112,121 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Persisted intermediates registered for explicit release. Two distinct uses:
+# (a) recompute savers — one logical table feeding several plan branches
+#     (basket mining, triangle edges), where eviction merely re-runs work;
+# (b) determinism pins — global_ntile's range-partitioned layout, where the
+#     physical property being observed (partition boundaries sampled by
+#     repartitionByRange, row order behind monotonically_increasing_id) is
+#     fixed per MATERIALIZATION, so every consuming branch must read one
+#     shared materialization. Partition-level recomputation after LRU
+#     eviction replays the same partitioner over the same lineage, so
+#     eviction is safe; what would NOT be safe is two independent cache-less
+#     materializations, which is exactly what persist-at-the-analyzed-plan
+#     prevents (both branches resolve to the same InMemoryRelation).
+# release_pins() frees executor storage from test teardown / between bench
+# queries — only call it after the consuming query has materialized.
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register the handle for release_pins()."""
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> None:
+    """Unpersist every pinned DataFrame (idempotent; tolerates a stopped
+    session). Call from test teardown or between benchmark queries, AFTER
+    consumers have materialized — a determinism pin released mid-query
+    would let two branches re-materialize independently."""
+    pinned, _PINNED[:] = _PINNED[:], []
+    for df in pinned:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped / relation already evicted
+
+
+_MID_BITS = 33  # monotonically_increasing_id: partition id << 33 | row number
+
+
+def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols ASC)`` WITHOUT the
+    single-partition WindowExec Spark plans for an un-partitioned window —
+    the one plan shape that cannot scale out (every row funnels through one
+    sort task). ``order_cols`` must be a total order (unique tiebreak last)
+    so the rank, and therefore the tile, is well defined on any engine.
+
+    TeraSort-style distributed ranking:
+
+    1. ONE range shuffle on ``order_cols`` (each output partition owns a
+       contiguous key range) + an in-partition sort — both narrow after the
+       exchange, and the exchange is the same volume any global sort pays.
+    2. ``monotonically_increasing_id`` over the pinned sorted layout yields
+       (partition id, local row number) with ZERO further shuffle — no
+       window, no second exchange.
+    3. Per-partition counts (≤ num_shuffle_partitions rows) become
+       exclusive prefix offsets via a broadcast self-join;
+       global rank = offset + local row number.
+    4. SQL ntile arithmetic maps rank → bucket as a narrow expression:
+       with N rows, q = N div n, rem = N mod n, ranks 1..rem*(q+1) get
+       ceil(rank/(q+1)) and the rest rem + ceil((rank-rem*(q+1))/q) —
+       byte-identical to the engines' ntile() (first rem buckets one
+       larger), pinned by tests/test_round7_ops.py against F.ntile.
+
+    The range-partitioned table is pin()ned: boundaries are sampled per
+    materialization and row ids are order-sensitive, so the counts branch
+    and the rank branch must read ONE materialization (see _PINNED notes).
+    At 100 TB this is the standard distributed-rank recipe: the persist
+    holds only the projected sort columns + payload actually passed in,
+    and the only all-to-all movement is the single range exchange."""
+    from pyspark.sql import functions as F
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranked = pin(
+        df.repartitionByRange(parts, *[F.col(c).asc() for c in order_cols])
+        .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
+    )
+    body = ranked.select("*", F.monotonically_increasing_id().alias("__gn_mid")).select(
+        "*",
+        F.shiftrightunsigned("__gn_mid", _MID_BITS).cast("bigint").alias("__gn_pid"),
+        (
+            F.col("__gn_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)) + F.lit(1)
+        ).alias("__gn_lrank"),
+    )
+    counts = body.groupBy("__gn_pid").agg(F.count("*").alias("__gn_cnt"))
+    c2 = counts.select(
+        F.col("__gn_pid").alias("__gn_pid2"), F.col("__gn_cnt").alias("__gn_cnt2")
+    )
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("__gn_pid2") < F.col("__gn_pid"), "left")
+        .groupBy("__gn_pid")
+        .agg(F.coalesce(F.sum("__gn_cnt2"), F.lit(0)).alias("__gn_off"))
+    )
+    total = counts.agg(F.sum("__gn_cnt").cast("bigint").alias("__gn_n"))
+    return (
+        body.join(F.broadcast(offsets), "__gn_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__gn_rank", F.col("__gn_off") + F.col("__gn_lrank"))
+        .withColumn(
+            out_name,
+            F.expr(
+                f"CAST(CASE WHEN __gn_rank <= (__gn_n % {n}) * (__gn_n DIV {n} + 1) "
+                f"THEN ceil(__gn_rank / (__gn_n DIV {n} + 1.0)) "
+                f"ELSE (__gn_n % {n}) + ceil((__gn_rank - (__gn_n % {n}) * (__gn_n DIV {n} + 1)) "
+                f"/ CAST(__gn_n DIV {n} AS DOUBLE)) END AS INT)"
+            ),
+        )
+        .drop(
+            "__gn_mid", "__gn_pid", "__gn_lrank", "__gn_off", "__gn_n", "__gn_rank"
+        )
+    )
+
+
 # The driver's CORRECTNESS gate evaluates the registry in iteration order and
 # only certifies a bounded prefix (observed: first 50 entries in every round
 # so far). Registry order is therefore a per-round certification budget. The

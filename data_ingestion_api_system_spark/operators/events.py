@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, exact_avg_halfup, exact_sum, sql_exact_avg, sql_exact_avg_halfup, sql_exact_sum
 from ..tables import load_table
-from . import tune
+from . import global_ntile, tune
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -284,13 +284,15 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-5 by ntile with a user_id tiebreak so the bucketing is a total order
     on both engines.
 
-    Scale note: exact ntile needs a global sort — Spark plans an
-    un-partitioned Window (single partition for the ~|users| aggregate
-    rows, fine at millions, not at billions). At billions of entities the
-    drop-in replacement is approx_percentile boundaries broadcast against
-    the per-user rollup (a narrow map, no global sort) at the cost of
-    boundary-exactness; the per-user aggregate itself shuffles once on
-    user_id either way."""
+    Scale note: a naive ``ntile() OVER (ORDER BY ...)`` plans an
+    un-partitioned WindowExec — a single-partition global sort over the
+    ~|users| rollup, fine at millions of users, a scale killer at
+    billions. Each score therefore runs through
+    :func:`operators.global_ntile` — TeraSort-style range partitioning +
+    per-partition rank offsets — which produces the IDENTICAL tile
+    assignment (the oracle below stays plain exact ntile) from one range
+    exchange per dimension and no global sort anywhere; the plan audit
+    asserts no single-partition WindowExec survives in this plan."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -307,14 +309,14 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         "total_value",
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.asc("n_events"), F.asc("user_id"))
-    w_m = Window.orderBy(F.asc("total_value"), F.asc("user_id"))
-    scored = base.select(
+    scored = global_ntile(base, ["recency_days", "user_id"], 5, "_t_r")
+    scored = global_ntile(scored, ["n_events", "user_id"], 5, "_t_f")
+    scored = global_ntile(scored, ["total_value", "user_id"], 5, "_t_m")
+    scored = scored.select(
         "*",
-        (6 - F.ntile(5).over(w_r)).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        (6 - F.col("_t_r")).alias("r_score"),
+        F.col("_t_f").alias("f_score"),
+        F.col("_t_m").alias("m_score"),
     )
     return scored.select(
         "user_id",

@@ -33,6 +33,25 @@ def check_plan(
     return missing, present
 
 
+# An un-partitioned window spec prints its ORDER column (which always
+# carries a sort direction) as the FIRST windowspecdefinition argument;
+# a partitioned spec leads with the partition columns, which never do.
+_UNPART_WSPEC = re.compile(
+    r"windowspecdefinition\([^,()]+? (?:ASC|DESC) NULLS (?:FIRST|LAST)"
+)
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """The un-partitioned window specs in the DataFrame's physical plan.
+    A window with no partitionBy plans Exchange SinglePartition + a global
+    sort — the one shape that cannot scale out — so the audit asserts this
+    list is empty for every query except documented reduced-input
+    exceptions (windows over an already-aggregated sketch of bounded row
+    count, e.g. sketch_histogram_quantiles' 64-bin cumulative pass)."""
+    plan = formatted_plan(df)
+    return [m.group(0) for m in _UNPART_WSPEC.finditer(plan)]
+
+
 def assert_plan(df: DataFrame, must: list[str], must_not: list[str]) -> None:
     """Raise AssertionError (with the offending patterns) unless the plan
     matches every ``must`` regex and no ``must_not`` regex."""

@@ -18,4 +18,7 @@ def spark():
     # tiny state tables: minimal shuffle width keeps per-job overhead low
     spark = get_spark("tests", shuffle_partitions=2)
     yield spark
+    from data_ingestion_api_system_spark.operators import release_pins
+
+    release_pins()
     spark.stop()

@@ -299,10 +299,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct"],
     ),
     "events_rfm_segmentation": (
-        # one user_id aggregate shuffle, then ntile windows over the
-        # per-user rollup; the corpus-max is a 1-row broadcast
-        [r"Window", r"partial_count|partial_max"],
-        [r"CartesianProduct"],
+        # one user_id aggregate shuffle, then global_ntile per dimension:
+        # range-partitioned rank + broadcast offset joins — NO WindowExec
+        # at all (the former un-partitioned ntile windows are gone; the
+        # registry-wide guard below would reject them)
+        [r"BroadcastHashJoin", r"partial_count|partial_max"],
+        [r"CartesianProduct", r"\bWindow\b"],
     ),
     "text_weighted_sample": (
         # A-ES sampling is a narrow map + TakeOrdered — per-partition
@@ -320,10 +322,28 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+# Registry-wide guard: NO query may plan an un-partitioned WindowExec (the
+# Exchange SinglePartition + global sort shape that cannot scale out) unless
+# its input is provably bounded and the operator's docstring says so.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # rank over an orderBy().limit(100) result — TakeOrderedAndProject
+    # upstream bounds the window input to 100 rows (pipeline.py docstring)
+    "pipeline_queue_order",
+    # 7-day moving average over the PRE-AGGREGATED daily series — window
+    # input is #calendar-days rows (~2.4k), constant in data volume
+    "window_moving_avg",
+    # cumulative pass over the reduced 64-bin histogram sketch
+    "sketch_histogram_quantiles",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
-    from data_ingestion_api_system_spark.plans import check_plan
+    from data_ingestion_api_system_spark.plans import (
+        check_plan,
+        unpartitioned_windows,
+    )
     from data_ingestion_api_system_spark.session import get_spark
 
     spark = get_spark("plan-audit")
@@ -336,6 +356,23 @@ def main() -> int:
             print(f"FAIL {name}: missing={missing} forbidden-present={present}")
         else:
             print(f"OK   {name}")
+    guard_hits = 0
+    for name, fn in qs.items():
+        if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            continue
+        try:
+            specs = unpartitioned_windows(fn(spark, sf_dir))
+        except Exception as exc:  # a query that won't even plan is a failure
+            specs = [f"plan build failed: {exc}"]
+        if specs:
+            failures += 1
+            guard_hits += 1
+            print(f"FAIL {name}: un-partitioned window: {specs[0][:100]}")
+    print(
+        f"window-guard: {len(qs) - len(UNPARTITIONED_WINDOW_ALLOWLIST)} plans "
+        f"checked, {guard_hits} un-partitioned windows, "
+        f"{len(UNPARTITIONED_WINDOW_ALLOWLIST)} documented exceptions"
+    )
     spark.stop()
     return 1 if failures else 0
 
