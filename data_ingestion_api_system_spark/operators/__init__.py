@@ -306,11 +306,12 @@ _FALLBACK_FILL = (
 
 def correctness_history(root=None) -> dict[str, int]:
     """entry name → latest round with a driver pass, read from the committed
-    ``CORRECTNESS_r*.json`` files at the repo root. A pass is either an exact
-    row (rows/schema/hash all matched, no err) or the deliberate rows-only
-    check the driver records for oracle-less entries (``err == 'no_oracle'``
-    with a real spark_rows count). Entries absent from every file have never
-    held a driver row."""
+    ``CORRECTNESS_r*.json`` files at the repo root. Only EXACT rows count
+    (rows/schema/hash all matched, no err): a rows-only ``no_oracle`` row
+    certifies nothing once the entry gains an oracle, and as of round 7 the
+    registry's last oracle-less entry (approx_distinct_sketch) has one — so
+    any entry whose only history is rows-only sorts as never-certified and
+    re-enters the window for a real hash-matched driver row."""
     import json
     import re
     from pathlib import Path
@@ -334,12 +335,7 @@ def correctness_history(root=None) -> dict[str, int]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            exact = bool(rec.get("rows_match")) and not rec.get("err")
-            rows_only = (
-                rec.get("err") == "no_oracle"
-                and rec.get("spark_rows") is not None
-            )
-            if exact or rows_only:
+            if bool(rec.get("rows_match")) and not rec.get("err"):
                 last[name] = max(rnd, last.get(name, 0))
     return last
 

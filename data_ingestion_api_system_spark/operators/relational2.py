@@ -1,7 +1,8 @@
 """Extended relational coverage: EXISTS/scalar subqueries, nation-pair and
 profit analytics, OR-of-ANDs predicates, pivot, explicit GROUPING SETS, the
 SQL API surface (spark.sql over registered views), an as-of join, a
-vectorized Pandas UDF, and approximate aggregates (rows-only).
+vectorized Pandas UDF, and approximate aggregates validated against their
+exact twins (hash-checkable verdict columns, no rows-only entries left).
 
 The SQL-API queries register temp views and go through ``spark.sql`` —
 Catalyst produces the same plans either way (SURVEY §3.4); having both
@@ -577,22 +578,63 @@ FROM sliced
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts + approximate quantiles — the sketches
     that replace exact distinct/percentile at 100 TB (bounded memory,
-    mergeable partials).
+    mergeable partials) — VALIDATED against their exact twins so the entry
+    is hash-checkable instead of rows-only.
 
-    Output is all-scalar: the quantile array is split into p50/p95/p99
-    columns (repo parity rule: never emit array-typed output columns —
-    rows-only canonicalizers sort pandas frames and crash on list cells).
-    """
+    Sketch values themselves are engine-specific (no other engine
+    reproduces Spark's HLL++ registers or QuantileSummaries), so the
+    output emits (a) the exact distinct counts, which DuckDB matches
+    bit-for-bit, and (b) deterministic verdict columns asserting each
+    sketch landed within 5% of its exact twin — far looser than the
+    configured rsd=0.01 / accuracy=10000, so the verdicts are stable 1s
+    on any engine run, and the oracle asserts literal 1s. The exact twins
+    are the eval harness (same pattern as sim_recall_eval's ground-truth
+    join): at 100 TB you'd compute them on a sample audit, while the
+    sketches remain the production path."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        q.getItem(0).alias("price_p50"),
-        q.getItem(1).alias("price_p95"),
-        q.getItem(2).alias("price_p99"),
+    qa = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
+    qe = F.percentile("l_extendedprice", F.lit([0.5, 0.95, 0.99]))
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        qa.alias("_qa"),
+        qe.alias("_qe"),
     )
+
+    def ok(approx, exact):
+        return (
+            F.when(F.abs(approx - exact) <= 0.05 * F.abs(exact), 1)
+            .otherwise(0)
+            .cast("int")
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        ok(F.col("_ao"), F.col("exact_orders")).alias("orders_within_5pct"),
+        ok(F.col("_ap"), F.col("exact_parts")).alias("parts_within_5pct"),
+        ok(F.col("_qa").getItem(0), F.col("_qe").getItem(0)).alias("p50_within_5pct"),
+        ok(F.col("_qa").getItem(1), F.col("_qe").getItem(1)).alias("p95_within_5pct"),
+        ok(F.col("_qa").getItem(2), F.col("_qe").getItem(2)).alias("p99_within_5pct"),
+    )
+
+
+_ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey) AS exact_parts,
+       1 AS orders_within_5pct,
+       1 AS parts_within_5pct,
+       1 AS p50_within_5pct,
+       1 AS p95_within_5pct,
+       1 AS p99_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 HIST_BINS = 64
@@ -880,5 +922,7 @@ ORACLE = {
     "udtf_chunk_text": _ORACLE_UDTF_CHUNK,
     "sketch_histogram_quantiles": _ORACLE_HISTOGRAM,
     "sketch_bloom_membership": _ORACLE_BLOOM,
-    # approx_distinct_sketch: rows-only by design
+    # upgraded from rows-only in round 7: the sketch is validated against
+    # its exact twin in-engine, and the exact values + verdicts hash-match
+    "approx_distinct_sketch": _ORACLE_APPROX_DISTINCT,
 }

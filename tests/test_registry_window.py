@@ -128,10 +128,10 @@ def test_no_duplicate_names_and_oracle_subset(registry):
         f"{per_module_oracle} oracle entries but the merged dict has {len(oracle)}"
     )
     assert set(oracle) <= set(queries)
-    # every entry is either oracle-checked or deliberately rows-only;
-    # keep the rows-only set explicit so additions are a conscious choice
+    # round 7: the last rows-only entry (approx_distinct_sketch) gained an
+    # exact-twin oracle — every registry entry must now be oracle-checked
     rows_only = set(queries) - set(oracle)
-    assert rows_only <= {"approx_distinct_sketch"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_all_query_modules_have_dicts():
