@@ -16,7 +16,7 @@ from ..functions import (
     sql_exact_sum_dec,
 )
 from ..tables import load_table
-from . import tune
+from . import pin, tune
 
 
 # ---------------------------------------------------------------------------
@@ -498,10 +498,12 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets are bounded (items per order), so pair expansion is
     O(basket²) per row, never corpus×corpus."""
     tune(spark)
-    # cache: three branches (pair expansion, item counts, n_orders) read
+    # pin: three branches (pair expansion, item counts, n_orders) read
     # the basket table — without it each branch re-runs the lineitem⋈part
-    # join + orderkey aggregate (verified: 4 orderkey exchanges, 8 scans)
-    baskets = _brand_baskets(spark, sf_dir).cache()
+    # join + orderkey aggregate (verified: 4 orderkey exchanges, 8 scans).
+    # pin() registers the handle so release_pins() (test teardown / bench
+    # inter-query) frees executor storage instead of waiting on LRU.
+    baskets = pin(_brand_baskets(spark, sf_dir))
     pairs = baskets.select(
         "l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p")
     ).select("l_orderkey", "p.a", "p.b")
@@ -552,16 +554,16 @@ WITH baskets AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY l_orderkey
 ),
-idx AS (
-  -- static index grid (range() can't be lateral in DuckDB): 25 distinct
-  -- brands exist, so no basket can hold more than 25 — the j <= len
-  -- predicate trims the grid to each basket's true size
-  SELECT l_orderkey, brands, CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
-  FROM baskets,
-       range(1, 26) i, range(1, 26) j
-  WHERE i.range < j.range AND j.range <= len(brands)
+items AS (SELECT l_orderkey, unnest(brands) AS brand FROM baskets),
+-- pair generation via an unnest self-join on the basket key: brands are
+-- DISTINCT per basket, so ua.brand < ub.brand enumerates each unordered
+-- pair exactly once with NO bound on basket size (the former static
+-- range(1,26) grid silently dropped pairs past 25 brands)
+pairs AS (
+  SELECT ua.l_orderkey, ua.brand AS a, ub.brand AS b
+  FROM items ua JOIN items ub
+    ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
 ),
-pairs AS (SELECT l_orderkey, brands[i] AS a, brands[j] AS b FROM idx),
 pair_counts AS (
   SELECT a, b, count(*) AS n_pair FROM pairs GROUP BY a, b
   HAVING count(*) >= {MIN_PAIR_ORDERS}
@@ -601,10 +603,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     has low degree, bounding the join fan-out; same plan, different sort
     key. Per-node counts then come from one explode over the 3 corners."""
     tune(spark)
-    # cache: the edge table feeds five branches (both wedge sides, the
+    # pin: the edge table feeds five branches (both wedge sides, the
     # closing join, and degree twice) — uncached, each re-runs the whole
-    # mining pipeline (verified before the fix: 5× basket aggregation)
-    edges = (
+    # mining pipeline (verified before the fix: 5× basket aggregation);
+    # pinned so release_pins() can free the storage explicitly.
+    edges = pin(
         _brand_baskets(spark, sf_dir)
         .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .select("p.a", "p.b")
@@ -612,7 +615,6 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= MIN_PAIR_ORDERS)
         .select("a", "b")
-        .cache()
     )
     tri = _triangles(edges)
     corners = tri.select(
@@ -646,16 +648,15 @@ WITH baskets AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY l_orderkey
 ),
-idx AS (
-  SELECT l_orderkey, brands, CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
-  FROM baskets,
-       range(1, 26) i, range(1, 26) j
-  WHERE i.range < j.range AND j.range <= len(brands)
-),
+items AS (SELECT l_orderkey, unnest(brands) AS brand FROM baskets),
+-- unbounded pair enumeration (see basket oracle): unnest self-join on the
+-- basket key replaces the former size-capped static index grid
 edges AS (
   SELECT a, b FROM (
-    SELECT brands[i] AS a, brands[j] AS b, count(*) AS n
-    FROM idx GROUP BY a, b
+    SELECT ua.brand AS a, ub.brand AS b, count(*) AS n
+    FROM items ua JOIN items ub
+      ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
+    GROUP BY 1, 2
   ) WHERE n >= {MIN_PAIR_ORDERS}
 ),
 tri AS (

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -256,8 +257,16 @@ def test_perplexity_matches_pure_python_lm(spark):
     )
     from data_ingestion_api_system_spark.tables import load_table
 
+    # mirror the operator's tokenization exactly: the JVM regex \s+ is
+    # ASCII-only, while Python str.split() (and default-re \s) also split
+    # on Unicode whitespace — use ASCII-flagged re.split + empty filter so
+    # this re-derivation cannot diverge on non-ASCII whitespace
     docs = {
-        r.doc_id: r.text.lower().split()
+        r.doc_id: [
+            t
+            for t in re.split(r"\s+", r.text.lower(), flags=re.ASCII)
+            if t
+        ]
         for r in load_table(spark, SF_DIR, "documents").collect()
     }
     vocab = {w for toks in docs.values() for w in toks}
