@@ -361,6 +361,7 @@ def staleness_fill(tail_names, history=None) -> list[str]:
 _ALL_QUERY_MODULES = (
     "operators.pipeline",
     "operators.prep",
+    "operators.selection",
     "operators.dedup",
     "operators.similarity",
     "operators.text",

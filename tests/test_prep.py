@@ -10,12 +10,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_ingestion_api_system_spark.operators.prep import (
-    TOKEN_BUDGET,
     TRAIN_ROUNDS,
     q_events_gap_fill,
-    q_prep_training_mix,
     q_sim_kmeans_train,
     q_text_bigram_coherence,
+)
+from data_ingestion_api_system_spark.operators.selection import (
+    TOKEN_BUDGET,
+    q_prep_training_mix,
 )
 from tests.conftest import SF_DIR
 

@@ -149,7 +149,7 @@ def test_histogram_sketch_brackets_exact_quantiles(spark):
 
 
 def test_dsir_probe_exclusion_and_positive_weights(spark):
-    from data_ingestion_api_system_spark.operators.prep import (
+    from data_ingestion_api_system_spark.operators.selection import (
         DECON_PROBE_MOD,
         q_prep_dsir_weights,
     )
