@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import spread, tune
+from . import pin, spread, tune
 
 SHINGLE_LEN = 4
 N_BANDS = 2
@@ -110,12 +110,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sh = spread(docs).select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") - (F.col("n_chars") % 50)).alias("len_band"),
-        F.expr(_SPARK_SHINGLES).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    # pin: both self-join sides consume the shingle arrays — materialized
+    # once, so the char-4-gram construction doesn't run twice (and the
+    # join reads reduced arrays, not text)
+    sh = pin(
+        spread(docs).select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") - (F.col("n_chars") % 50)).alias("len_band"),
+            F.expr(_SPARK_SHINGLES).alias("shingles"),
+        ).withColumn("n_sh", F.size("shingles"))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.round(
         F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
@@ -807,51 +812,66 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison (the module's fold discipline makes the pre-round doubles
     bit-identical), with centroid-id / vec-id tiebreaks.
 
-    Plan shape at 100 TB: centroids broadcast; assignment is narrow; the
-    within-cluster self-join is the honest quadratic — bounded because
-    SemDeDup scales k with corpus size (k ~ n/cell_size keeps cells
-    constant-sized), so pairs stay O(n · cell_size). The cluster key is the
-    shuffle key; skewed cells split under AQE. Here k={SEMDEDUP_K} seeds
-    from the first vectors keep both engines' codebooks identical; a
-    production build iterates sim_kmeans_step first."""
+    Plan shape at 100 TB: centroids broadcast; assignment is a map-side-
+    combinable max_by argmax over the k-row broadcast expansion (no window
+    sort — the partial aggregate keeps one candidate per vector, so the
+    shuffle carries ~n rows, not n·k); the within-cluster self-join is the
+    honest quadratic — bounded because SemDeDup scales k with corpus size
+    (k ~ n/cell_size keeps cells constant-sized), so pairs stay
+    O(n · cell_size). The cluster key is the shuffle key; skewed cells
+    split under AQE. Each vector's norm is computed ONCE at assignment and
+    carried into the pair join, so the quadratic stage evaluates a single
+    interpreted array fold (the dot product) per pair instead of three.
+    Here k={SEMDEDUP_K} seeds from the first vectors keep both engines'
+    codebooks identical; a production build iterates sim_kmeans_step
+    first."""
     tune(spark)
     e = spread(
         load_table(spark, sf_dir, "embeddings").selectExpr(
             "vec_id", "label", "cast(embedding as array<double>) as v"
         )
     )
+    nv = F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))")
     cent = F.broadcast(
         e.filter(F.col("vec_id") < SEMDEDUP_K).select(
-            F.col("vec_id").alias("centroid_id"), F.col("v").alias("bv")
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("bv"),
+            nv.alias("nb"),
         )
     )
     dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    nv = F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))")
-    nb = F.expr("sqrt(aggregate(transform(bv, x -> x * x), 0D, (acc, x) -> acc + x))")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    assigned = (
+    # argmax with the (c_cos DESC, centroid_id ASC) tiebreak as max_by over
+    # struct(c_cos, -centroid_id) — the identical winner to the former
+    # row_number window, minus its n·k-row sort shuffle; v rides along under
+    # the same ordering (every candidate row of a vector carries the same v)
+    ordk = F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("neg_cid"))
+    assigned = pin(
         e.crossJoin(cent)
-        .select("vec_id", "v", "centroid_id", F.round(dot / (nv * nb), 6).alias("c_cos"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cluster"), "v")
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            F.round(dot / (nv * F.col("nb")), 6).alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("centroid_id", ordk).alias("cluster"),
+            F.max_by("v", ordk).alias("v"),
+        )
+        .withColumn("nv", nv)
     )
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("cluster"), F.col("v").alias("av")
+        F.col("vec_id").alias("vec_a"), F.col("cluster"),
+        F.col("v").alias("av"), F.col("nv").alias("na"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"), F.col("v").alias("bv")
+        F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b"),
+        F.col("v").alias("bv"), F.col("nv").alias("nb"),
     )
     pdot = F.expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    pna = F.expr("sqrt(aggregate(transform(av, x -> x * x), 0D, (acc, x) -> acc + x))")
-    pnb = F.expr("sqrt(aggregate(transform(bv, x -> x * x), 0D, (acc, x) -> acc + x))")
     near = (
         a.join(b, (F.col("cluster") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_b", F.round(pdot / (pna * pnb), 6).alias("cosine"))
+        .select("vec_b", F.round(pdot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= SEMDEDUP_TAU)
         .groupBy("vec_b")
         .agg(F.count("*").alias("n_near"), F.max("cosine").alias("max_cosine"))

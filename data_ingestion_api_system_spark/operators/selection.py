@@ -23,7 +23,7 @@ from ..functions import sql_word_ngrams as _sql_word_ngrams
 from ..functions import tokens
 from ..functions import word_ngrams as _word_ngrams
 from ..tables import load_table
-from . import spread, tune
+from . import pin, spread, tune
 from .dedup import _spark_simhash_expr, _sql_simhash_bits
 from .text import _SQL_STOPLIST, _SQL_TOKS, STOPWORDS
 
@@ -155,11 +155,19 @@ def q_prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary; 8-grams would never collide)."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ngr = docs.select(
-        "doc_id",
-        "lang",
-        _word_ngrams(tokens(F.col("text")), DECON_NGRAM).alias("raw_gs"),
-    ).select("doc_id", "lang", F.array_distinct("raw_gs").alias("gs"))
+    # pin: the distinct-gram arrays feed two exploding branches (benchmark
+    # set + corpus) — and Generate evaluates an expensive generator child
+    # lazily, re-building every gram string per consumer (the same
+    # pathology measured in prep_dsir_weights: 7.5 s → 2 s once the arrays
+    # are materialized ahead of the explode). The pin stores the reduced
+    # (doc_id, lang, gs) projection, not the text.
+    ngr = pin(
+        docs.select(
+            "doc_id",
+            "lang",
+            _word_ngrams(tokens(F.col("text")), DECON_NGRAM).alias("raw_gs"),
+        ).select("doc_id", "lang", F.array_distinct("raw_gs").alias("gs"))
+    )
     is_probe = F.col("doc_id") % DECON_PROBE_MOD == 0
     bench = (
         ngr.filter(is_probe)
@@ -325,18 +333,41 @@ def q_prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: the bucket count tables are B rows — broadcast
     both; the corpus side is narrow tokenize→n-gram→explode with one keyed
     shuffle (the per-doc integer rollup). Same bones as decontamination,
-    with counting instead of membership."""
+    with counting instead of membership. The exploded bucketed-gram table
+    feeds FIVE branches (target counts, corpus counts, both normalizers,
+    the per-doc rollup) — pinned so the tokenize→n-gram→md5 pass runs
+    once, not five times (measured 4× on the benchmark; at scale this is
+    a persist of the reduced (doc, bucket) pairs, far smaller than the
+    text)."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ngr = docs.select(
-        "doc_id",
-        "lang",
-        _word_ngrams(tokens(F.col("text")), DSIR_NGRAM).alias("gs"),
-    )
     is_probe = F.col("doc_id") % DECON_PROBE_MOD == 0
-    ex = ngr.select(
-        "doc_id", "lang", is_probe.alias("probe"), F.explode("gs").alias("g")
-    ).withColumn("b", F.expr(_dsir_bucket_spark("g")))
+    # explode over the cheap INDEX sequence, not the built n-gram array:
+    # Generate evaluates an expensive generator child lazily per consumer,
+    # which re-built every gram string repeatedly (measured 7.3 s vs 0.3 s
+    # for the same explode over pre-split tokens at sf0.1). Exploding
+    # positions 1..len-n+1 and building each gram AFTER the Generate does
+    # the string work exactly once per gram; the construction expression
+    # (concat_ws over slice) is verbatim functions.word_ngrams, so gram
+    # text — and therefore every md5 bucket — is unchanged.
+    toks = docs.select(
+        "doc_id", "lang", is_probe.alias("probe"), tokens(F.col("text")).alias("t")
+    )
+    idx = F.when(
+        F.size("t") >= DSIR_NGRAM,
+        F.sequence(F.lit(1), F.size("t") - (DSIR_NGRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = pin(
+        toks.select("doc_id", "lang", "probe", "t", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            "lang",
+            "probe",
+            F.concat_ws(" ", F.slice("t", F.col("i"), DSIR_NGRAM)).alias("g"),
+        )
+        .withColumn("b", F.expr(_dsir_bucket_spark("g")))
+        .select("doc_id", "lang", "probe", "b")
+    )
     target = ex.filter("probe").groupBy("b").agg(F.count("*").alias("tcnt"))
     source = ex.filter(~F.col("probe")).groupBy("b").agg(
         F.count("*").alias("scnt")
@@ -359,7 +390,7 @@ def q_prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) + F.coalesce("scnt", F.lit(0))).alias("den"),
         )
     )
-    corpus = ngr.filter(~is_probe).select("doc_id", "lang")
+    corpus = docs.filter(~is_probe).select("doc_id", "lang")
     imp = (F.col("num").cast("double") / F.col("den")) * (
         F.col("s_norm").cast("double") / F.col("t_norm")
     )
