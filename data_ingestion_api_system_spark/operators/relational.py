@@ -375,6 +375,70 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o
 """
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (the one join type the
+    registry didn't certify until round 7): the high-balance customer
+    ledger against the 1996 order-activity ledger, keyed by customer, with
+    both unmatched sides surviving. Emits the coalesced key, per-side
+    presence flags, and null-safe measures — exactly the 'which rows exist
+    only on one side, and what do the matched ones disagree on' report
+    every data-reconciliation pipeline runs.
+
+    Scale: a full outer hash join shuffles both sides on the key like an
+    inner join (no broadcast — BOTH sides must keep unmatched rows, so
+    Spark plans SortMergeJoin FullOuter); the aggregates below it are
+    map-side-combinable. Skewed keys split under AQE like any other
+    shuffle join."""
+    tune(spark)
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    active = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders_1996"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias("spend_dec"),
+        )
+    )
+    j = rich.join(active, rich.c_custkey == active.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").cast("bigint").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("int").alias("in_rich"),
+        F.col("o_custkey").isNotNull().cast("int").alias("in_active"),
+        F.round(F.coalesce("c_acctbal", F.lit(0)), 2).cast("double").alias("acctbal"),
+        F.coalesce("n_orders_1996", F.lit(0)).cast("bigint").alias("n_orders_1996"),
+        F.round(F.coalesce(F.col("spend_dec"), F.lit(0)), 2)
+        .cast("double")
+        .alias("spend_1996"),
+    )
+
+
+_ORACLE_FULL_OUTER = """
+WITH rich AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000
+),
+active AS (
+  SELECT o_custkey, count(*) AS n_orders_1996,
+         sum(CAST(o_totalprice AS DECIMAL(25,4))) AS spend_dec
+  FROM orders
+  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  GROUP BY o_custkey
+)
+SELECT CAST(coalesce(r.c_custkey, a.o_custkey) AS BIGINT) AS custkey,
+       CASE WHEN r.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS in_rich,
+       CASE WHEN a.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS in_active,
+       CAST(ROUND(coalesce(r.c_acctbal, 0), 2) AS DOUBLE) AS acctbal,
+       CAST(coalesce(a.n_orders_1996, 0) AS BIGINT) AS n_orders_1996,
+       CAST(ROUND(coalesce(a.spend_dec, 0), 2) AS DOUBLE) AS spend_1996
+FROM rich r FULL OUTER JOIN active a ON r.c_custkey = a.o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set operations.
 # ---------------------------------------------------------------------------
@@ -607,6 +671,7 @@ QUERIES = {
     "tpch_q10_returned_items": q_tpch_q10,
     "tpch_q18_large_orders": q_tpch_q18,
     "join_semi_anti": q_join_semi_anti,
+    "join_full_outer_reconcile": q_join_full_outer,
     "set_ops": q_set_ops,
     "set_ops_bag": q_set_ops_bag,
     "agg_rollup": q_agg_rollup,
@@ -623,6 +688,7 @@ ORACLE = {
     "tpch_q10_returned_items": _ORACLE_Q10,
     "tpch_q18_large_orders": _ORACLE_Q18,
     "join_semi_anti": _ORACLE_SEMI_ANTI,
+    "join_full_outer_reconcile": _ORACLE_FULL_OUTER,
     "set_ops": _ORACLE_SET_OPS,
     "set_ops_bag": _ORACLE_SET_OPS_BAG,
     "agg_rollup": _ORACLE_ROLLUP,

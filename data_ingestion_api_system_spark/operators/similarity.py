@@ -727,6 +727,138 @@ LEFT JOIN hits USING (query_id)
 """
 
 
+MATRYOSHKA_PREFIX = 16  # truncated leading dimensions kept by the cheap index
+
+
+def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval evaluation in the Matryoshka mold
+    (Kusupati et al. 2022, public paper): rank the corpus by cosine over
+    only the LEADING {MATRYOSHKA_PREFIX} of {DIMS} dimensions — the cheap
+    index a production system serves when embeddings are trained
+    front-loaded — and report recall@{RECALL_K} against the full-dimension
+    exact ranking per query. Distinct from ``sim_recall_eval``, which
+    scores the sign-LSH bucket index; this one scores DIMENSION truncation,
+    the other main ANN cost lever (4× less memory and FLOPs per scored
+    pair here).
+
+    Plan: same one-scored-pass shape as recall_eval — the query batch
+    broadcasts, each (candidate, query) pair computes BOTH cosines in one
+    projection, and the two rankings become columns via per-query
+    WindowGroupLimit windows, so the corpus is scanned once. Both cosines
+    are sequential left-to-right folds rounded to 6 decimals with the
+    vec_id tiebreak (module determinism discipline), so both engines rank
+    identically."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("bv")
+        )
+    )
+    cand = e.filter(F.col("vec_id") >= RECALL_QUERIES).select(
+        "vec_id", F.col("v").alias("av")
+    )
+    cos_full = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    p = MATRYOSHKA_PREFIX
+    pav, pbv = f"slice(av, 1, {p})", f"slice(bv, 1, {p})"
+    cos_trunc = F.round(
+        F.expr(_SPARK_DOT.replace("av", pav).replace("bv", pbv))
+        / (
+            F.expr(_SPARK_NORM.format(pav))
+            * F.expr(_SPARK_NORM.format(pbv))
+        ),
+        6,
+    )
+    scored = cand.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cos_full.alias("cosine"),
+        cos_trunc.alias("t_cosine"),
+    )
+    from pyspark.sql import Window
+
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("t_cosine"), F.asc("vec_id")
+    )
+    flags = scored.select(
+        "query_id",
+        (F.row_number().over(w_full) <= RECALL_K).alias("is_full"),
+        (F.row_number().over(w_trunc) <= RECALL_K).alias("is_trunc"),
+    )
+    one_if = lambda c: F.sum(c.cast("int"))  # noqa: E731
+    return flags.groupBy("query_id").agg(
+        one_if(F.col("is_full")).cast("bigint").alias("n_full"),
+        one_if(F.col("is_trunc")).cast("bigint").alias("n_trunc"),
+        one_if(F.col("is_full") & F.col("is_trunc")).cast("bigint").alias("n_hits"),
+        F.round(
+            one_if(F.col("is_full") & F.col("is_trunc")).cast("double")
+            / RECALL_K,
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
+def _sql_prefix_dot(n: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}),"
+        f" i -> av[CAST(i AS INT)] * bv[CAST(i AS INT)]))"
+    )
+
+
+def _sql_prefix_norm(col: str, n: int) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {n + 1}),"
+        f" i -> {col}[CAST(i AS INT)] * {col}[CAST(i AS INT)])))"
+    )
+
+
+_ORACLE_MATRYOSHKA = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT vec_id AS query_id, v AS bv FROM e WHERE vec_id < {RECALL_QUERIES}),
+cand AS (SELECT vec_id, v AS av FROM e WHERE vec_id >= {RECALL_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine,
+         ROUND({_sql_prefix_dot(MATRYOSHKA_PREFIX)}
+               / ({_sql_prefix_norm('av', MATRYOSHKA_PREFIX)}
+                  * {_sql_prefix_norm('bv', MATRYOSHKA_PREFIX)}), 6) AS t_cosine
+  FROM cand, q
+),
+fulls AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= {RECALL_K}
+),
+truncs AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY t_cosine DESC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= {RECALL_K}
+),
+hits AS (SELECT query_id, count(*) AS n_hits
+         FROM fulls JOIN truncs USING (query_id, vec_id) GROUP BY query_id)
+SELECT base.query_id,
+       CAST(base.n_full AS BIGINT) AS n_full,
+       CAST(t.n_trunc AS BIGINT) AS n_trunc,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / {RECALL_K}, 6) AS recall_at_5
+FROM (SELECT query_id, count(*) AS n_full FROM fulls GROUP BY query_id) base
+JOIN (SELECT query_id, count(*) AS n_trunc FROM truncs GROUP BY query_id) t
+  USING (query_id)
+LEFT JOIN hits USING (query_id)
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -738,6 +870,7 @@ QUERIES = {
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_pq_codes": q_sim_pq_codes,
     "sim_recall_eval": q_sim_recall_eval,
+    "sim_matryoshka_recall": q_sim_matryoshka_recall,
 }
 
 ORACLE = {
@@ -751,4 +884,5 @@ ORACLE = {
     "sim_quantize_int8": _ORACLE_QUANTIZE,
     "sim_pq_codes": _ORACLE_PQ,
     "sim_recall_eval": _ORACLE_RECALL,
+    "sim_matryoshka_recall": _ORACLE_MATRYOSHKA,
 }

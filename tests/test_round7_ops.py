@@ -104,3 +104,53 @@ def test_rfm_segmentation_matches_exact_ntile_semantics(spark):
         r.user_id: (r.r_score, r.f_score, r.m_score) for r in out.collect()
     }
     assert got == exp
+
+
+def test_full_outer_reconcile_covers_both_sides(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_spark.operators.relational import (
+        q_join_full_outer,
+    )
+    from data_ingestion_api_system_spark.tables import load_table
+
+    out = q_join_full_outer(spark, SF_DIR)
+    rich_n = load_table(spark, SF_DIR, "customer").filter("c_acctbal > 5000").count()
+    active_n = (
+        load_table(spark, SF_DIR, "orders")
+        .filter("o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    agg = out.agg(
+        F.sum("in_rich").alias("r"),
+        F.sum("in_active").alias("a"),
+        F.sum((F.col("in_rich") == 0).cast("int") * (F.col("in_active") == 0).cast("int")).alias("neither"),
+        F.count("*").alias("n"),
+        F.countDistinct("custkey").alias("nk"),
+    ).collect()[0]
+    # full outer: every row of each input survives, no phantom rows
+    assert agg.r == rich_n and agg.a == active_n
+    assert agg.neither == 0
+    assert agg.n == agg.nk  # custkey unique after coalesce
+    # the test is only meaningful if BOTH unmatched sides are non-empty
+    only_rich = out.filter("in_rich = 1 AND in_active = 0").count()
+    only_active = out.filter("in_rich = 0 AND in_active = 1").count()
+    assert only_rich > 0 and only_active > 0
+
+
+def test_matryoshka_recall_invariants(spark):
+    from data_ingestion_api_system_spark.operators.similarity import (
+        RECALL_K,
+        RECALL_QUERIES,
+        q_sim_matryoshka_recall,
+    )
+
+    rows = q_sim_matryoshka_recall(spark, SF_DIR).collect()
+    assert len(rows) == RECALL_QUERIES
+    for r in rows:
+        # both rankings always fill their k slots (corpus >> k)
+        assert r.n_full == RECALL_K and r.n_trunc == RECALL_K
+        assert 0 <= r.n_hits <= RECALL_K
+        assert abs(r.recall_at_5 - r.n_hits / RECALL_K) < 1e-9

@@ -312,6 +312,22 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject"],
         [r"Join", r"CartesianProduct", r"Exchange hashpartitioning"],
     ),
+    "join_full_outer_reconcile": (
+        # full outer keeps unmatched rows on BOTH sides, so neither side
+        # may broadcast: Spark must plan a shuffle join in FullOuter mode;
+        # the order rollup under it partial-aggregates map-side
+        [r"FullOuter", r"SortMergeJoin|ShuffledHashJoin", r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sim_matryoshka_recall": (
+        # one corpus scan: the 8-row query batch broadcasts (BNLJ is the
+        # right plan for a tiny-side cross join); both rankings are
+        # query-partitioned windows over the same pass (the rank feeds a
+        # boolean flag, not a filter, so no WindowGroupLimit — the window
+        # input is |queries|-bounded either way)
+        [r"BroadcastNestedLoopJoin", r"hashpartitioning\(query_id"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
     "text_inverted_index": (
         # (term,doc_id) dedupe + term stats are two-phase count aggregates
         # (no set buffers); the posting cap runs as a WindowGroupLimit so
