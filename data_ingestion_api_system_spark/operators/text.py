@@ -22,7 +22,7 @@ from ..functions import (
     word_ngrams as _word_ngrams,
 )
 from ..tables import load_table
-from . import spread, tune
+from . import pin, spread, tune
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -794,14 +794,20 @@ def q_text_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the key."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    spans = docs.select(
-        "doc_id",
-        F.explode(
+    # pin the built span ARRAYS before exploding: the exploded table feeds
+    # two consumers (span counts + per-doc rollup), and Generate evaluates
+    # an expensive generator child lazily per consumer (see SCALE.md
+    # interpreter-boundary rules) — exploding from the cached arrays makes
+    # the n-gram construction run once
+    span_arrays = pin(
+        docs.select(
+            "doc_id",
             F.array_distinct(
                 _word_ngrams(F.transform(tokens("text"), F.lower), SPAN_N)
-            )
-        ).alias("span"),
+            ).alias("spans_arr"),
+        )
     )
+    spans = span_arrays.select("doc_id", F.explode("spans_arr").alias("span"))
     span_df = spans.groupBy("span").agg(F.count("*").alias("span_docs"))
     per_doc = (
         spans.join(span_df, "span")
@@ -889,17 +895,23 @@ def q_text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
     lt = F.transform(tokens("text"), lambda t: F.lower(t))
-    d = docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+    # pinned token arrays + an INDEX explode (bigrams built per output row
+    # from element_at, after the Generate): the former struct-array explode
+    # re-tokenized per consumer, and bg feeds both count tables
+    d = pin(
+        docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+    )
     bg = d.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(lt) - 1),"
-                " i -> struct(element_at(lt, i) AS w1, element_at(lt, i + 1) AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "lang", "b.w1", "b.w2")
+        "lt",
+        F.explode(F.expr("sequence(1, size(lt) - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("element_at(lt, i)").alias("w1"),
+        F.expr("element_at(lt, i + 1)").alias("w2"),
+    )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = F.broadcast(
