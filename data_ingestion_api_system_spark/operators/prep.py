@@ -57,17 +57,24 @@ def q_text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
     lt = F.transform(tokens("text"), lambda t: F.lower(t))
-    d = docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+    # pinned token arrays + index explode (bigrams built per output row
+    # AFTER the Generate): bg feeds THREE consumers (c2, c1, the final
+    # join), and Generate evaluates an expensive generator child lazily
+    # per consumer — see SCALE.md interpreter-boundary rules
+    d = pin(
+        docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+    )
     bg = d.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(lt) - 1),"
-                " i -> struct(element_at(lt, i) AS w1, element_at(lt, i + 1) AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "lang", "b.w1", "b.w2")
+        "lt",
+        F.explode(F.expr("sequence(1, size(lt) - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("element_at(lt, i)").alias("w1"),
+        F.expr("element_at(lt, i + 1)").alias("w2"),
+    )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     return (
