@@ -340,18 +340,53 @@ def correctness_history(root=None) -> dict[str, int]:
     return last
 
 
+# Entries registered AFTER this round's 50-entry driver window was derived.
+# The round-7 window is exactly consumed by the overdue r1/r2 re-certification
+# cohorts plus the three first-certifications VERDICT r6 ordered (#2/#4) —
+# 29 fill slots, 29 must-certify names. A newborn entry is locally exact
+# (tools/check_oracle.py gates the full registry every run) but has no driver
+# history, so raw never-certified-first ordering would let it displace an
+# overdue entry. Instead a newborn enters the rotation with effective
+# staleness ``born − _ROTATION_CYCLE``: behind everything already overdue a
+# full cycle, ahead of everything certified within the cycle — i.e. it waits
+# exactly one round, then claims first priority. Delete an entry from this
+# map once it holds a driver row (history wins over birth anyway).
+_BORN_ROUND = {
+    "cdc_apply_log": 7,
+    "attribution_multi_touch": 7,
+    "events_decay_value": 7,
+    "dq_skew_report": 7,
+    "revenue_share_hier": 7,
+    "prep_source_kl_drift": 7,
+    "multimodal_phash_dedup": 7,
+}
+_ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
+
+
+def effective_staleness(name: str, history: dict[str, int]) -> int:
+    """Sort key for the driver window: the round of the entry's last driver
+    pass; never-certified entries count as ``born − _ROTATION_CYCLE`` when
+    their birth round is known (newborns — see ``_BORN_ROUND``) and as −1
+    (maximally stale) otherwise."""
+    if name in history:
+        return history[name]
+    born = _BORN_ROUND.get(name)
+    return -1 if born is None else born - _ROTATION_CYCLE
+
+
 def staleness_fill(tail_names, history=None) -> list[str]:
     """Order the non-pipeline/non-prep registry tail by ascending
-    last-driver-green round (never-certified first); ties keep registry
-    natural order (Python sort stability). Falls back to the frozen
-    ``_FALLBACK_FILL`` prefix when no history is available."""
+    effective staleness (never-certified first, except newborns — see
+    ``effective_staleness``); ties keep registry natural order (Python sort
+    stability). Falls back to the frozen ``_FALLBACK_FILL`` prefix when no
+    history is available."""
     tail = list(tail_names)
     if history is None:
         history = correctness_history()
     if not history:
         rank = {n: i for i, n in enumerate(_FALLBACK_FILL)}
         return sorted(tail, key=lambda n: rank.get(n, len(rank)))
-    return sorted(tail, key=lambda n: history.get(n, -1))
+    return sorted(tail, key=lambda n: effective_staleness(n, history))
 
 
 # Single source of truth for the registry merge list: module names relative
@@ -373,6 +408,7 @@ _ALL_QUERY_MODULES = (
     "operators.relational",
     "operators.relational2",
     "operators.relational3",
+    "operators.insights",
 )
 
 

@@ -1,0 +1,455 @@
+"""Operational analytics layer, round 7b: the change-data-capture /
+attribution / decay / skew-diagnostic operators a production ingestion
+platform runs NEXT TO the curation engine. Like every other module, each
+entry is a declarative DataFrame plan with an exact DuckDB oracle twin.
+
+Reference tie-in: the reference system (``src/app.js``) is an ingest→
+status-rollup service; these operators are the analytics its operators
+would run over the resulting event stream (CDC snapshotting mirrors the
+reference's last-write-wins status log, ``src/app.js:75-88``, generalized
+to keyed upserts with deletes).
+
+Scale design (shared): every events-derived operator keys its shuffle on
+``user_id`` — high-cardinality, hash-uniform — and the window/aggregate
+stages REUSE that one exchange. The star-schema operator broadcasts the
+dimension side. Nothing here collects to the driver; outputs are bounded
+(per-user, per-channel, per-nation, or per-key-column rows). All ratio
+outputs are integer ppm computed with DECIMAL integer division (`div` /
+`//`), never float division — the one discipline that keeps shares and
+skew factors bit-identical across engines AND overflow-safe at 100 TB
+(BIGINT×1e6 overflows at ~9e12 rows; DECIMAL(38) does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    SQL_REVENUE_DEC,
+    exact_sum,
+    exact_sum_dec,
+    revenue_dec,
+    sql_exact_sum,
+    sql_exact_sum_dec,
+)
+from ..tables import load_table
+from . import tune
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply_log — last-writer-wins CDC snapshot
+# ---------------------------------------------------------------------------
+
+def q_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture log to produce the current snapshot —
+    the Delta/Iceberg MERGE shape expressed as a pure query. The events
+    stream is read as an op log over the ``user_id`` entity: ``signup`` is
+    an INSERT, ``error`` a DELETE, everything else an UPDATE carrying the
+    new ``value``. The snapshot keeps, per entity, the latest op by
+    (ts, event_id) — unless that op is a delete, in which case the entity
+    is absent (the reference's status log is the same fold with only
+    upserts, src/app.js:75-88).
+
+    Plan: ONE hash exchange on user_id feeds the row_number window and the
+    per-entity op counters (same partitioning, no second shuffle). At
+    100 TB this is exactly log compaction: top-1-per-key after map-side
+    pre-aggregation, written back partitioned for the next MERGE cycle.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wall = Window.partitionBy("user_id")
+    folded = ops.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .over(wall)
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    return folded.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("last_ts"),
+        "n_ops",
+        "n_deletes",
+    )
+
+
+_ORACLE_CDC = """
+WITH ops AS (
+  SELECT event_id, ts, user_id,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error' THEN 'D'
+                         ELSE 'U' END AS op,
+         value
+  FROM events
+),
+folded AS (
+  SELECT user_id, op, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+  FROM ops
+)
+SELECT user_id, op AS last_op, value AS last_value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts, n_ops, n_deletes
+FROM folded WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# attribution_multi_touch — U-shaped credit over pre-conversion touches
+# ---------------------------------------------------------------------------
+
+# U-shaped (position-based) credit in parts-per-million of one conversion:
+# first touch 40%, last touch 40%, the middle 20% split by integer division
+# with the remainder assigned to the LAST middle touch (deterministic; no
+# non-terminating fractions, so both engines agree bit-for-bit).
+_CREDIT_END = 400_000
+_CREDIT_MID_POOL = 200_000
+
+
+def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: for every user with a purchase,
+    credit the view/click touches that happened strictly before the user's
+    FIRST purchase instant — 40% to the first touch, 40% to the last, 20%
+    split across the middle — then roll the credit up per channel. Credits
+    are integer ppm (1 conversion = 1,000,000) with the integer-division
+    remainder assigned to the last middle touch, so the split is exact on
+    both engines; a single-touch path earns the full million, a two-touch
+    path 50/50.
+
+    Plan: conversions are a per-user min aggregate; touches join on
+    user_id and the position window runs over the SAME key, so the whole
+    pipeline is one user_id exchange plus a trivial final rollup on the
+    (tiny, bounded-domain) channel column. At 100 TB nothing changes: the
+    per-user touch sequence is the unit of work and channels stay ≤ dozens.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(first_purchase, "user_id")
+        .filter(F.col("ts") < F.col("fp_ts"))
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    pos = touches.select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.row_number().over(wseq).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    mid = F.col("n") - F.lit(2)
+    mid_each = F.expr(f"CAST({_CREDIT_MID_POOL} AS BIGINT) div (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when(F.col("rn") == 1, F.lit(_CREDIT_END))
+        .when(F.col("rn") == F.col("n"), F.lit(_CREDIT_END))
+        .when(
+            F.col("rn") == F.col("n") - 1,
+            F.lit(_CREDIT_MID_POOL) - mid_each * (mid - 1),
+        )
+        .otherwise(mid_each)
+        .cast("bigint")
+    )
+    return (
+        pos.select("channel", "rn", "n", credit.alias("credit_ppm"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(F.when(F.col("rn") == F.col("n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_last"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
+        )
+    )
+
+
+_ORACLE_ATTRIBUTION = f"""
+WITH first_purchase AS (
+  SELECT user_id, min(ts) AS fp_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touches AS (
+  SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+  FROM events e JOIN first_purchase p USING (user_id)
+  WHERE e.event_type IN ('view', 'click') AND e.ts < p.fp_ts
+),
+pos AS (
+  SELECT user_id, channel,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+),
+credited AS (
+  SELECT channel, rn, n,
+         CAST(CASE
+           WHEN n = 1 THEN 1000000
+           WHEN n = 2 THEN 500000
+           WHEN rn = 1 THEN {_CREDIT_END}
+           WHEN rn = n THEN {_CREDIT_END}
+           WHEN rn = n - 1 THEN {_CREDIT_MID_POOL}
+                - ({_CREDIT_MID_POOL} // (n - 2)) * (n - 3)
+           ELSE {_CREDIT_MID_POOL} // (n - 2)
+         END AS BIGINT) AS credit_ppm
+  FROM pos
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+FROM credited GROUP BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_decay_value — exponential time-decay weighted user value
+# ---------------------------------------------------------------------------
+
+# Weekly half-life, floored at 1/16: weights are negative powers of two with
+# at most 4 decimal digits, so DECIMAL(5,4) carries them EXACTLY and the
+# weighted sum is order-independent and engine-identical (no pow(), no
+# per-row float drift).
+_DECAY_WEIGHTS = ["1.0000", "0.5000", "0.2500", "0.1250", "0.0625"]
+
+
+def q_events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user value: each event's value is weighted by
+    2^-(age_weeks) relative to the corpus's latest event DAY (weekly
+    half-life, floored at 1/16 after 4 weeks) — the standard freshness
+    feature for ranking/abuse models, next to the raw lifetime sum.
+
+    Plan: the anchor day is a 1-row broadcast (a global max partial
+    aggregate); the weighting is a narrow map; the per-user rollup is one
+    hash exchange with map-side partials. Nothing about this changes at
+    100 TB — the anchor stays one row and user_id hashes uniformly.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("anchor_day")))
+    weights = F.array(*[F.lit(w).cast("decimal(5,4)") for w in _DECAY_WEIGHTS])
+    k = F.least(
+        F.expr("datediff(anchor_day, to_date(ts)) div 7").cast("int"), F.lit(4)
+    )
+    decayed = F.element_at(weights, k + 1) * F.col("value").cast("decimal(25,4)")
+    return (
+        ev.crossJoin(anchor)
+        .select("user_id", decayed.alias("dv"), F.col("value"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            exact_sum("value").alias("raw_value"),
+            F.round(F.sum("dv"), 4).cast("double").alias("decayed_value"),
+        )
+    )
+
+
+_ORACLE_DECAY = f"""
+WITH anchor AS (
+  SELECT max(CAST(ts AS DATE)) AS anchor_day FROM events
+),
+weighted AS (
+  SELECT user_id, value,
+         (CASE least(date_diff('day', CAST(ts AS DATE), anchor_day) // 7, 4)
+            WHEN 0 THEN CAST('{_DECAY_WEIGHTS[0]}' AS DECIMAL(5,4))
+            WHEN 1 THEN CAST('{_DECAY_WEIGHTS[1]}' AS DECIMAL(5,4))
+            WHEN 2 THEN CAST('{_DECAY_WEIGHTS[2]}' AS DECIMAL(5,4))
+            WHEN 3 THEN CAST('{_DECAY_WEIGHTS[3]}' AS DECIMAL(5,4))
+            ELSE CAST('{_DECAY_WEIGHTS[4]}' AS DECIMAL(5,4))
+          END) * CAST(value AS DECIMAL(25,4)) AS dv
+  FROM events, anchor
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_exact_sum('value')} AS raw_value,
+       CAST(ROUND(SUM(dv), 4) AS DOUBLE) AS decayed_value
+FROM weighted GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq_skew_report — join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+]
+
+
+def q_dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the fact tables' shuffle keys — the
+    report an operator reads BEFORE picking salting factors or trusting
+    AQE's skew-join split. Per key column: row count, distinct keys, the
+    heaviest key's row count, the heaviest key itself (smallest key id
+    among ties, via one max-struct fold — deterministic), and
+    skew_ppm = max/mean in integer ppm (1,000,000 = perfectly uniform),
+    computed with DECIMAL integer division so it cannot overflow or drift.
+
+    Plan: each key column costs one map-side-partial count aggregation
+    whose output is |keys| rows, then a 1-row fold — the counts table
+    NEVER joins back to the fact. At 100 TB this is the cheapest possible
+    full-data diagnostic: parquet column pruning reads one column per
+    pass (grouping sets would fuse the scans if it dominated)."""
+    tune(spark)
+    out = None
+    for table, key in _SKEW_KEYS:
+        df = load_table(spark, sf_dir, table)
+        counts = df.groupBy(F.col(key).cast("bigint").alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        # one fold: (max c, then min key among argmax) via struct ordering
+        agg = counts.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_rows_per_key"),
+            F.max(F.struct(F.col("c"), (-F.col("k")).alias("nk"))).alias("hot"),
+        ).select(
+            F.lit(f"{table}.{key}").alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_rows_per_key",
+            (-F.col("hot.nk")).cast("bigint").alias("hot_key"),
+            F.expr(
+                "CAST((CAST(max_rows_per_key AS DECIMAL(38,0)) * n_keys * 1000000)"
+                " div n_rows AS BIGINT)"
+            ).alias("skew_ppm"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _sql_skew_one(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS key_col,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_rows_per_key,
+       CAST(-(max(struct_pack(c := c, nk := -k)).nk) AS BIGINT) AS hot_key,
+       CAST(CAST(max(c) AS HUGEINT) * count(*) * 1000000 // sum(c) AS BIGINT) AS skew_ppm
+FROM (SELECT CAST({key} AS BIGINT) AS k, count(*) AS c FROM {table} GROUP BY 1)
+"""
+
+
+_ORACLE_SKEW = " UNION ALL ".join(_sql_skew_one(t, k) for t, k in _SKEW_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# revenue_share_hier — percent-of-parent hierarchical rollup
+# ---------------------------------------------------------------------------
+
+def q_revenue_share_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent rollup: revenue by customer nation,
+    each nation's share of its region in exact integer ppm, plus the
+    nation's revenue rank inside the region. The exact DECIMAL revenue
+    sums are scaled to integer units (×10⁴) before the ppm division, so
+    share_ppm is a pure integer quotient both engines derive identically.
+
+    Plan: lineitem⋈orders is the only big-big join (hash on the key);
+    customer/nation/region broadcast; the nation-level aggregate is 25
+    rows, so the share window partitions by region over a trivially small
+    input. Same plan at 100 TB: dims stay broadcastable by definition and
+    the rollup output is bounded by the dimension domain, not the fact."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum_dec(revenue_dec()).alias("revenue"),
+            (F.sum(revenue_dec()) * 10000).cast("decimal(38,0)").alias("rev_units"),
+        )
+    )
+    wreg = Window.partitionBy("r_name")
+    wrank = wreg.orderBy(F.col("rev_units").desc(), F.col("n_name"))
+    return nat.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.expr(
+            "CAST((rev_units * 1000000) div sum(rev_units)"
+            " OVER (PARTITION BY r_name) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.rank().over(wrank).cast("int").alias("rank_in_region"),
+    )
+
+
+_ORACLE_SHARE = f"""
+WITH nat AS (
+  SELECT r.r_name, n.n_name,
+         {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS revenue,
+         CAST(sum({SQL_REVENUE_DEC}) * 10000 AS HUGEINT) AS rev_units
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, revenue,
+       CAST(rev_units * 1000000 // sum(rev_units) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm,
+       CAST(rank() OVER (PARTITION BY r_name
+                         ORDER BY rev_units DESC, n_name) AS INT) AS rank_in_region
+FROM nat
+"""
+
+
+QUERIES = {
+    "cdc_apply_log": q_cdc_apply_log,
+    "attribution_multi_touch": q_attribution_multi_touch,
+    "events_decay_value": q_events_decay_value,
+    "dq_skew_report": q_dq_skew_report,
+    "revenue_share_hier": q_revenue_share_hier,
+}
+
+ORACLE = {
+    "cdc_apply_log": _ORACLE_CDC,
+    "attribution_multi_touch": _ORACLE_ATTRIBUTION,
+    "events_decay_value": _ORACLE_DECAY,
+    "dq_skew_report": _ORACLE_SKEW,
+    "revenue_share_hier": _ORACLE_SHARE,
+}

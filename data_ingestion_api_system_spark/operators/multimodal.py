@@ -138,11 +138,99 @@ FROM ds
 """
 
 
+PHASH_BUCKET_CAP = 50  # web-scale boilerplate guard; lossless here (tested)
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over binary payloads — the image/
+    video dedup pipeline: mapInPandas 'decodes' each payload into
+    PHASH_SEGMENTS per-frame fingerprints (codec-stubbed, see
+    sources.multimodal._phash_frames), candidate pairs are an equi-join on
+    (frame_idx, fingerprint) — LSH-style banding, never all-pairs — and a
+    pair survives when ≥2 of its frames match (similarity = shared/4).
+    keep/drop follows the min-doc_id convention of the other dedup entries.
+
+    Scale: identical shape to dedup_minhash_lsh — the fingerprint table is
+    4 rows per payload; the self-join cost is Σ bucket², bounded by the
+    PHASH_BUCKET_CAP filter that drops degenerate boilerplate buckets
+    (at this corpus the largest bucket is far below the cap, asserted in
+    tests, so the guard is lossless). The frames table is pinned so the
+    Python extractor runs ONCE, not once per self-join side."""
+    tune(spark)
+    from ..sources.multimodal import phash_frames
+    from . import pin
+
+    frames = pin(phash_frames(binary_documents(spark, sf_dir)))
+    live = frames.join(
+        frames.groupBy("frame_idx", "frame_hash")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= PHASH_BUCKET_CAP)
+        .select("frame_idx", "frame_hash"),
+        ["frame_idx", "frame_hash"],
+    )
+    a, b = live.alias("a"), live.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.frame_hash") == F.col("b.frame_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_frames"))
+    )
+    return pairs.filter(F.col("shared_frames") >= 2).select(
+        "doc_a",
+        "doc_b",
+        "shared_frames",
+        (F.col("shared_frames") * 25).cast("int").alias("sim_pct"),
+        F.col("doc_a").alias("keep_doc"),
+        F.col("doc_b").alias("drop_doc"),
+    )
+
+
+_ORACLE_PHASH_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+  FROM documents
+),
+f0 AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         (len(tk) * (i + 1)) // 4 - (len(tk) * i) // 4 AS seglen,
+         md5(array_to_string(tk[(len(tk) * i) // 4 + 1 : (len(tk) * (i + 1)) // 4], ' ')) AS frame_hash
+  FROM t, (SELECT unnest(range(0, 4)) AS i) fr
+),
+f AS (SELECT doc_id, frame_idx, frame_hash FROM f0 WHERE seglen > 0),
+live AS (
+  SELECT f.* FROM f
+  JOIN (SELECT frame_idx, frame_hash FROM f GROUP BY 1, 2
+        HAVING count(*) <= {PHASH_BUCKET_CAP}) ok USING (frame_idx, frame_hash)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_frames
+  FROM live a
+  JOIN live b ON a.frame_idx = b.frame_idx
+             AND a.frame_hash = b.frame_hash
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_frames,
+       CAST(shared_frames * 25 AS INT) AS sim_pct,
+       doc_a AS keep_doc, doc_b AS drop_doc
+FROM pairs WHERE shared_frames >= 2
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_size_rollup": q_multimodal_size_rollup,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
 }
 
 ORACLE = {
@@ -150,4 +238,5 @@ ORACLE = {
     "multimodal_size_rollup": _ORACLE_SIZE_ROLLUP,
     "multimodal_frame_sample": _ORACLE_FRAME_SAMPLE,
     "multimodal_resize": _ORACLE_RESIZE,
+    "multimodal_phash_dedup": _ORACLE_PHASH_DEDUP,
 }

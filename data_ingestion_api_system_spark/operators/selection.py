@@ -458,11 +458,102 @@ LEFT JOIN per_doc p USING (doc_id, lang)
 CROSS JOIN totals tt
 """
 
+def q_prep_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    lowercase unigram distributions — the standard domain-shift /
+    contamination monitor for a training mix (a source whose KL jumps
+    between snapshots changed its content mix). KL = Σ_w p_s(w)·ln(p_s(w)/
+    p(w)) summed over the words observed in the source (absent words
+    contribute 0 by the 0·ln0 = 0 convention).
+
+    Determinism (the text_perplexity_ngram discipline): the probability
+    ratio collapses to (c_sw·N)/(N_s·c_w) — an IEEE division of exact
+    integers, bit-identical across engines — and the non-correctly-rounded
+    ln() is rounded to 6 decimals per value BEFORE the exact-decimal
+    weighted sum; the final /N_s is again an exact-decimal-to-double
+    division both engines round identically.
+
+    Plan: ONE tokenize+explode pass feeds the (source, word) count; the
+    word-marginal and source totals RE-AGGREGATE those counts (map-side
+    partials, vocabulary-sized shuffles — the corpus is never re-read);
+    joins are count-table-sized with the 5-row source totals and the 1-row
+    corpus total broadcast. At 100 TB the only big exchange is the first
+    (source, word) aggregation, which partial-aggregates to ~|vocab|·|sources|.
+    """
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        F.explode(tokens("text")).alias("w0"),
+    ).select("source", F.lower("w0").alias("w"))
+    # pinned: csw feeds FOUR consumers (itself, the word marginal, the
+    # source totals, the corpus total) — without the pin each branch
+    # re-tokenizes and re-aggregates the whole corpus
+    csw = pin(tok.groupBy("source", "w").agg(F.count("*").alias("c_sw")))
+    cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = F.broadcast(
+        csw.groupBy("source").agg(
+            F.sum("c_sw").alias("n_s"), F.count("*").alias("n_vocab")
+        )
+    )
+    n = F.broadcast(csw.agg(F.sum("c_sw").alias("n_corpus")))
+    logr = F.round(
+        F.log(
+            (F.col("c_sw") * F.col("n_corpus")).cast("double")
+            / (F.col("n_s") * F.col("c_w")).cast("double")
+        ),
+        6,
+    )
+    term = logr.cast("decimal(20,6)") * F.col("c_sw")
+    return (
+        csw.join(cw, "w")
+        .join(ns, "source")
+        .crossJoin(n)
+        .select("source", "n_s", "n_vocab", term.alias("term"))
+        .groupBy("source", "n_s", "n_vocab")
+        .agg(F.sum("term").alias("kl_num"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            F.round(F.col("kl_num").cast("double") / F.col("n_s"), 6).alias(
+                "kl_to_corpus"
+            ),
+        )
+    )
+
+
+_SQL_LOWTOKS = f"list_transform({_SQL_TOKS}, t -> lower(t))"
+
+_ORACLE_KL_DRIFT = f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_LOWTOKS}) AS w FROM documents
+),
+csw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY 1),
+ns AS (SELECT source, sum(c_sw) AS n_s, count(*) AS n_vocab FROM csw GROUP BY 1),
+n AS (SELECT sum(c_sw) AS n_corpus FROM csw),
+terms AS (
+  SELECT csw.source, ns.n_s, ns.n_vocab,
+         CAST(ROUND(ln(CAST(c_sw * n_corpus AS DOUBLE)
+                       / CAST(n_s * c_w AS DOUBLE)), 6) AS DECIMAL(20,6))
+           * c_sw AS term
+  FROM csw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n
+)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_tokens,
+       CAST(n_vocab AS BIGINT) AS n_vocab,
+       ROUND(CAST(sum(term) AS DOUBLE) / n_s, 6) AS kl_to_corpus
+FROM terms GROUP BY source, n_s, n_vocab
+"""
+
+
 QUERIES = {
     "prep_training_mix": q_prep_training_mix,
     "prep_decontaminate": q_prep_decontaminate,
     "prep_temperature_mix": q_prep_temperature_mix,
     "prep_dsir_weights": q_prep_dsir_weights,
+    "prep_source_kl_drift": q_prep_source_kl_drift,
 }
 
 ORACLE = {
@@ -470,4 +561,5 @@ ORACLE = {
     "prep_decontaminate": _ORACLE_DECON,
     "prep_temperature_mix": _ORACLE_TEMPERATURE_MIX,
     "prep_dsir_weights": _ORACLE_DSIR,
+    "prep_source_kl_drift": _ORACLE_KL_DRIFT,
 }

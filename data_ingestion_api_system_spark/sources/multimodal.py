@@ -184,3 +184,47 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Run the Arrow-batched extractor over a (doc_id, payload, mime)
     DataFrame."""
     return df.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+PHASH_SEGMENTS = 4
+
+PHASH_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+
+
+def _phash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perceptual-hash stand-in: each payload 'decodes' (codec-stubbed —
+    see decode_image) into a token stream, split into PHASH_SEGMENTS
+    contiguous segments whose md5s act as per-frame fingerprints. A real
+    image/video pipeline produces the same row shape from pHash/dHash over
+    decoded frames; everything downstream (banded self-join, verify) is
+    codec-agnostic. Empty segments (fewer tokens than segments) emit no
+    row: a universal empty-hash would put every short payload in one
+    boilerplate bucket.
+
+    Tokenization is RE2's ASCII \\s class ([ \\t\\n\\f\\r]) on raw bytes so
+    the DuckDB oracle (string_split_regex, RE2) re-derives identical
+    segments."""
+    import hashlib
+    import re
+
+    ws = re.compile(rb"[ \t\n\f\r]+")
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            toks = [t for t in ws.split(bytes(payload)) if t]
+            n = len(toks)
+            for i in range(PHASH_SEGMENTS):
+                seg = toks[n * i // PHASH_SEGMENTS : n * (i + 1) // PHASH_SEGMENTS]
+                if seg:
+                    rows.append(
+                        (int(doc_id), i, hashlib.md5(b" ".join(seg)).hexdigest())
+                    )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_hash"]
+        ).astype({"doc_id": "int64", "frame_idx": "int32", "frame_hash": "object"})
+
+
+def phash_frames(df: DataFrame) -> DataFrame:
+    """Per-frame fingerprints over a (doc_id, payload) DataFrame — the
+    index-build half of perceptual-hash near-dup detection."""
+    return df.mapInPandas(_phash_frames, schema=PHASH_SCHEMA)

@@ -12,11 +12,13 @@ from __future__ import annotations
 import pytest
 
 from data_ingestion_api_system_spark.operators import (
+    _BORN_ROUND,
     _FALLBACK_FILL,
     _WINDOW_SIZE,
     all_query_modules,
     collect_queries,
     correctness_history,
+    effective_staleness,
     staleness_fill,
 )
 
@@ -59,25 +61,46 @@ def test_fill_is_argmax_stale(registry):
     in_window = [n for n in names[:_WINDOW_SIZE] if n not in fixed]
     out_window = tail[len(in_window):]
     if in_window and out_window:
-        max_in = max(history.get(n, -1) for n in in_window)
-        min_out = min(history.get(n, -1) for n in out_window)
+        max_in = max(effective_staleness(n, history) for n in in_window)
+        min_out = min(effective_staleness(n, history) for n in out_window)
         assert max_in <= min_out, (
             f"window not argmax-stale: in-window freshness {max_in} > "
             f"out-of-window staleness {min_out}"
         )
 
 
-def test_round6_window_holds_never_certified(registry):
-    """The two entries with no driver row through round 5 must be in the
-    round-6 window (VERDICT r5 'Next round' #1)."""
+def test_window_holds_never_certified_except_newborns(registry):
+    """Never-certified entries must be in-window (first driver certification
+    ASAP) — EXCEPT newborns registered after the current round's window was
+    derived (``_BORN_ROUND``), which wait exactly until the next round so
+    they cannot displace an overdue re-certification (VERDICT r6 #2 froze
+    the round-7 window as the r1/r2 cohorts + the three round-7a
+    first-certifications)."""
     names, _, _ = registry
     history = correctness_history()
     if not history:
         pytest.skip("no CORRECTNESS_r*.json history in this checkout")
     window = set(names[:_WINDOW_SIZE])
     never = {n for n in names if n not in history}
-    missing = never - window
+    missing = never - window - set(_BORN_ROUND)
     assert not missing, f"never-certified entries out of window: {missing}"
+
+
+def test_newborns_lead_next_rounds_rotation(registry):
+    """A newborn (born round R, no driver row) must sort ahead of every
+    entry whose last driver pass is round R-3 or later — i.e. once the
+    current round's overdue cohort is certified, newborns are first in
+    line. Guards against a birth-staleness constant that silently parks
+    new operators at the back of the rotation for multiple rounds."""
+    names, _, _ = registry
+    history = correctness_history()
+    if not history:
+        pytest.skip("no CORRECTNESS_r*.json history in this checkout")
+    for n, born in _BORN_ROUND.items():
+        if n in history:
+            continue  # first driver row landed; birth no longer applies
+        eff = effective_staleness(n, history)
+        assert eff < born - 2, (n, eff, born)
 
 
 def test_staleness_fill_fallback_is_deterministic(registry):

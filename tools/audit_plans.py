@@ -335,6 +335,53 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"hashpartitioning\(term", r"WindowGroupLimit"],
         [r"CartesianProduct"],
     ),
+    # --- round 7b ---
+    "cdc_apply_log": (
+        # one user_id exchange feeds the top-1 window and the op counters
+        [r"hashpartitioning\(user_id", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "attribution_multi_touch": (
+        # event_type predicates reach the scan; everything keys on user_id
+        [r"PushedFilters: \[.*event_type", r"hashpartitioning\(user_id"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "events_decay_value": (
+        # per-user rollup is the only keyed exchange (the 1-row anchor
+        # rides a deliberate broadcast cross join)
+        [r"hashpartitioning\(user_id", r"BroadcastExchange"],
+        [r"CartesianProduct"],
+    ),
+    "dq_skew_report": (
+        # column pruning: each key pass reads exactly one column
+        [
+            r"ReadSchema: struct<l_orderkey:bigint>",
+            r"ReadSchema: struct<l_partkey:bigint>",
+            r"ReadSchema: struct<l_suppkey:bigint>",
+            r"partial_count",
+        ],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "revenue_share_hier": (
+        # dims broadcast (at sf0.01 Catalyst broadcasts the whole
+        # orders+dims side — at real scale AQE falls back to a hash join
+        # on orderkey); the rollup keys on the dimension domain
+        [r"BroadcastHashJoin", r"hashpartitioning\(r_name"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "prep_source_kl_drift": (
+        # ONE corpus tokenize pass: the pinned (source,w) count table
+        # (InMemoryTableScan) feeds the marginals, which re-aggregate
+        # counts (vocabulary-sized shuffles) — the corpus is never re-read
+        [r"hashpartitioning\(source", r"InMemoryTableScan", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "multimodal_phash_dedup": (
+        # the Python fingerprint extractor runs once (pinned) and the
+        # candidate stage is an equi-join, never all-pairs
+        [r"MapInPandas", r"InMemoryTableScan", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
