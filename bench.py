@@ -52,6 +52,14 @@ ADDED_R7 = [
     "text_inverted_index",
     "prep_dsir_weights",
     "events_rfm_segmentation",
+    # round-7 additions with nontrivial shuffle/join/Python-exec shapes —
+    # benched from birth so they never accrue a perf-accountability gap:
+    "cdc_apply_log",
+    "attribution_multi_touch",
+    "dq_skew_report",
+    "revenue_share_hier",
+    "prep_source_kl_drift",
+    "multimodal_phash_dedup",
 ]
 
 
