@@ -60,6 +60,13 @@ ADDED_R7 = [
     "revenue_share_hier",
     "prep_source_kl_drift",
     "multimodal_phash_dedup",
+    # round-7c: layout/sketch/sweep operators with nontrivial shapes
+    # (stack+constant-width agg, mergeable HLL, two-level prefix sum,
+    # single-WindowExec five-frame feature pass)
+    "layout_zorder_skipping",
+    "sketch_hll_union_rollup",
+    "orders_backlog_sweep",
+    "events_ts_features",
 ]
 
 

@@ -359,6 +359,11 @@ _BORN_ROUND = {
     "revenue_share_hier": 7,
     "prep_source_kl_drift": 7,
     "multimodal_phash_dedup": 7,
+    "layout_zorder_skipping": 7,
+    "sketch_hll_union_rollup": 7,
+    "sim_ndcg_eval": 7,
+    "events_ts_features": 7,
+    "orders_backlog_sweep": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 
@@ -409,6 +414,7 @@ _ALL_QUERY_MODULES = (
     "operators.relational2",
     "operators.relational3",
     "operators.insights",
+    "operators.layout",
 )
 
 

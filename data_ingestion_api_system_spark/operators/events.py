@@ -364,7 +364,62 @@ FROM scored
 """
 
 
+def q_events_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event time-series feature extraction — the feature-engineering
+    pass a training pipeline runs to turn a raw event log into model rows:
+    event index, gap to the previous event, previous value (lag), rolling
+    3-event value sum, and elapsed time since the user's first event.
+
+    Every feature reads from ONE window spec partitioned by ``user_id``
+    and ordered by (ts, event_id) — Spark plans a single hash exchange on
+    user_id and one sort, then evaluates all five frames in the same
+    WindowExec (visible in the plan: one Window node, five window
+    expressions). That exchange-reuse is the whole scale story: feature
+    count grows the projection, not the shuffle count, and user_id is
+    high-cardinality/hash-uniform so no partition collapses. The rolling
+    sum runs in DECIMAL(25,4) with a final round — the module's standard
+    order-independent exact-sum discipline — and the (ts, event_id)
+    tiebreak makes every lag/row_number deterministic."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    uts = F.unix_timestamp("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        uts.alias("ts_s"),
+        F.row_number().over(w).cast("int").alias("event_idx"),
+        (uts - F.lag(uts).over(w)).cast("bigint").alias("gap_s"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.round(F.sum(F.col("value").cast("decimal(25,4)")).over(w3), 2)
+        .cast("double")
+        .alias("roll3_sum"),
+        (uts - F.first(uts).over(w)).cast("bigint").alias("since_first_s"),
+    )
+
+
+_ORACLE_TS_FEATURES = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(row_number() OVER w AS INT) AS event_idx,
+       CAST(floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w AS BIGINT) AS gap_s,
+       lag(value) OVER w AS prev_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS roll3_sum,
+       CAST(floor(epoch(ts)) - first_value(floor(epoch(ts))) OVER w AS BIGINT)
+         AS since_first_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
+    "events_ts_features": q_events_ts_features,
     "events_tumbling_window": q_events_tumbling,
     "events_sliding_window": q_events_sliding,
     "events_sessionize": q_events_sessionize,
@@ -375,6 +430,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_ts_features": _ORACLE_TS_FEATURES,
     "events_tumbling_window": _ORACLE_TUMBLING,
     "events_sliding_window": _ORACLE_SLIDING,
     "events_sessionize": _ORACLE_SESSIONIZE,

@@ -17,7 +17,7 @@ the same rows, certifying the bin+residual rewrite is lossless.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import exact_sum, sql_exact_sum
@@ -86,5 +86,118 @@ GROUP BY t.tier
 """
 
 
-QUERIES = {"range_join_binned": q_range_join_binned}
-ORACLE = {"range_join_binned": _ORACLE_RANGE_JOIN}
+def q_orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day by interval SWEEP — how many lineitems
+    have been ordered (o_orderdate) but not yet shipped (l_shipdate) on
+    each active day (the generated dates are mutually independent, so each
+    pair is normalized to an ordered [least, greatest] span first — see
+    the inline note). The naive form is an interval join (day × intervals
+    containing it, O(days × rows)); the sweep turns it into prefix sums:
+    every interval contributes +1 at its open day and −1 the day after it
+    closes, and the backlog at day d is the running total of deltas — the
+    classic sweep-line linearization used by every time-series engine for
+    concurrent-interval counting.
+
+    The running total is computed as a TWO-LEVEL scan, the distributed
+    prefix-sum pattern: (1) per-day deltas aggregate with map-side
+    combine; (2) per-MONTH totals compute each month's carry-in offset;
+    (3) the day-level running sum windows PARTITIONED BY month and adds
+    the broadcast month offset. The only un-partitioned window runs over
+    the per-month aggregate — rows bounded by the CALENDAR (~84 months of
+    generated data, 1200 for a century), constant in data volume, which is
+    why it sits in audit's documented allowlist alongside
+    ``window_moving_avg``. Day partitions stay parallel at any scale.
+
+    The DuckDB oracle computes the same backlog with ONE flat global
+    running sum — a different plan arriving at the same numbers, which is
+    exactly what certifies the two-level decomposition lossless."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    )
+    # the generated ship/order dates are independent (≈half the spans
+    # would be "negative"), so normalize each interval to
+    # [least, greatest] — the concurrent-span count stays well-defined
+    # and every row contributes exactly one +1/−1 pair
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.least("open_d", "ship_d").alias("open_d"),
+        F.greatest("open_d", "ship_d").alias("ship_d"),
+    )
+    deltas = iv.select(
+        F.col("open_d").alias("day"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionAll(
+        iv.select(
+            F.date_add("ship_d", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    days = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum("opened").cast("bigint").alias("n_opened"),
+        F.sum("closed").cast("bigint").alias("n_closed"),
+    ).withColumn("month", F.trunc("day", "month"))
+    monthly = days.groupBy("month").agg(F.sum("net").alias("month_net"))
+    w_m = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = monthly.select(
+        "month",
+        F.coalesce(F.sum("month_net").over(w_m), F.lit(0))
+        .cast("bigint")
+        .alias("carry_in"),
+    )
+    w_d = Window.partitionBy("month").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        days.join(F.broadcast(offsets), "month")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_opened",
+            "n_closed",
+            (F.col("carry_in") + F.sum("net").over(w_d))
+            .cast("bigint")
+            .alias("backlog"),
+        )
+    )
+
+
+_ORACLE_BACKLOG = """
+WITH iv AS (
+  SELECT least(CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS open_d,
+         greatest(CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS ship_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT open_d AS day, 1 AS delta, 1 AS opened, 0 AS closed FROM iv
+  UNION ALL
+  SELECT ship_d + 1 AS day, -1 AS delta, 0 AS opened, 1 AS closed FROM iv
+),
+days AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net,
+         CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_opened, n_closed,
+       CAST(sum(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS backlog
+FROM days
+"""
+
+
+QUERIES = {
+    "range_join_binned": q_range_join_binned,
+    "orders_backlog_sweep": q_orders_backlog_sweep,
+}
+ORACLE = {
+    "range_join_binned": _ORACLE_RANGE_JOIN,
+    "orders_backlog_sweep": _ORACLE_BACKLOG,
+}

@@ -859,6 +859,127 @@ LEFT JOIN hits USING (query_id)
 """
 
 
+# NDCG@5 discount weights in ppm: round(1e6 / log2(rank+1)), precomputed
+# ONCE in Python and embedded as integer literals in BOTH engines — no
+# runtime log2, so there is no float-divergence surface at all. IDCG for
+# binary relevance with |relevant| >= 5 is the constant sum W[1..5].
+_NDCG_W = {1: 1_000_000, 2: 630_930, 3: 500_000, 4: 430_677, 5: 386_853}
+_NDCG_IDCG = sum(_NDCG_W.values())  # 2_948_460
+_NDCG_CASE = (
+    "CASE rk_ann "
+    + " ".join(f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items())
+    + " ELSE 0 END"
+)
+
+
+def q_sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{RECALL_K} of the sign-LSH ANN ranking against exact cosine
+    ground truth — the ORDER-sensitive companion to ``sim_recall_eval``
+    (recall says how many true neighbors the index returns; NDCG says how
+    well it ranks them, the metric IR evaluations actually report,
+    Järvelin & Kekäläinen 2002).
+
+    Binary relevance (candidate ∈ exact top-{RECALL_K}), discounts
+    1/log2(rank+1) — but computed entirely in INTEGER ppm: the five
+    discount weights are precomputed Python literals shared by both
+    engines (see ``_NDCG_W``), so DCG is an exact integer sum and
+    ndcg_ppm an exact integer division. No runtime transcendental, no
+    rounding discipline needed — the lookup-table trick that also keeps
+    the plan pure JVM arithmetic.
+
+    Plan: identical one-scored-pass shape as ``sim_recall_eval`` — the
+    8-query batch broadcasts, each (candidate, query) cosine is computed
+    once, exact and ANN ranks become columns of the same pass via two
+    WindowGroupLimit-capped windows, and ONE aggregation emits the
+    metrics. At 100 TB the eval runs over a fixed probe sample; the
+    per-query window partitions stay 8 regardless of corpus size."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    sig = e.select("vec_id", "v", F.expr(_spark_lsh_bucket("v")).alias("bucket"))
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") < RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("bv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = sig.filter(F.col("vec_id") >= RECALL_QUERIES).select(
+        "vec_id", F.col("v").alias("av"), "bucket"
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = cand.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cos.alias("cosine"),
+        (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
+    )
+    from pyspark.sql import Window
+
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    w_ann = Window.partitionBy("query_id", "in_bucket").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        (F.row_number().over(w_exact) <= RECALL_K).alias("is_rel"),
+        F.when(F.col("in_bucket"), F.row_number().over(w_ann)).alias("rk_ann"),
+    ).filter(F.col("rk_ann") <= RECALL_K)
+    return ranked.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_ann"),
+        F.sum(F.col("is_rel").cast("int")).cast("bigint").alias("n_hits"),
+        F.sum(
+            F.when(F.col("is_rel"), F.expr(_NDCG_CASE)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_ppm"),
+        F.expr(
+            f"CAST(sum(CASE WHEN is_rel THEN {_NDCG_CASE} ELSE 0 END)"
+            f" * 1000000 div {_NDCG_IDCG} AS BIGINT)"
+        ).alias("ndcg_ppm"),
+    )
+
+
+_ORACLE_NDCG = f"""
+WITH e AS ({_SQL_EMB}),
+sig AS (SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS bv, bucket AS qbucket
+      FROM sig WHERE vec_id < {RECALL_QUERIES}),
+cand AS (SELECT vec_id, v AS av, bucket FROM sig WHERE vec_id >= {RECALL_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine,
+         bucket = qbucket AS in_bucket
+  FROM cand, q
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC)
+           <= {RECALL_K} AS is_rel,
+         CASE WHEN in_bucket THEN
+           row_number() OVER (PARTITION BY query_id, in_bucket
+                              ORDER BY cosine DESC, vec_id ASC)
+         END AS rk_ann
+  FROM scored
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_ann,
+       CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN is_rel THEN {_NDCG_CASE} ELSE 0 END) AS BIGINT)
+         AS dcg_ppm,
+       CAST(sum(CASE WHEN is_rel THEN {_NDCG_CASE} ELSE 0 END)
+            * 1000000 // {_NDCG_IDCG} AS BIGINT) AS ndcg_ppm
+FROM ranked WHERE rk_ann <= {RECALL_K}
+GROUP BY query_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -871,6 +992,7 @@ QUERIES = {
     "sim_pq_codes": q_sim_pq_codes,
     "sim_recall_eval": q_sim_recall_eval,
     "sim_matryoshka_recall": q_sim_matryoshka_recall,
+    "sim_ndcg_eval": q_sim_ndcg_eval,
 }
 
 ORACLE = {
@@ -885,4 +1007,5 @@ ORACLE = {
     "sim_pq_codes": _ORACLE_PQ,
     "sim_recall_eval": _ORACLE_RECALL,
     "sim_matryoshka_recall": _ORACLE_MATRYOSHKA,
+    "sim_ndcg_eval": _ORACLE_NDCG,
 }

@@ -382,6 +382,39 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas", r"InMemoryTableScan", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "layout_zorder_skipping": (
+        # one scan → stack generator → ONE constant-width (≤128 group)
+        # hash agg; the only non-equi joins are the 1-row min/max bounds
+        # broadcasts (BNLJ by design); no row-level shuffle-heavy join
+        [r"Generate", r"partial_min|partial_count", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "sketch_hll_union_rollup": (
+        # mergeable HLL sketches: ObjectHashAggregate with partial
+        # hll_sketch_agg/hll_union_agg (map-side combinable registers);
+        # the exact-twin join is keyed, never all-pairs
+        [r"ObjectHashAggregate", r"hll_union_agg|hll_sketch_agg"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sim_ndcg_eval": (
+        # same one-scored-pass contract as sim_recall_eval: query batch
+        # broadcasts (BNLJ), both rankings are window COLUMNS of that
+        # single pass, metrics fall out of one aggregation
+        [r"BroadcastNestedLoopJoin", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin", r"ShuffledHashJoin"],
+    ),
+    "events_ts_features": (
+        # ONE user_id exchange + ONE sort feeding a single WindowExec
+        # evaluating all five feature frames; no joins anywhere
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "orders_backlog_sweep": (
+        # sweep-line: keyed order join, day-level partial_sum agg, the
+        # bounded month-offset side broadcasts back (BroadcastHashJoin)
+        [r"partial_sum", r"Window", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
@@ -397,6 +430,11 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "window_moving_avg",
     # cumulative pass over the reduced 64-bin histogram sketch
     "sketch_histogram_quantiles",
+    # month-level carry-in offsets for the two-level prefix-sum sweep —
+    # window input is the per-MONTH aggregate, bounded by the calendar
+    # (~84 rows; 1200 for a century), constant in data volume. The
+    # day-level running sum partitions by month (rangejoin.py docstring).
+    "orders_backlog_sweep",
 }
 
 
