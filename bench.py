@@ -67,6 +67,10 @@ ADDED_R7 = [
     "sketch_hll_union_rollup",
     "orders_backlog_sweep",
     "events_ts_features",
+    "join_incremental_delta",
+    "events_path_mining",
+    "sim_centroid_drift",
+    "text_ngram_novelty",
 ]
 
 

@@ -364,6 +364,10 @@ _BORN_ROUND = {
     "sim_ndcg_eval": 7,
     "events_ts_features": 7,
     "orders_backlog_sweep": 7,
+    "join_incremental_delta": 7,
+    "events_path_mining": 7,
+    "sim_centroid_drift": 7,
+    "text_ngram_novelty": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

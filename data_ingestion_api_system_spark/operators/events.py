@@ -418,7 +418,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+PATH_MIN_SUPPORT = 5  # a 3-step path must occur this often to be reported
+
+
+def q_events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavioral paths — sequence mining one level above
+    ``events_markov_transitions`` (that entry counts 2-step transitions;
+    real funnels need the longer contexts product analytics tools mine).
+    Per user, consecutive event-type triples are formed with two ``lead``
+    frames over ONE (ts, event_id)-ordered window, then counted globally
+    with occurrence and distinct-user support; paths below
+    ``PATH_MIN_SUPPORT`` occurrences are pruned (the a-priori bound).
+
+    Scale: the window shuffles once on user_id (high-cardinality); the
+    path count shuffles once on the path string — bounded by |types|³
+    (125 here), so the aggregate output is constant-size at any event
+    volume and partials combine map-side. No self-joins: the sequence is
+    linearized by the window, not by joining the log to itself (which
+    would shuffle the fact table twice more)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = ev.select(
+        "user_id",
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).isNotNull().alias("complete"),
+    ).filter("complete")
+    return (
+        triples.groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= PATH_MIN_SUPPORT)
+    )
+
+
+_ORACLE_PATHS = f"""
+WITH triples AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w IS NOT NULL AS complete
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM triples WHERE complete
+GROUP BY path
+HAVING count(*) >= {PATH_MIN_SUPPORT}
+"""
+
+
 QUERIES = {
+    "events_path_mining": q_events_path_mining,
     "events_ts_features": q_events_ts_features,
     "events_tumbling_window": q_events_tumbling,
     "events_sliding_window": q_events_sliding,
@@ -430,6 +490,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_path_mining": _ORACLE_PATHS,
     "events_ts_features": _ORACLE_TS_FEATURES,
     "events_tumbling_window": _ORACLE_TUMBLING,
     "events_sliding_window": _ORACLE_SLIDING,

@@ -686,7 +686,80 @@ FROM deg LEFT JOIN corners USING (brand)
 """
 
 
+# Incremental-view-maintenance cutoff: rows dated before it are the
+# materialized "base" snapshot, rows at/after it are the CDC delta batch.
+IVM_CUTOFF = "1997-06-01"
+
+
+def q_join_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN aggregate — the algebra behind
+    every materialized view refresh (Delta Live Tables, Materialize,
+    classic IVM literature): with base relations A (orders) and B
+    (lineitem) and new delta batches dA/dB arriving after ``IVM_CUTOFF``,
+
+        (A ∪ dA) ⋈ (B ∪ dB) = A⋈B  ∪  dA⋈B  ∪  A⋈dB  ∪  dA⋈dB
+
+    so the refreshed aggregate = the MATERIALIZED partials of A⋈B merged
+    with partials computed from only the three delta terms — the raw
+    pre-cutoff fact data is never re-joined against itself. This entry
+    computes the view that way (four branch aggregates union-merged into
+    a final rollup per order priority), while the DuckDB oracle computes
+    the flat join-then-aggregate over everything; their equality is the
+    proof the delta decomposition is lossless.
+
+    Scale shape: each branch is a keyed equi-join on l_orderkey with
+    map-side partial aggregation before the merge. In production dA/dB
+    are a few minutes of CDC (tiny → broadcast), so refresh cost is
+    O(|delta| + |view|), independent of |base| — THE reason IVM exists at
+    100 TB. Here the halves are comparable (no tiny side to broadcast),
+    which exercises the general shape; every join stays keyed, never
+    all-pairs, and the decimal revenue discipline keeps the partial-merge
+    bit-exact in any merge order."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", revenue_dec().alias("rev")
+    )
+    a = orders.filter(F.col("o_orderdate") < IVM_CUTOFF)
+    da = orders.filter(F.col("o_orderdate") >= IVM_CUTOFF)
+    b = li.filter(F.col("l_shipdate") < IVM_CUTOFF)
+    db = li.filter(F.col("l_shipdate") >= IVM_CUTOFF)
+
+    def partials(o, l):  # noqa: E741 - l is the lineitem side
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("p_items"),
+                F.sum("rev").alias("p_rev"),
+            )
+        )
+
+    merged = (
+        partials(a, b)  # the materialized view's stored partials
+        .unionAll(partials(da, b))  # delta-A against base-B
+        .unionAll(partials(a, db))  # base-A against delta-B
+        .unionAll(partials(da, db))  # delta-delta corner
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("p_items").cast("bigint").alias("n_items"),
+        exact_sum_dec(F.col("p_rev")).alias("revenue"),
+    )
+
+
+_ORACLE_IVM = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = {
+    "join_incremental_delta": q_join_incremental_delta,
     "date_functions": q_date_functions,
     "tpch_q8_market_share": q_tpch_q8,
     "tpch_q13_order_distribution": q_tpch_q13,
@@ -701,6 +774,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_incremental_delta": _ORACLE_IVM,
     "date_functions": _ORACLE_DATE_FUNCS,
     "tpch_q8_market_share": _ORACLE_Q8,
     "tpch_q13_order_distribution": _ORACLE_Q13,

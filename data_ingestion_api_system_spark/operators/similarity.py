@@ -859,6 +859,104 @@ LEFT JOIN hits USING (query_id)
 """
 
 
+def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, compare the centroid of two
+    corpus snapshots (even vs odd ``vec_id`` — standing in for
+    "yesterday's index build vs today's") by centroid cosine similarity
+    and L2 shift. This is the metric a production retrieval system alarms
+    on before re-embedding or re-clustering: centroids moving ⇒ the IVF
+    cells / kmeans assignments trained on the old snapshot are stale.
+
+    Determinism discipline: per-(label, dim) means are computed with the
+    DECIMAL(25,12) exact-sum trick and rounded to 6dp FIRST; the cosine
+    and L2 then run entirely on DECIMAL(12,6) values (products exact at
+    scale 12, sums exact), so the only float steps are the final sqrt
+    (IEEE correctly-rounded, engine-identical) and one rounded division —
+    the same per-value-rounding pattern ``text_perplexity_ngram`` uses
+    for its ln() divergence.
+
+    Scale: posexplode fans each vector into 64 (label, dim) rows — a
+    narrow 64× map, no shuffle — then ONE hash aggregation on
+    (label, dim) with map-side combine (output bounded by
+    |labels|×dims), then a second trivially-small rollup per label. No
+    pairwise work anywhere: drift reads 2·|labels| centroids, not
+    |corpus|² distances."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("v").alias("dim", "x"),
+    )
+    xd = F.col("x").cast("decimal(25,12)")
+    mean6 = lambda flag: F.round(  # noqa: E731
+        F.sum(F.when(flag, xd)).cast("double")
+        / F.count(F.when(flag, F.lit(1))),
+        6,
+    )
+    means = ex.groupBy("label", "dim").agg(
+        mean6(F.col("is_a")).alias("ma"),
+        mean6(~F.col("is_a")).alias("mb"),
+    )
+    da, db = F.col("ma").cast("decimal(12,6)"), F.col("mb").cast("decimal(12,6)")
+    geo = means.groupBy("label").agg(
+        F.round(
+            F.sum(da * db).cast("double")
+            / (
+                F.sqrt(F.sum(da * da).cast("double"))
+                * F.sqrt(F.sum(db * db).cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(F.sum((da - db) * (da - db)).cast("double")), 6).alias(
+            "l2_shift"
+        ),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).cast("bigint").alias("n_b"),
+    )
+    return counts.join(geo, "label").select(
+        "label", "n_a", "n_b", "centroid_cosine", "l2_shift"
+    )
+
+
+_ORACLE_DRIFT = f"""
+WITH e AS ({_SQL_EMB}),
+ex AS (
+  SELECT label, vec_id % 2 = 0 AS is_a, i - 1 AS dim,
+         v[CAST(i AS INT)] AS x
+  FROM e, unnest(range(1, {DIMS + 1})) AS t(i)
+),
+means AS (
+  SELECT label, dim,
+         ROUND(CAST(SUM(CASE WHEN is_a THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
+               / COUNT(CASE WHEN is_a THEN 1 END), 6) AS ma,
+         ROUND(CAST(SUM(CASE WHEN NOT is_a THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
+               / COUNT(CASE WHEN NOT is_a THEN 1 END), 6) AS mb
+  FROM ex GROUP BY 1, 2
+),
+geo AS (
+  SELECT label,
+         ROUND(CAST(SUM(CAST(ma AS DECIMAL(12,6)) * CAST(mb AS DECIMAL(12,6))) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(ma AS DECIMAL(12,6)) * CAST(ma AS DECIMAL(12,6))) AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(mb AS DECIMAL(12,6)) * CAST(mb AS DECIMAL(12,6))) AS DOUBLE))),
+               6) AS centroid_cosine,
+         ROUND(sqrt(CAST(SUM((CAST(ma AS DECIMAL(12,6)) - CAST(mb AS DECIMAL(12,6)))
+                            * (CAST(ma AS DECIMAL(12,6)) - CAST(mb AS DECIMAL(12,6)))) AS DOUBLE)), 6) AS l2_shift
+  FROM means GROUP BY label
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM e GROUP BY label
+)
+SELECT label, n_a, n_b, centroid_cosine, l2_shift
+FROM counts JOIN geo USING (label)
+"""
+
+
 # NDCG@5 discount weights in ppm: round(1e6 / log2(rank+1)), precomputed
 # ONCE in Python and embedded as integer literals in BOTH engines — no
 # runtime log2, so there is no float-divergence surface at all. IDCG for
@@ -993,6 +1091,7 @@ QUERIES = {
     "sim_recall_eval": q_sim_recall_eval,
     "sim_matryoshka_recall": q_sim_matryoshka_recall,
     "sim_ndcg_eval": q_sim_ndcg_eval,
+    "sim_centroid_drift": q_sim_centroid_drift,
 }
 
 ORACLE = {
@@ -1008,4 +1107,5 @@ ORACLE = {
     "sim_recall_eval": _ORACLE_RECALL,
     "sim_matryoshka_recall": _ORACLE_MATRYOSHKA,
     "sim_ndcg_eval": _ORACLE_NDCG,
+    "sim_centroid_drift": _ORACLE_DRIFT,
 }

@@ -1080,7 +1080,72 @@ FROM agg WHERE df >= {INDEX_MIN_DF}
 """
 
 
+NOVELTY_NGRAM = 5  # word n-gram width for first-seen attribution
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order novelty score per document — the Dolma/RefinedWeb
+    curation signal that complements symmetric span recurrence
+    (``text_cross_doc_spans``): a {NOVELTY_NGRAM}-gram is NOVEL in the
+    document with the smallest doc_id containing it (doc_id stands in for
+    arrival order), and each document scores the fraction of its distinct
+    n-grams it introduced to the corpus. Low novelty ⇒ the document is
+    largely restating earlier content and is a down-weighting candidate
+    even when no single pair-wise duplicate exists.
+
+    Plan: tokenize → distinct (doc_id, shingle) — ONE shuffle keyed on
+    the shingle with map-side combine — then min(doc_id) per shingle in
+    the SAME partitioning (no second exchange before the join back), an
+    equi-join on shingle, and a final doc_id rollup. Shingle keys are
+    Zipf-skewed but the per-shingle state is one BIGINT min — no
+    collect_list, so a hot shingle costs one register, not a buffer;
+    novelty_ppm is exact integer arithmetic."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(tokens("text"), NOVELTY_NGRAM)).alias("g")
+    ).distinct()
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_ngrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_ngrams",
+            "n_novel",
+            F.expr(
+                "CAST(n_novel * 1000000 div n_distinct_ngrams AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+_ORACLE_NOVELTY = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM documents, unnest({_sql_word_ngrams(_SQL_TOKS, NOVELTY_NGRAM)}) AS t(g)
+),
+first AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM grams JOIN first USING (g)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_ngram_novelty": q_text_ngram_novelty,
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_quality_score": q_text_quality_score,
@@ -1101,6 +1166,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_ngram_novelty": _ORACLE_NOVELTY,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_bpe_tokens": _ORACLE_BPE,
     "text_quality_score": _ORACLE_QUALITY,

@@ -253,6 +253,154 @@ def test_backlog_matches_naive_interval_count(spark):
     assert out[max(out)][2] == 0
 
 
+# ---------------------------------------------------------------------------
+# join_incremental_delta
+# ---------------------------------------------------------------------------
+
+def test_ivm_merge_equals_pandas_flat_join(spark):
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        IVM_CUTOFF,
+        q_join_incremental_delta,
+    )
+
+    out = {
+        r.o_orderpriority: (r.n_items, r.revenue)
+        for r in q_join_incremental_delta(spark, SF_DIR).collect()
+    }
+    o = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority, o_orderdate FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).df()
+    l = duckdb.sql(  # noqa: E741
+        f"SELECT l_orderkey, l_shipdate, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).df()
+    j = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    # third computation: flat pandas join + float sum (tolerance compare)
+    import math
+
+    for prio, grp in j.groupby("o_orderpriority"):
+        rev = float((grp.l_extendedprice * (1 - grp.l_discount)).sum())
+        assert out[prio][0] == len(grp)
+        assert math.isclose(out[prio][1], rev, rel_tol=1e-9)
+    # both sides of the cutoff must be non-degenerate or the 4-branch
+    # decomposition silently collapses to a plain join
+    assert (o.o_orderdate.astype(str) < IVM_CUTOFF).any()
+    assert (o.o_orderdate.astype(str) >= IVM_CUTOFF).any()
+    assert (l.l_shipdate.astype(str) < IVM_CUTOFF).any()
+    assert (l.l_shipdate.astype(str) >= IVM_CUTOFF).any()
+
+
+# ---------------------------------------------------------------------------
+# events_path_mining
+# ---------------------------------------------------------------------------
+
+def test_path_mining_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        PATH_MIN_SUPPORT,
+        q_events_path_mining,
+    )
+
+    out = {
+        r.path: (r.n_occurrences, r.n_users)
+        for r in q_events_path_mining(spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type FROM read_parquet('{SF_DIR}/events.parquet') "
+        f"ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for uid, et in rows:
+        seqs[uid].append(et)
+    counts: dict[str, int] = defaultdict(int)
+    users: dict[str, set] = defaultdict(set)
+    for uid, seq in seqs.items():
+        for i in range(len(seq) - 2):
+            p = ">".join(seq[i : i + 3])
+            counts[p] += 1
+            users[p].add(uid)
+    expect = {
+        p: (c, len(users[p]))
+        for p, c in counts.items()
+        if c >= PATH_MIN_SUPPORT
+    }
+    assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# sim_centroid_drift
+# ---------------------------------------------------------------------------
+
+def test_centroid_drift_matches_numpy(spark):
+    import numpy as np
+
+    from data_ingestion_api_system_spark.operators.similarity import (
+        q_sim_centroid_drift,
+    )
+
+    out = {r.label: r for r in q_sim_centroid_drift(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT label, vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    snap = defaultdict(lambda: {0: [], 1: []})
+    for label, vid, v in rows:
+        snap[label][vid % 2].append(v)
+    for label, halves in snap.items():
+        a = np.array(halves[0]).mean(axis=0).round(6)
+        b = np.array(halves[1]).mean(axis=0).round(6)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        l2 = float(np.linalg.norm(a - b))
+        r = out[label]
+        assert r.n_a == len(halves[0]) and r.n_b == len(halves[1])
+        # numpy uses pairwise float summation (different order than the
+        # exact-decimal plan), so compare with a small tolerance
+        assert abs(r.centroid_cosine - cos) < 1e-5
+        assert abs(r.l2_shift - l2) < 1e-5
+        assert -1.0 <= r.centroid_cosine <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        NOVELTY_NGRAM,
+        q_text_ngram_novelty,
+    )
+
+    out = {
+        r.doc_id: (r.n_distinct_ngrams, r.n_novel, r.novelty_ppm)
+        for r in q_text_ngram_novelty(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    grams: dict[int, set] = {}
+    for did, text in docs:
+        toks = [t for t in text.split() if t]
+        grams[did] = {
+            " ".join(toks[i : i + NOVELTY_NGRAM])
+            for i in range(len(toks) - NOVELTY_NGRAM + 1)
+        }
+    first: dict[str, int] = {}
+    for did in sorted(grams):
+        for g in grams[did]:
+            if g not in first:
+                first[g] = did
+    for did, gs in grams.items():
+        if not gs:
+            assert did not in out
+            continue
+        novel = sum(1 for g in gs if first[g] == did)
+        assert out[did] == (len(gs), novel, novel * 1_000_000 // len(gs))
+
+
 if __name__ == "__main__":
     import sys
 

@@ -415,6 +415,33 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_sum", r"Window", r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "join_incremental_delta": (
+        # IVM decomposition: four keyed join branches union-merged with
+        # partial aggregation before the final rollup; never all-pairs
+        [r"Union", r"partial_sum|partial_count",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "events_path_mining": (
+        # sequence linearized by ONE user_id window (no log self-join);
+        # path counts aggregate map-side into a |types|³-bounded output
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sim_centroid_drift": (
+        # posexplode fan-out then (label, dim)-bounded hash agg; the only
+        # join is the tiny per-label counts↔geometry merge — no pairwise
+        # work, no windows
+        [r"Generate", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    "text_ngram_novelty": (
+        # distinct (doc, shingle) → min(doc_id) per shingle reusing the
+        # shingle partitioning → keyed join back; one BIGINT of state per
+        # shingle regardless of Zipf skew
+        [r"partial_min", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
