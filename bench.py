@@ -71,6 +71,10 @@ ADDED_R7 = [
     "events_path_mining",
     "sim_centroid_drift",
     "text_ngram_novelty",
+    "events_ab_test",
+    "events_linreg_trend",
+    "layout_compaction_bins",
+    "sketch_join_size_estimate",
 ]
 
 

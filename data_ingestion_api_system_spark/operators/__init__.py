@@ -368,6 +368,10 @@ _BORN_ROUND = {
     "events_path_mining": 7,
     "sim_centroid_drift": 7,
     "text_ngram_novelty": 7,
+    "events_ab_test": 7,
+    "events_linreg_trend": 7,
+    "layout_compaction_bins": 7,
+    "sketch_join_size_estimate": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

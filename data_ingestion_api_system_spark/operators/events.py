@@ -477,7 +477,202 @@ HAVING count(*) >= {PATH_MIN_SUPPORT}
 """
 
 
+AB_SALT = "ab:"  # hash salt for deterministic arm assignment
+AB_CONVERT_VALUE = 100.0  # an event with value >= this counts as a conversion
+
+
+def _arm_spark(uid_expr: str) -> str:
+    """Deterministic A/B arm from the first md5 nibble's parity — the
+    hash-based unit assignment every experimentation platform uses
+    (user_id % 2 would correlate with id-assignment order; a salted hash
+    does not). Pure strpos arithmetic so both engines agree bit-for-bit."""
+    h = f"md5(concat('{AB_SALT}', CAST({uid_expr} AS STRING)))"
+    return f"(position(substr({h}, 1, 1) IN '0123456789abcdef') - 1) % 2"
+
+
+def _arm_sql(uid_expr: str) -> str:
+    h = f"md5('{AB_SALT}' || CAST({uid_expr} AS VARCHAR))"
+    return f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) % 2"
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the analysis layer every event pipeline
+    feeds: users are hashed into control/treatment arms (salted md5
+    parity, the industry-standard deterministic unit assignment), a user
+    "converts" on an event_type if they have >= 1 event of that type with
+    ``value >= AB_CONVERT_VALUE``, and per event_type the readout reports
+    per-arm exposure/conversion counts, rates in exact ppm, and the
+    two-proportion pooled z-score (the significance statistic).
+
+    Determinism: everything through the rates is exact integer
+    arithmetic; the z-score is computed from those integers with one
+    fixed expression tree of correctly-rounded IEEE ops (div/mul/sqrt)
+    and rounded to 6dp — the same discipline as ``sim_centroid_drift``.
+    Degenerate pooled rates (0 or 1, where the z denominator is 0) emit
+    z = 0 via an explicit guard on both engines.
+
+    Scale: one shuffle on (event_type, user_id) for the conversion
+    distinct, one on user_id for exposure; arm totals are a 2-row
+    broadcast. Output is |event_types| rows — constant in event volume,
+    partials combine map-side. No windows, no self-joins."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .select(F.expr(_arm_spark("user_id")).alias("arm"))
+    )
+    totals = users.agg(
+        F.sum(F.expr("CAST(arm = 0 AS INT)")).cast("bigint").alias("n_c"),
+        F.sum(F.expr("CAST(arm = 1 AS INT)")).cast("bigint").alias("n_t"),
+    )
+    conv = (
+        ev.filter(F.col("value") >= AB_CONVERT_VALUE)
+        .select("event_type", "user_id")
+        .distinct()
+        .select("event_type", F.expr(_arm_spark("user_id")).alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CAST(arm = 0 AS INT)")).cast("bigint").alias("conv_c"),
+            F.sum(F.expr("CAST(arm = 1 AS INT)")).cast("bigint").alias("conv_t"),
+        )
+    )
+    return conv.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_c",
+        "conv_c",
+        "n_t",
+        "conv_t",
+        F.expr("CAST(conv_c * 1000000 div n_c AS BIGINT)").alias("rate_c_ppm"),
+        F.expr("CAST(conv_t * 1000000 div n_t AS BIGINT)").alias("rate_t_ppm"),
+        F.expr(
+            "CASE WHEN conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t"
+            " THEN CAST(0 AS DOUBLE)"
+            " ELSE round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)"
+            "      / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))"
+            "             * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))"
+            "             * (1.0 / n_c + 1.0 / n_t)), 6) END"
+        ).alias("z_score"),
+    )
+
+
+_ORACLE_AB_TEST = f"""
+WITH users AS (
+  SELECT {_arm_sql("user_id")} AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+totals AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM users
+),
+conv AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_c,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_t
+  FROM (SELECT event_type, {_arm_sql("user_id")} AS arm
+        FROM (SELECT DISTINCT event_type, user_id FROM events
+              WHERE value >= {AB_CONVERT_VALUE}))
+  GROUP BY event_type
+)
+SELECT event_type, n_c, conv_c, n_t, conv_t,
+       CAST(conv_c * 1000000 // n_c AS BIGINT) AS rate_c_ppm,
+       CAST(conv_t * 1000000 // n_t AS BIGINT) AS rate_t_ppm,
+       CASE WHEN conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
+            THEN CAST(0 AS DOUBLE)
+            ELSE round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+                        * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t)), 6) END AS z_score
+FROM conv CROSS JOIN totals
+"""
+
+
+def q_events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume trend via closed-form OLS — the "is this
+    metric growing?" primitive behind every monitoring dashboard. The
+    daily event counts per type are regressed on the day index (days
+    since the global first day) and the slope/intercept come from the
+    normal equations evaluated on EXACT BIGINT sums:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    so each output is ONE correctly-rounded double division of two exact
+    integers, rounded to 6dp — zero accumulation-order sensitivity.
+    A single-day series (denominator 0) emits 0/0 slope/intercept via an
+    explicit guard.
+
+    Scale: one (event_type, day)-keyed aggregation with map-side combine
+    (output bounded by |types|×|days|), then a |types|-row rollup; the
+    global min day is a 1-row broadcast. The regression itself reads the
+    pre-aggregated daily series — never the raw events twice."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    day0 = daily.agg(F.min("day").alias("day0"))
+    pts = daily.crossJoin(F.broadcast(day0)).select(
+        "event_type", F.datediff("day", "day0").cast("bigint").alias("x"), "y"
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.col("sy").alias("total_events"),
+        F.expr(
+            "CASE WHEN n_days * sx2 - sx * sx = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)"
+            "      / (n_days * sx2 - sx * sx), 6) END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN n_days * sx2 - sx * sx = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE round(CAST(sy * sx2 - sx * sxy AS DOUBLE)"
+            "      / (n_days * sx2 - sx * sx), 6) END"
+        ).alias("intercept"),
+    )
+
+
+_ORACLE_LINREG = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type,
+         CAST(datediff('day', (SELECT min(day) FROM daily), day) AS BIGINT) AS x,
+         y
+  FROM daily
+),
+sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n_days, sy AS total_events,
+       CASE WHEN n_days * sx2 - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / (n_days * sx2 - sx * sx), 6) END AS slope,
+       CASE WHEN n_days * sx2 - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+                 / (n_days * sx2 - sx * sx), 6) END AS intercept
+FROM sums
+"""
+
+
 QUERIES = {
+    "events_ab_test": q_events_ab_test,
+    "events_linreg_trend": q_events_linreg_trend,
     "events_path_mining": q_events_path_mining,
     "events_ts_features": q_events_ts_features,
     "events_tumbling_window": q_events_tumbling,
@@ -490,6 +685,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_ab_test": _ORACLE_AB_TEST,
+    "events_linreg_trend": _ORACLE_LINREG,
     "events_path_mining": _ORACLE_PATHS,
     "events_ts_features": _ORACLE_TS_FEATURES,
     "events_tumbling_window": _ORACLE_TUMBLING,

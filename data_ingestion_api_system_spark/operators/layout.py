@@ -251,12 +251,195 @@ JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
 """
 
 
+COMPACT_BINS = 16  # target output-file count for the compaction plan
+
+
+def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the third physical-design lever:
+    given the per-(event_type, day) "files" a streaming ingest naturally
+    writes (one per partition per micro-batch epoch), plan their rewrite
+    into ~{COMPACT_BINS} right-sized files with sorted-fill packing: sort
+    files by size descending, run a cumulative fill, and cut a new bin
+    every ``target = ceil(total/{COMPACT_BINS})`` rows. This is the bin
+    assignment OPTIMIZE/compaction jobs compute before rewriting; the
+    report per bin (file count, rows, size spread, fill ppm) is the
+    rewrite manifest. Everything is exact integer arithmetic.
+
+    Scale: the file list is METADATA — |types|×|days| rows (a few
+    thousand for a year of a busy table; the same order as a Delta
+    transaction-log scan), produced by one map-side-combined aggregation
+    over the raw events. The sorted-fill window runs over that bounded
+    metadata, not the data (documented un-partitioned-window exception,
+    like ``orders_backlog_sweep``'s month carry-ins); the actual rewrite
+    this plan drives is embarrassingly parallel per bin."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    files = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("file_rows")
+    )
+    total = files.agg(F.sum("file_rows").cast("bigint").alias("total_rows"))
+    w = (
+        Window.orderBy(F.desc("file_rows"), F.asc("event_type"), F.asc("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        files.crossJoin(F.broadcast(total))
+        .withColumn("target", F.expr(f"(total_rows + {COMPACT_BINS - 1}) div {COMPACT_BINS}"))
+        .withColumn("cum_before", F.coalesce(F.sum("file_rows").over(w), F.lit(0)))
+        .withColumn("bin", F.expr("CAST(cum_before div target AS BIGINT)"))
+    )
+    return packed.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("file_rows").cast("bigint").alias("bin_rows"),
+        F.min("file_rows").alias("min_file_rows"),
+        F.max("file_rows").alias("max_file_rows"),
+        F.expr("CAST(sum(file_rows) * 1000000 div any_value(target) AS BIGINT)").alias(
+            "fill_ppm"
+        ),
+    )
+
+
+_ORACLE_COMPACTION = f"""
+WITH files AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS file_rows
+  FROM events GROUP BY 1, 2
+),
+packed AS (
+  SELECT file_rows,
+         (SELECT (sum(file_rows) + {COMPACT_BINS - 1}) // {COMPACT_BINS}
+          FROM files) AS target,
+         COALESCE(sum(file_rows) OVER (
+           ORDER BY file_rows DESC, event_type ASC, day ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files
+)
+SELECT CAST(cum_before // target AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(file_rows) AS BIGINT) AS bin_rows,
+       min(file_rows) AS min_file_rows,
+       max(file_rows) AS max_file_rows,
+       CAST(sum(file_rows) * 1000000 // any_value(target) AS BIGINT) AS fill_ppm
+FROM packed
+GROUP BY 1
+"""
+
+
+def q_sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by count-min inner product — the
+    statistic a cost-based optimizer needs BEFORE running a join:
+    |A ⋈ B| on a key equals Σ_k f_A(k)·f_B(k), and with count-min
+    sketches of both key-frequency vectors the inner product
+    ``min_j Σ_b cmA[j][b]·cmB[j][b]`` overestimates it one-sidedly
+    (collisions only ADD products). This entry sketches
+    ``orders.o_orderkey`` and ``lineitem.l_orderkey``, emits the
+    estimate next to the exact join size, and certifies the one-sided
+    guarantee (overestimate >= 0) plus the estimate/exact ratio in ppm.
+
+    The sketch reuses the salted-md5 bucketing of ``sketch_count_min``
+    (deterministic, no RNG — hence exact-oracle-checkable) and the same
+    constant-width property: each side collapses map-side to
+    <= depth×width partial rows, so sketching 100 TB shuffles KILOBYTES.
+    At scale the exact twin is the sampled audit; the sketches are also
+    mergeable across partitions/days like the HLL rollup's.
+
+    Plan: two scans → inline depth×(j,bucket) fan-out → two bounded hash
+    aggs → a 256-row sketch-sketch equi-join → 1-row answer joined to
+    the exact count's 1-row aggregate (broadcast)."""
+    tune(spark)
+    from .text import CM_DEPTH, _cm_bucket_spark
+
+    okeys = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_orderkey AS STRING)").alias("k")
+    )
+    lkeys = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_orderkey AS STRING)").alias("k")
+    )
+    bucket_structs = ", ".join(
+        f"struct({j} AS j, {_cm_bucket_spark('k', j)} AS bucket)"
+        for j in range(CM_DEPTH)
+    )
+
+    def sketch(df, name):
+        return (
+            df.select(F.expr(f"inline(array({bucket_structs}))"))
+            .groupBy("j", "bucket")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    est = (
+        sketch(okeys, "ca")
+        .join(sketch(lkeys, "cb"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("cm_estimate"))
+    )
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_join_size")).alias("overestimate"),
+        F.expr("CAST(cm_estimate * 1000000 div exact_join_size AS BIGINT)").alias(
+            "ratio_ppm"
+        ),
+    )
+
+
+def _oracle_join_size() -> str:
+    from .text import CM_DEPTH, _cm_bucket_sql
+
+    case = " ".join(
+        f"WHEN {j} THEN {_cm_bucket_sql('k', j)}" for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+grid AS (SELECT unnest(range(0, {CM_DEPTH})) AS j),
+ska AS (
+  SELECT j, CASE j {case} END AS bucket, CAST(count(*) AS BIGINT) AS ca
+  FROM ok, grid GROUP BY 1, 2
+),
+skb AS (
+  SELECT j, CASE j {case} END AS bucket, CAST(count(*) AS BIGINT) AS cb
+  FROM lk, grid GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS cm_estimate
+  FROM (SELECT j, sum(ca * cb) AS ip FROM ska JOIN skb USING (j, bucket)
+        GROUP BY j)
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT exact_join_size, cm_estimate,
+       cm_estimate - exact_join_size AS overestimate,
+       CAST(cm_estimate * 1000000 // exact_join_size AS BIGINT) AS ratio_ppm
+FROM exact CROSS JOIN est
+"""
+
+
 QUERIES = {
     "layout_zorder_skipping": q_layout_zorder_skipping,
+    "layout_compaction_bins": q_layout_compaction_bins,
     "sketch_hll_union_rollup": q_sketch_hll_union_rollup,
+    "sketch_join_size_estimate": q_sketch_join_size_estimate,
 }
 
 ORACLE = {
     "layout_zorder_skipping": _ORACLE_ZORDER,
+    "layout_compaction_bins": _ORACLE_COMPACTION,
     "sketch_hll_union_rollup": _ORACLE_HLL_ROLLUP,
+    "sketch_join_size_estimate": _oracle_join_size(),
 }

@@ -442,6 +442,33 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_min", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "events_ab_test": (
+        # distinct shuffles keyed on (event_type, user_id) / user_id; arm
+        # totals are a broadcast of a 2-value aggregate — no windows, no
+        # unkeyed joins beyond the 1-row broadcast
+        [r"partial_count|partial_sum", r"BroadcastNestedLoopJoin|BroadcastExchange"],
+        [r"CartesianProduct", r"Window"],
+    ),
+    "events_linreg_trend": (
+        # (type, day)-keyed map-side-combined agg → |types|-row rollup;
+        # the min-day scalar joins via 1-row broadcast
+        [r"partial_count", r"partial_sum", r"BroadcastExchange"],
+        [r"CartesianProduct", r"Window", r"SortMergeJoin"],
+    ),
+    "layout_compaction_bins": (
+        # metadata-scale plan: map-side-combined (type, day) agg, then the
+        # sorted-fill window over the bounded file list (allowlisted) and
+        # a <= COMPACT_BINS-row rollup
+        [r"partial_count", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "sketch_join_size_estimate": (
+        # two constant-width sketch aggs (map-side combine to depth*width
+        # rows) + the exact-twin keyed join; sketch-sketch merge is a
+        # bounded hash join
+        [r"partial_count", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
@@ -462,6 +489,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # (~84 rows; 1200 for a century), constant in data volume. The
     # day-level running sum partitions by month (rangejoin.py docstring).
     "orders_backlog_sweep",
+    # sorted-fill packing over the FILE LIST — |types|×|days| metadata
+    # rows (same order as a Delta log scan), not the data; the rewrite
+    # the plan drives is parallel per bin (layout.py docstring)
+    "layout_compaction_bins",
 }
 
 
