@@ -129,8 +129,14 @@ def test_compaction_matches_pure_python_sorted_fill(spark):
 # ---------------------------------------------------------------------------
 
 def test_join_size_estimate_matches_pure_python_cm(spark):
-    from data_ingestion_api_system_spark.operators.text import CM_DEPTH, CM_WIDTH
+    from data_ingestion_api_system_spark.operators.layout import (
+        JS_A,
+        JS_B,
+        JS_P,
+        JS_WIDTH as CM_WIDTH,
+    )
 
+    CM_DEPTH = len(JS_A)
     [r] = q_sketch_join_size_estimate(spark, SF_DIR).collect()
     okeys = [
         k for (k,) in duckdb.sql(
@@ -144,8 +150,7 @@ def test_join_size_estimate_matches_pure_python_cm(spark):
     ]
 
     def bucket(k: int, j: int) -> int:
-        h = hashlib.md5(f"cm{j}:{k}".encode()).hexdigest()
-        return (int(h[0], 16) * 16 + int(h[1], 16)) % CM_WIDTH
+        return (((k % JS_P + JS_P) % JS_P * JS_A[j] + JS_B[j]) % JS_P) % CM_WIDTH
 
     def sketch(keys):
         grid = [[0] * CM_WIDTH for _ in range(CM_DEPTH)]
