@@ -75,6 +75,10 @@ ADDED_R7 = [
     "events_linreg_trend",
     "layout_compaction_bins",
     "sketch_join_size_estimate",
+    "events_cusum_changepoint",
+    "dq_mad_outliers",
+    "events_seasonal_backtest",
+    "text_entropy_score",
 ]
 
 

@@ -372,6 +372,10 @@ _BORN_ROUND = {
     "events_linreg_trend": 7,
     "layout_compaction_bins": 7,
     "sketch_join_size_estimate": 7,
+    "events_cusum_changepoint": 7,
+    "dq_mad_outliers": 7,
+    "events_seasonal_backtest": 7,
+    "text_entropy_score": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -438,7 +438,249 @@ FROM nat
 """
 
 
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the per-type daily volume series —
+    the standard "when did this metric's level shift?" monitor (Page 1954;
+    the alarm layer above ``events_linreg_trend``'s slope and
+    ``prep_source_kl_drift``'s distributional drift). The classic statistic
+    S_i = Σ_{d<=i}(y_d − ȳ) is kept EXACT by scaling by n:
+    n·S_i = n·prefix_i − i·total (all BIGINT — no float mean), and the
+    changepoint is the day maximizing |n·S_i| (earliest-day tiebreak).
+
+    Plan: one (type, day) map-side-combined aggregation, a prefix-sum
+    window PARTITIONED by event_type (per-type series, never global), the
+    |types|-row totals joined back by broadcast, and a per-type max-rank
+    window on the same partitioning — the two windows and the final filter
+    reuse one event_type exchange. Output: |types| rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    wp = Window.partitionBy("event_type").orderBy("day")
+    pref = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(wp).alias("prefix"),
+        F.row_number().over(wp).cast("bigint").alias("i"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("total"),
+    )
+    scored = pref.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n_days",
+        "day",
+        F.expr("abs(n_days * prefix - i * total)").alias("cusum_abs"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("cusum_abs"), F.asc("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .select(
+            "event_type",
+            "n_days",
+            # ISO string, not DATE: engines' date objects round-trip
+            # differently through the pandas compare layer
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.col("cusum_abs").alias("cusum_scaled_max"),
+        )
+    )
+
+
+_ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pref AS (
+  SELECT event_type, day,
+         sum(y) OVER w AS prefix,
+         CAST(row_number() OVER w AS BIGINT) AS i
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+totals AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(y) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+),
+scored AS (
+  SELECT p.event_type, t.n_days, p.day,
+         abs(t.n_days * p.prefix - p.i * t.total) AS cusum_abs
+  FROM pref p JOIN totals t USING (event_type)
+)
+SELECT event_type, n_days, CAST(day AS VARCHAR) AS changepoint_day,
+       CAST(cusum_abs AS BIGINT) AS cusum_scaled_max
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cusum_abs DESC, day ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+MAD_K = 3  # |value - median| > K * MAD flags an outlier
+
+
+def q_dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event_type via median absolute deviation —
+    the data-quality screen that, unlike z-scores, a few wild values cannot
+    poison (they'd inflate the stddev they're judged by; the median/MAD
+    pair is 50%-breakdown robust). A value is flagged when
+    |value − median| > {MAD_K}·MAD.
+
+    Parity: both medians use linear-interpolation percentile (Spark
+    ``percentile`` vs DuckDB ``quantile_cont`` — the pairing
+    ``group_median`` certified); deviations are computed from the
+    UNROUNDED median so both engines subtract the identical double, and
+    only the reported columns round to 6dp. The flag comparison runs on
+    exact IEEE arithmetic — same discipline throughout the repo.
+
+    Plan: two passes over events (median, then deviations vs the
+    broadcast |types|-row median table) + a final map-side-combined
+    aggregation. At 100 TB the exact in-group percentile would swap for
+    the mergeable histogram sketch (`sketch_histogram_quantiles`) — the
+    flag rule is unchanged."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > MAD_K * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_ORACLE_MAD = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(any_value(d.med), 6) AS median,
+       ROUND(any_value(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real forecast
+    must beat, evaluated the honest way (walk-forward over the actual
+    series): forecast each day's per-type volume as the SAME WEEKDAY last
+    week (horizon-7) and as YESTERDAY (naive-1), and report both MAE
+    numerators exactly. Calendar gaps are handled by JOINING on
+    ``day − 7`` / ``day − 1`` (a lag() over row positions would silently
+    compare across gaps). Integer-exact throughout: absolute errors and
+    counts are BIGINT, MAE is reported in ppm by integer division.
+
+    Plan: one (type, day) map-side-combined aggregation, then two
+    self-equi-joins of that |types|×|days| daily table on the shifted
+    date key — metadata-scale inputs, keyed joins, |types| output rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+
+    def backtest(shift_days: int, tag: str):
+        past = daily.select(
+            "event_type",
+            F.date_add("day", shift_days).alias("day"),
+            F.col("y").alias("y_hat"),
+        )
+        return (
+            daily.join(past, ["event_type", "day"])
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias(f"n_eval{tag}"),
+                F.sum(F.abs(F.col("y") - F.col("y_hat")))
+                .cast("bigint")
+                .alias(f"abs_err{tag}"),
+            )
+        )
+
+    b7, b1 = backtest(7, "7"), backtest(1, "1")
+    return (
+        b7.join(b1, "event_type")
+        .select(
+            "event_type",
+            "n_eval7",
+            "abs_err7",
+            "n_eval1",
+            "abs_err1",
+            F.expr("CAST(abs_err7 * 1000000 div n_eval7 AS BIGINT)").alias(
+                "mae7_ppm"
+            ),
+            F.expr("CAST(abs_err1 * 1000000 div n_eval1 AS BIGINT)").alias(
+                "mae1_ppm"
+            ),
+        )
+    )
+
+
+_ORACLE_SEASONAL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+b7 AS (
+  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_eval7,
+         CAST(sum(abs(a.y - b.y)) AS BIGINT) AS abs_err7
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day = a.day - 7
+  GROUP BY 1
+),
+b1 AS (
+  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_eval1,
+         CAST(sum(abs(a.y - b.y)) AS BIGINT) AS abs_err1
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day = a.day - 1
+  GROUP BY 1
+)
+SELECT event_type, n_eval7, abs_err7, n_eval1, abs_err1,
+       CAST(abs_err7 * 1000000 // n_eval7 AS BIGINT) AS mae7_ppm,
+       CAST(abs_err1 * 1000000 // n_eval1 AS BIGINT) AS mae1_ppm
+FROM b7 JOIN b1 USING (event_type)
+"""
+
+
 QUERIES = {
+    "events_cusum_changepoint": q_events_cusum_changepoint,
+    "dq_mad_outliers": q_dq_mad_outliers,
+    "events_seasonal_backtest": q_events_seasonal_backtest,
     "cdc_apply_log": q_cdc_apply_log,
     "attribution_multi_touch": q_attribution_multi_touch,
     "events_decay_value": q_events_decay_value,
@@ -447,6 +689,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_cusum_changepoint": _ORACLE_CUSUM,
+    "dq_mad_outliers": _ORACLE_MAD,
+    "events_seasonal_backtest": _ORACLE_SEASONAL,
     "cdc_apply_log": _ORACLE_CDC,
     "attribution_multi_touch": _ORACLE_ATTRIBUTION,
     "events_decay_value": _ORACLE_DECAY,

@@ -11,7 +11,7 @@ hash-partition freely, no skew (docs are size-bounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -1144,7 +1144,82 @@ GROUP BY doc_id
 """
 
 
+def q_text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (nats) — the
+    lexical-diversity quality signal (low entropy ⇒ repetitive/templated
+    text; used alongside the Gopher-style ratio rules in
+    ``text_quality_score`` and the n-gram repetition score). For doc word
+    counts c_i summing to N: H = −Σ (c_i/N)·ln(c_i/N).
+
+    Determinism: each ln runs on a correctly-rounded IEEE division of
+    exact integers and is rounded to 6dp BEFORE the sum (the JVM/libm
+    1-ulp ln divergence discipline of ``text_perplexity_ngram``); the
+    weighted sum then runs in exact DECIMAL (bigint × decimal(18,6)), so
+    accumulation order cannot matter. The final division by N stays in
+    INTEGERS — entropy is reported in micro-nats with explicit half-up
+    rounding ((2s+n) div 2n) — because Σc·ln-rounded / N often terminates
+    exactly on a 0.5e-6 boundary where the engines' round-of-double
+    implementations provably disagree (observed at sf0.1).
+
+    Plan: explode → one (doc_id, word) map-side-combined count, an
+    N-per-doc window on the doc_id exchange, and a final doc_id rollup
+    reusing it. Embarrassingly parallel per doc at any scale."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).select("doc_id", F.lower("w").alias("w"))
+    counts = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("c"))
+    wn = Window.partitionBy("doc_id")
+    terms = counts.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wn).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "c",
+        "n_tokens",
+        F.expr(
+            "c * CAST(round(ln(CAST(c AS DOUBLE) / n_tokens), 6) AS DECIMAL(18,6))"
+        ).alias("term"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST((2 * CAST(-sum(term) * 1000000 AS BIGINT) + max(n_tokens))"
+            " div (2 * max(n_tokens)) AS BIGINT)"
+        ).alias("entropy_micronats"),
+    )
+
+
+_ORACLE_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, lower(w) AS w
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+),
+counts AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+terms AS (
+  SELECT doc_id, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n_tokens,
+         c * CAST(ROUND(ln(CAST(c AS DOUBLE)
+                           / sum(c) OVER (PARTITION BY doc_id)), 6)
+                  AS DECIMAL(18,6)) AS term
+  FROM counts
+)
+SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST((2 * CAST(-sum(term) * 1000000 AS BIGINT) + max(n_tokens))
+            // (2 * max(n_tokens)) AS BIGINT) AS entropy_micronats
+FROM terms GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_entropy_score": q_text_entropy_score,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -1166,6 +1241,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_entropy_score": _ORACLE_ENTROPY,
     "text_ngram_novelty": _ORACLE_NOVELTY,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_bpe_tokens": _ORACLE_BPE,

@@ -1,0 +1,151 @@
+"""Independent re-derivations for the round-7f operators — CUSUM
+changepoint, MAD outlier report, seasonal-naive backtest, and word-entropy
+scoring. The oracle gate certifies Spark == DuckDB; these tests certify
+both against a THIRD computation (pure Python / numpy), so a shared
+misunderstanding between the twin SQL dialects cannot slip through.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+from data_ingestion_api_system_spark.operators.insights import (
+    MAD_K,
+    q_dq_mad_outliers,
+    q_events_cusum_changepoint,
+    q_events_seasonal_backtest,
+)
+from data_ingestion_api_system_spark.operators.text import q_text_entropy_score
+
+
+def _daily(sf_dir: str):
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), count(*) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, dict] = defaultdict(dict)
+    for et, d, y in rows:
+        series[et][d] = y
+    return series
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_pure_python(spark):
+    out = {r.event_type: r for r in q_events_cusum_changepoint(spark, SF_DIR).collect()}
+    for et, by_day in _daily(SF_DIR).items():
+        days = sorted(by_day)
+        n, total = len(days), sum(by_day.values())
+        best = None
+        prefix = 0
+        for i, d in enumerate(days, start=1):
+            prefix += by_day[d]
+            s = abs(n * prefix - i * total)
+            if best is None or s > best[0]:
+                best = (s, d)
+        r = out[et]
+        assert r.n_days == n
+        assert r.cusum_scaled_max == best[0]
+        assert r.changepoint_day == best[1].isoformat()
+
+
+# ---------------------------------------------------------------------------
+# dq_mad_outliers
+# ---------------------------------------------------------------------------
+
+def _median(xs: list) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    mid = n // 2
+    return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
+def test_mad_outliers_matches_pure_python(spark):
+    out = {r.event_type: r for r in q_dq_mad_outliers(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    vals: dict[str, list] = defaultdict(list)
+    for et, v in rows:
+        vals[et].append(v)
+    for et, vs in vals.items():
+        med = _median(vs)
+        adev = [abs(v - med) for v in vs]
+        mad = _median(adev)
+        n_out = sum(1 for a in adev if a > MAD_K * mad)
+        r = out[et]
+        assert r.n == len(vs)
+        assert abs(r.median - med) < 1e-6
+        assert abs(r.mad - mad) < 1e-6
+        assert r.n_outliers == n_out
+        # robustness sanity: outliers exist but are a small minority
+        assert 0 <= n_out < len(vs) * 0.2
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_backtest
+# ---------------------------------------------------------------------------
+
+def test_seasonal_backtest_matches_pure_python(spark):
+    out = {r.event_type: r for r in q_events_seasonal_backtest(spark, SF_DIR).collect()}
+    from datetime import timedelta
+
+    for et, by_day in _daily(SF_DIR).items():
+        for shift, (n_col, e_col, ppm_col) in {
+            7: ("n_eval7", "abs_err7", "mae7_ppm"),
+            1: ("n_eval1", "abs_err1", "mae1_ppm"),
+        }.items():
+            pairs = [
+                (y, by_day[d - timedelta(days=shift)])
+                for d, y in by_day.items()
+                if d - timedelta(days=shift) in by_day
+            ]
+            r = out[et]
+            assert getattr(r, n_col) == len(pairs)
+            err = sum(abs(a - b) for a, b in pairs)
+            assert getattr(r, e_col) == err
+            assert getattr(r, ppm_col) == err * 1_000_000 // len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# text_entropy_score
+# ---------------------------------------------------------------------------
+
+def test_entropy_matches_pure_python(spark):
+    out = {r.doc_id: r for r in q_text_entropy_score(spark, SF_DIR).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    import re
+
+    for did, text in docs:
+        toks = [t.lower() for t in re.split(r"\s+", text) if t]
+        if not toks:
+            assert did not in out
+            continue
+        counts = Counter(toks)
+        n = len(toks)
+        # exact integer pipeline: per-term round-6 of ln, decimal sum, then
+        # half-up integer division into micro-nats
+        s = -sum(c * round(round(math.log(c / n), 6) * 1_000_000) for c in counts.values())
+        micro = (2 * s + n) // (2 * n)
+        r = out[did]
+        assert r.n_tokens == n
+        assert r.n_distinct == len(counts)
+        assert r.entropy_micronats == micro
+        # entropy bounds: 0 <= H <= ln(n_distinct)
+        assert 0 <= r.entropy_micronats <= math.log(len(counts)) * 1e6 + 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))

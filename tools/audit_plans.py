@@ -469,6 +469,31 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
+    "events_cusum_changepoint": (
+        # per-type prefix-sum + max-rank windows, both PARTITIONED by
+        # event_type; totals join back by broadcast
+        [r"Window", r"partial_count", r"BroadcastHashJoin|BroadcastExchange"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dq_mad_outliers": (
+        # two percentile aggregations + broadcast joins of the |types|-row
+        # median/MAD tables back onto events — no windows, no shuffle of
+        # the fact beyond the keyed aggs
+        [r"percentile", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    "events_seasonal_backtest": (
+        # metadata-scale self-joins of the (type, day) daily table on the
+        # shifted date key
+        [r"partial_count", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    "text_entropy_score": (
+        # (doc, word) map-side-combined count, N-per-doc window on the
+        # doc_id exchange, final doc rollup
+        [r"partial_count", r"Window", r"hashpartitioning\(doc_id"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
