@@ -376,6 +376,7 @@ _BORN_ROUND = {
     "dq_mad_outliers": 7,
     "events_seasonal_backtest": 7,
     "text_entropy_score": 7,
+    "streaming_static_enrich": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -346,7 +346,56 @@ FROM events GROUP BY user_id
 """
 
 
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the dimension-enrichment pattern every
+    production stream runs (orders stream × product dim, clickstream ×
+    user profile): the unbounded events stream joins the STATIC customer
+    table (user_id = c_custkey) and aggregates per market segment. A
+    stream-static inner join is stateless — Spark broadcasts/rescans the
+    static side per micro-batch and never buffers stream rows — so unlike
+    the stream-stream join no watermark is needed and state is O(1).
+
+    At 100 TB the static side is the thing to control: a small dim
+    broadcasts (the plan here); a huge dim becomes a pre-bucketed table
+    co-partitioned with the stream's shuffle, or the enrichment flips to
+    a key-value lookup in ``foreachBatch``. On this bounded source the
+    result must equal the batch join+rollup, which is the oracle."""
+    tune(spark)
+    from ..tables import load_table
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    # distinct aggregations are unsupported on streams: pre-aggregate on
+    # (segment, user) — the standard streaming-distinct rewrite — keeping
+    # the value sum as an UNROUNDED decimal partial so the batch-side
+    # rollup merges exactly (decimal addition is associative)
+    agg = enriched.groupBy("c_mktsegment", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("dec_sum"),
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.groupBy("c_mktsegment").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("dec_sum"), 2).cast("double").alias("sum_value"),
+    )
+
+
+_ORACLE_STREAM_STATIC = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_exact_sum('value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "streaming_static_enrich": q_streaming_static_enrich,
     "streaming_tumbling_window": q_streaming_tumbling,
     "streaming_sliding_window": q_streaming_sliding,
     "streaming_session_window": q_streaming_session_window,
@@ -356,6 +405,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_static_enrich": _ORACLE_STREAM_STATIC,
     "streaming_tumbling_window": _ORACLE_STREAM_TUMBLING,
     "streaming_sliding_window": _ORACLE_STREAM_SLIDING,
     "streaming_session_window": _ORACLE_STREAM_SESSION,

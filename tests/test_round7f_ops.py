@@ -145,6 +145,40 @@ def test_entropy_matches_pure_python(spark):
         assert 0 <= r.entropy_micronats <= math.log(len(counts)) * 1e6 + 1
 
 
+# ---------------------------------------------------------------------------
+# streaming_static_enrich
+# ---------------------------------------------------------------------------
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    from data_ingestion_api_system_spark.streaming.jobs import (
+        q_streaming_static_enrich,
+    )
+
+    out = {
+        r.c_mktsegment: (r.n_events, r.n_users, r.sum_value)
+        for r in q_streaming_static_enrich(spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT c_mktsegment, user_id, value "
+        f"FROM read_parquet('{SF_DIR}/events.parquet') e "
+        f"JOIN read_parquet('{SF_DIR}/customer.parquet') c "
+        f"ON e.user_id = c.c_custkey"
+    ).fetchall()
+    from decimal import Decimal
+
+    per_seg: dict[str, dict] = defaultdict(lambda: {"n": 0, "u": set(), "s": Decimal(0)})
+    for seg, uid, v in rows:
+        a = per_seg[seg]
+        a["n"] += 1
+        a["u"].add(uid)
+        a["s"] += Decimal(str(round(v, 4)))
+    assert set(out) == set(per_seg)
+    for seg, a in per_seg.items():
+        n, u, s = out[seg]
+        assert (n, u) == (a["n"], len(a["u"]))
+        assert abs(s - float(round(a["s"], 2))) < 1e-9
+
+
 if __name__ == "__main__":
     import sys
 
