@@ -381,9 +381,12 @@ def test_ngram_novelty_matches_pure_python(spark):
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchall()
+    import re
+
     grams: dict[int, set] = {}
     for did, text in docs:
-        toks = [t for t in text.split() if t]
+        # ASCII-flagged to mirror the JVM \s+ exactly (see test_round6b)
+        toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
         grams[did] = {
             " ".join(toks[i : i + NOVELTY_NGRAM])
             for i in range(len(toks) - NOVELTY_NGRAM + 1)

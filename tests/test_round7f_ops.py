@@ -127,7 +127,8 @@ def test_entropy_matches_pure_python(spark):
     import re
 
     for did, text in docs:
-        toks = [t.lower() for t in re.split(r"\s+", text) if t]
+        # ASCII-flagged to mirror the JVM \s+ exactly (see test_round6b)
+        toks = [t.lower() for t in re.split(r"\s+", text, flags=re.ASCII) if t]
         if not toks:
             assert did not in out
             continue
