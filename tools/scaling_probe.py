@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Empirical scaling probe: time a representative subset of the registry at
+all three generated scale factors (a 100× data range) and report each
+operator's fitted scaling exponent — the direct evidence for SCALE.md's
+claims that no plan hides super-linear work.
+
+Method: per (query, sf): build the DataFrame fresh, one untimed warm run,
+then best-of-3 timed runs (fresh build each run so AQE stage reuse cannot
+fake the number). exponent = log(t(sf_hi)/t(sf_lo)) / log(100), using the
+two endpoints. At local[32] small inputs are overhead-bound (~0.3 s
+floor), which DEFLATES exponents; an exponent near 1 therefore indicates
+linear-or-better data cost on top of fixed overhead, and anything ≥ 1.3
+deserves a plan audit (a quadratic operator would show ≥ 2 once data cost
+dominates).
+
+Usage: python tools/scaling_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# shuffle/join-heavy representatives: the plans where super-linear cost
+# would hide (pairwise families, multi-join rollups, window chains)
+DEFAULT = [
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "graph_triangle_count",
+    "basket_brand_pairs",
+    "text_inverted_index",
+    "prep_dsir_weights",
+    "sim_knn_join",
+    "events_path_mining",
+    "text_ngram_novelty",
+    "sketch_join_size_estimate",
+    "tpch_q18_large_orders",
+    "orders_backlog_sweep",
+    "events_rfm_segmentation",
+    "pipeline_status_rollup",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from data_ingestion_api_system_spark.session import get_spark
+
+    spark = get_spark("scaling-probe")
+    qs = entrymod.queries()
+    names = sys.argv[1:] or DEFAULT
+    out = {}
+    for name in names:
+        fn = qs[name]
+        times = []
+        for sf in SFS:
+            fn(spark, sf).collect()  # warm (fresh plan)
+            best = math.inf
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf).collect()
+                best = min(best, time.time() - t0)
+            times.append(round(best, 3))
+        exp = math.log(times[-1] / times[0]) / math.log(100)
+        out[name] = {"t": dict(zip(["sf0.001", "sf0.01", "sf0.1"], times)),
+                     "exponent": round(exp, 3)}
+        flag = "  <-- AUDIT" if exp >= 1.3 else ""
+        print(f"{name:32s} {times[0]:7.3f} {times[1]:7.3f} {times[2]:7.3f} "
+              f"exp={exp:+.3f}{flag}")
+    worst = max(out.values(), key=lambda v: v["exponent"])["exponent"]
+    print(json.dumps({"probe": "scaling", "worst_exponent": worst,
+                      "queries": out}))
+    spark.stop()
+    return 0 if worst < 1.3 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
