@@ -79,6 +79,8 @@ ADDED_R7 = [
     "dq_mad_outliers",
     "events_seasonal_backtest",
     "text_entropy_score",
+    "streaming_static_enrich",
+    "sim_pq_adc_search",
 ]
 
 

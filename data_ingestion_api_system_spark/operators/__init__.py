@@ -377,6 +377,7 @@ _BORN_ROUND = {
     "events_seasonal_backtest": 7,
     "text_entropy_score": 7,
     "streaming_static_enrich": 7,
+    "sim_pq_adc_search": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

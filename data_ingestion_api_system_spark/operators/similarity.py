@@ -614,6 +614,154 @@ GROUP BY vec_id, label
 """
 
 
+ADC_TOPK = 10
+
+
+def q_sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by Asymmetric Distance Computation — the query half of
+    the FAISS IVF-PQ pipeline that ``sim_pq_codes`` builds the index for:
+    the query stays FULL precision while the corpus is represented only
+    by its PQ codes, and the approximate distance is the sum over
+    subspaces of a precomputed lookup table
+    LUT[s][c] = ||q_s − codebook[s][c]||². The entry returns the ADC
+    top-{ADC_TOPK} with each hit's exact L2² alongside — the
+    approximation-quality readout (ADC error comes only from
+    quantization, so hits with low quant error rank almost exactly).
+
+    Cross-engine exactness: identical codebooks (deterministic seed
+    vectors, as sim_pq_codes), sub-distances and the per-vector ADC total
+    are sequential folds in fixed (element, subspace) order, and the
+    top-k orders by the raw double with a vec_id tiebreak — the module's
+    established discipline; rounding happens only on display columns.
+
+    Scale shape: the LUT is {PQ_SUBSPACES}×{PQ_CODES} rows — broadcast
+    (in FAISS it lives in L1 cache; here it rides the same keyed join as
+    the code assignment). Code assignment is the one keyed exchange
+    (vec_id, s); the ADC rollup reuses it; the exact-distance audit runs
+    on the {ADC_TOPK}-row result only, never the corpus. At 100 TB the
+    codes table is ~{PQ_SUBSPACES} bytes/vector — the POINT of PQ: the
+    search scans 1-2% of raw bytes, and an IVF cell filter (as
+    sim_ivf_ann) composes in front as partition pruning."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    slices = F.array(
+        *[
+            F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    subs = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.posexplode(slices).alias("s", "sv")
+    )
+    book = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_CODES).select(
+            F.col("vec_id").alias("code_id"),
+            F.posexplode(slices).alias("s", "cv"),
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    scored = subs.join(book, "s").select(
+        "vec_id", "label", "s", "code_id", dist.alias("dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("code_id"))
+    codes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "s", "code_id")
+    )
+    qsubs = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.posexplode(slices).alias("s", "sv")
+        )
+    )
+    lut = F.broadcast(
+        book.join(qsubs, "s").select("s", "code_id", dist.alias("qd"))
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("s", "qd")))
+    adc = codes.join(lut, ["s", "code_id"]).groupBy("vec_id", "label").agg(
+        F.aggregate(
+            F.transform(ordered, lambda x: x["qd"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_raw")
+    )
+    top = adc.orderBy(F.asc("adc_raw"), F.asc("vec_id")).limit(ADC_TOPK)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("bv"))
+    )
+    exact = F.expr(
+        "aggregate(zip_with(v, bv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        F.broadcast(top)
+        .join(e.select("vec_id", "v"), "vec_id")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round("adc_raw", 6).alias("adc_dist"),
+            F.round(exact, 6).alias("exact_dist"),
+        )
+    )
+
+
+_ORACLE_PQ_ADC = f"""
+WITH e AS ({_SQL_EMB}),
+subs AS (
+  SELECT vec_id, label, s, {_sql_pq_slice('v')} AS sv
+  FROM e, {_SQL_PQ_SLICES} WHERE vec_id != 0
+),
+book AS (
+  SELECT vec_id AS code_id, s, {_sql_pq_slice('v')} AS cv
+  FROM e, {_SQL_PQ_SLICES} WHERE vec_id < {PQ_CODES}
+),
+scored AS (
+  SELECT subs.vec_id, subs.label, subs.s, book.code_id,
+         list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+           i -> (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+              * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS dist
+  FROM subs JOIN book USING (s)
+),
+codes AS (
+  SELECT vec_id, label, s, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist ASC, code_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+),
+qsubs AS (
+  SELECT s, {_sql_pq_slice('v')} AS sv FROM e, {_SQL_PQ_SLICES} WHERE vec_id = 0
+),
+lut AS (
+  SELECT book.s, book.code_id,
+         list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+           i -> (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+              * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS qd
+  FROM book JOIN qsubs USING (s)
+),
+adc AS (
+  SELECT vec_id, label, list_sum(list(qd ORDER BY s)) AS adc_raw
+  FROM codes JOIN lut USING (s, code_id)
+  GROUP BY vec_id, label
+),
+top AS (
+  SELECT * FROM adc ORDER BY adc_raw ASC, vec_id ASC LIMIT {ADC_TOPK}
+),
+q AS (SELECT v AS bv FROM e WHERE vec_id = 0)
+SELECT top.vec_id, top.label,
+       ROUND(adc_raw, 6) AS adc_dist,
+       ROUND(list_sum(list_transform(range(1, {DIMS + 1}),
+         i -> (e.v[CAST(i AS INT)] - bv[CAST(i AS INT)])
+            * (e.v[CAST(i AS INT)] - bv[CAST(i AS INT)]))), 6) AS exact_dist
+FROM top JOIN e USING (vec_id) CROSS JOIN q
+"""
+
+
 RECALL_QUERIES = 8
 RECALL_K = 5
 
@@ -1092,6 +1240,7 @@ QUERIES = {
     "sim_matryoshka_recall": q_sim_matryoshka_recall,
     "sim_ndcg_eval": q_sim_ndcg_eval,
     "sim_centroid_drift": q_sim_centroid_drift,
+    "sim_pq_adc_search": q_sim_pq_adc_search,
 }
 
 ORACLE = {
@@ -1108,4 +1257,5 @@ ORACLE = {
     "sim_matryoshka_recall": _ORACLE_MATRYOSHKA,
     "sim_ndcg_eval": _ORACLE_NDCG,
     "sim_centroid_drift": _ORACLE_DRIFT,
+    "sim_pq_adc_search": _ORACLE_PQ_ADC,
 }

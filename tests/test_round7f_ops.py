@@ -180,6 +180,58 @@ def test_stream_static_enrich_equals_batch_join(spark):
         assert abs(s - float(round(a["s"], 2))) < 1e-9
 
 
+# ---------------------------------------------------------------------------
+# sim_pq_adc_search
+# ---------------------------------------------------------------------------
+
+def test_pq_adc_search_matches_numpy(spark):
+    import numpy as np
+
+    from data_ingestion_api_system_spark.operators.similarity import (
+        ADC_TOPK,
+        PQ_CODES,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        q_sim_pq_adc_search,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: np.array(v) for vid, _, v in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+
+    def split(v):
+        return [v[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM] for s in range(PQ_SUBSPACES)]
+
+    book = {s: [split(vecs[c])[s] for c in range(PQ_CODES)] for s in range(PQ_SUBSPACES)}
+    q = split(vecs[0])
+    adc = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        total = 0.0
+        for s, sv in enumerate(split(v)):
+            dists = [float(((sv - c) ** 2).sum()) for c in book[s]]
+            code = min(range(PQ_CODES), key=lambda c: (dists[c], c))
+            total += float(((q[s] - book[s][code]) ** 2).sum())
+        adc[vid] = total
+    expect = sorted(adc, key=lambda vid: (adc[vid], vid))[:ADC_TOPK]
+
+    out = {r.vec_id: r for r in q_sim_pq_adc_search(spark, SF_DIR).collect()}
+    assert set(out) == set(expect)
+    for vid in expect:
+        r = out[vid]
+        assert r.label == labels[vid]
+        assert abs(r.adc_dist - adc[vid]) < 1e-4  # numpy sums reorder
+        exact = float(((vecs[vid] - vecs[0]) ** 2).sum())
+        assert abs(r.exact_dist - exact) < 1e-4
+        # ADC approximates exact within the quantization error scale:
+        # sanity-bound, not a tight guarantee
+        assert r.adc_dist >= 0 and r.exact_dist >= 0
+
+
 if __name__ == "__main__":
     import sys
 

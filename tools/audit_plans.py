@@ -494,6 +494,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count", r"Window", r"hashpartitioning\(doc_id"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "sim_pq_adc_search": (
+        # codebook + LUT broadcast; code-assignment window keyed on
+        # (vec_id, s); exact-distance audit joins only the top-k rows.
+        # the sole nested-loop is the 1-row query-vector broadcast
+        [r"Window", r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
 }
 
 
