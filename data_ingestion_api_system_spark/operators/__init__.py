@@ -378,6 +378,7 @@ _BORN_ROUND = {
     "text_entropy_score": 7,
     "streaming_static_enrich": 7,
     "sim_pq_adc_search": 7,
+    "io_partitioned_roundtrip": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 
@@ -429,6 +430,7 @@ _ALL_QUERY_MODULES = (
     "operators.relational3",
     "operators.insights",
     "operators.layout",
+    "operators.io",
 )
 
 

@@ -1,0 +1,92 @@
+"""Certified sink→source roundtrip operators: the write path (partitioned
+parquet layout, the on-disk shape every lakehouse table uses) exercised
+inside a registry entry so the driver's oracle gate certifies the SINK as
+well as the scans. Complements ``sources/formats.py`` (format builders,
+shape-tested) by putting an actual write→read→prune cycle behind an exact
+oracle.
+
+Reference tie-in: the reference persists ingested records into in-memory
+Maps keyed by id (``src/app.js:17-21``); the warehouse equivalent of that
+persistence is a partitioned columnar table whose layout makes the next
+query's predicate a DIRECTORY prune rather than a scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact_sum, sql_exact_sum
+from ..sources.formats import read_table, write_table
+from ..tables import load_table
+from . import tune
+
+# inside the repo per the sandbox contract; sf-suffixed so concurrent
+# gates at different scale factors never collide
+_ROUNDTRIP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "io_roundtrip",
+)
+
+IO_KEEP_TYPES = ("click", "purchase")
+
+
+def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events PARTITIONED BY event_type, read the table back, and
+    aggregate only two partitions — certifying the full sink→source→prune
+    cycle: the write lays out one directory per type (the Hive layout
+    Delta/Iceberg/plain-Spark tables share), and the read-back filter
+    becomes a PartitionFilters entry (asserted by tools/audit_plans.py),
+    i.e. 3/5 of the data is never opened. The aggregate must equal the
+    oracle computed straight from the original table — any row lost,
+    duplicated, or type-mangled by the roundtrip breaks the hash match.
+
+    Scale notes: partition-by-low-cardinality-column is exactly how a
+    100 TB event table is laid out (type/date directories); the write
+    shuffles nothing (each task writes its partition-local split files —
+    append-parallel), and `layout_compaction_bins` is the follow-up job
+    that right-sizes the resulting small files. The ts column is excluded
+    deliberately: parquet TIMESTAMP(NANOS) round-trips through the
+    rewrite as TIMESTAMP(MICROS), which would change the on-disk type —
+    a real schema-evolution concern the loader handles for the SOURCE
+    tables (tables._load_ts_normalized), out of scope for the sink
+    certification."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    dest = os.path.join(_ROUNDTRIP_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    write_table(ev, dest, "parquet", partition_by=["event_type"])
+    back = read_table(spark, dest, "parquet").filter(
+        F.col("event_type").isin(*IO_KEEP_TYPES)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
+_ORACLE_ROUNDTRIP = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_exact_sum('value')} AS sum_value
+FROM events
+WHERE event_type IN {IO_KEEP_TYPES!r}
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+}
+
+ORACLE = {
+    "io_partitioned_roundtrip": _ORACLE_ROUNDTRIP,
+}

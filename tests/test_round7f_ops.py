@@ -232,6 +232,47 @@ def test_pq_adc_search_matches_numpy(spark):
         assert r.adc_dist >= 0 and r.exact_dist >= 0
 
 
+# ---------------------------------------------------------------------------
+# io_partitioned_roundtrip
+# ---------------------------------------------------------------------------
+
+def test_io_roundtrip_preserves_rows_and_prunes(spark):
+    import os
+
+    from data_ingestion_api_system_spark.operators.io import (
+        _ROUNDTRIP_ROOT,
+        IO_KEEP_TYPES,
+        q_io_partitioned_roundtrip,
+    )
+
+    out = {r.event_type: r for r in q_io_partitioned_roundtrip(spark, SF_DIR).collect()}
+    expect = duckdb.sql(
+        f"SELECT event_type, count(*), count(DISTINCT event_id), "
+        f"count(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet') "
+        f"WHERE event_type IN {IO_KEEP_TYPES!r} GROUP BY 1"
+    ).fetchall()
+    assert {e[0] for e in expect} == set(out)
+    for et, n, nid, nu in expect:
+        r = out[et]
+        assert (r.n_events, r.n_distinct_ids, r.n_users) == (n, nid, nu)
+    # the write really produced one directory per type (Hive layout)
+    dest = os.path.join(_ROUNDTRIP_ROOT, os.path.basename(SF_DIR))
+    parts = {d for d in os.listdir(dest) if d.startswith("event_type=")}
+    assert len(parts) == 5
+    # and the read-back plan prunes to the two requested directories
+    from data_ingestion_api_system_spark.sources.formats import read_table
+    from pyspark.sql import functions as F
+
+    plan = (
+        read_table(spark, dest, "parquet")
+        .filter(F.col("event_type").isin(*IO_KEEP_TYPES))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 if __name__ == "__main__":
     import sys
 

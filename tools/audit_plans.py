@@ -501,6 +501,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    "io_partitioned_roundtrip": (
+        # the read-back scan must prune at the DIRECTORY level: the
+        # event_type filter appears as PartitionFilters, and the scan
+        # reads no event_type data column (it comes from the path)
+        [r"PartitionFilters: \[[^\]]*event_type", r"partial_count"],
+        [r"CartesianProduct", r"Window", r"SortMergeJoin"],
+    ),
 }
 
 
