@@ -379,6 +379,7 @@ _BORN_ROUND = {
     "streaming_static_enrich": 7,
     "sim_pq_adc_search": 7,
     "io_partitioned_roundtrip": 7,
+    "arrow_cents_ledger": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

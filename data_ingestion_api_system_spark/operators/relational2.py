@@ -571,6 +571,75 @@ FROM sliced
 
 
 # ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy Arrow batch surface (the fourth Python-exec
+# API after pandas_udf / applyInPandas / UDTF) — RecordBatches in,
+# RecordBatches out, no pandas materialization.
+# ---------------------------------------------------------------------------
+
+def _cents_batches(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                0,
+                # SQL ROUND semantics (DuckDB/Spark round away from zero);
+                # pyarrow's default is banker's rounding — the ONE switch
+                # that keeps this path oracle-exact
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("event_type"), cents], ["event_type", "cents"]
+        )
+
+
+def q_arrow_cents_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy batch API (pyarrow RecordBatches in
+    and out, no pandas conversion): the float `value` column is converted
+    to an exact integer cents ledger per batch with vectorized pyarrow
+    compute, then the JVM side aggregates BIGINT cents per event_type —
+    the float-to-money normalization every payments/metering pipeline
+    runs at the ingest edge.
+
+    Exactness: pc.round is configured to half_towards_infinity (SQL
+    ROUND's away-from-zero for positives; pyarrow defaults to banker's
+    rounding — a silent 1-cent bias had it been left default), after
+    which everything is integer. The sums are order-independent, so the
+    oracle matches bit-for-bit — unlike double sums, no decimal cast
+    gymnastics needed downstream of the conversion.
+
+    Scale: mapInArrow streams batches (no per-group materialization like
+    applyInPandas), so memory is O(batch) regardless of skew; the only
+    shuffle is the |types|-bounded final aggregation with map-side
+    combine. This is the template the multimodal decode path follows for
+    binary payloads."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cents = ev.mapInArrow(_cents_batches, schema="event_type string, cents long")
+    return cents.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+
+
+_ORACLE_ARROW_CENTS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates — declared rows-only (non-deterministic across
 # engines by design; the driver records the weaker check).
 # ---------------------------------------------------------------------------
@@ -901,6 +970,7 @@ QUERIES = {
     "apply_in_pandas_rank": q_apply_in_pandas_rank,
     "grouped_agg_udaf": q_grouped_agg_udaf,
     "udtf_chunk_text": q_udtf_chunk_text,
+    "arrow_cents_ledger": q_arrow_cents_ledger,
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
     "sketch_bloom_membership": q_sketch_bloom_membership,
     "approx_distinct_sketch": q_approx_distinct,
@@ -920,6 +990,7 @@ ORACLE = {
     "apply_in_pandas_rank": _ORACLE_APPLY_IN_PANDAS,
     "grouped_agg_udaf": _ORACLE_GROUPED_AGG,
     "udtf_chunk_text": _ORACLE_UDTF_CHUNK,
+    "arrow_cents_ledger": _ORACLE_ARROW_CENTS,
     "sketch_histogram_quantiles": _ORACLE_HISTOGRAM,
     "sketch_bloom_membership": _ORACLE_BLOOM,
     # upgraded from rows-only in round 7: the sketch is validated against

@@ -273,6 +273,31 @@ def test_io_roundtrip_preserves_rows_and_prunes(spark):
     assert "PartitionFilters" in plan
 
 
+# ---------------------------------------------------------------------------
+# arrow_cents_ledger (mapInArrow)
+# ---------------------------------------------------------------------------
+
+def test_arrow_cents_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.relational2 import (
+        q_arrow_cents_ledger,
+    )
+
+    out = {r.event_type: r for r in q_arrow_cents_ledger(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    ledger: dict[str, list] = defaultdict(list)
+    for et, v in rows:
+        x = v * 100.0
+        # SQL ROUND: half away from zero (values are positive here)
+        ledger[et].append(math.floor(x + 0.5))
+    for et, cents in ledger.items():
+        r = out[et]
+        assert r.n_events == len(cents)
+        assert r.total_cents == sum(cents)
+        assert (r.min_cents, r.max_cents) == (min(cents), max(cents))
+
+
 if __name__ == "__main__":
     import sys
 
