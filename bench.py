@@ -81,6 +81,10 @@ ADDED_R7 = [
     "text_entropy_score",
     "streaming_static_enrich",
     "sim_pq_adc_search",
+    "io_partitioned_roundtrip",
+    "arrow_cents_ledger",
+    "events_streaks",
+    "events_dau_wau",
 ]
 
 

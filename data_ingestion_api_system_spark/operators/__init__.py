@@ -380,6 +380,8 @@ _BORN_ROUND = {
     "sim_pq_adc_search": 7,
     "io_partitioned_roundtrip": 7,
     "arrow_cents_ledger": 7,
+    "events_streaks": 7,
+    "events_dau_wau": 7,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -477,6 +477,144 @@ HAVING count(*) >= {PATH_MIN_SUPPORT}
 """
 
 
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity streaks — per user, group their active
+    DAYS into maximal consecutive runs with the islands identity
+    (day − dense-day-index is constant within a run) and report streak
+    count, longest and current-era streak stats. This is the engagement
+    metric (N-day streaks) every consumer product computes, and the
+    canonical SQL pattern the reference's row-at-a-time Maps could only
+    express as a driver loop.
+
+    Plan: (user, day) distinct — one keyed shuffle — then BOTH windows
+    (the day index and the per-island rollup) partition by user_id and
+    reuse that exchange; output is |users| rows. Integer-exact
+    everywhere."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    per_island = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.max("day").alias("last_day"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        # last_day is unique per user (islands are disjoint day ranges),
+        # so max_by needs no tiebreak
+        F.max_by("len", "last_day").cast("bigint").alias("latest_streak"),
+    )
+
+
+_ORACLE_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS anchor
+  FROM days
+),
+per_island AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+         max(day) AS last_day
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(max_by(len, last_day) AS BIGINT) AS latest_streak
+FROM per_island
+GROUP BY user_id
+"""
+
+
+DAU_WAU_WINDOW = 7  # trailing days in the WAU window
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per calendar day — the headline
+    engagement series. Sliding-window DISTINCT does not decompose like a
+    sum, so the scalable plan is the offset-explode identity: a user
+    active on day d contributes to the WAU of days d..d+6, so exploding
+    each distinct (user, day) pair across {DAU_WAU_WINDOW} offsets and
+    re-distincting counts exactly the trailing-window actives — bounded
+    {DAU_WAU_WINDOW}× fan-out of the (user, day) DISTINCT pairs
+    (|users|×|days| metadata scale), never a per-day rescan of raw
+    events and no quadratic self-join. Days are emitted only within the
+    observed range, and stickiness = DAU/WAU in exact ppm.
+
+    Plan: one (user, day) distinct shuffle; the DAU branch and the
+    offset-exploded WAU branch both aggregate map-side; final keyed join
+    on day. At 100 TB this is the standard pre-aggregated engagement
+    pipeline (the (user, day) table IS the reusable intermediate)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    pairs = ev.distinct()
+    dau = pairs.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    maxday = pairs.agg(F.max("day").alias("maxd"))
+    wau = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {DAU_WAU_WINDOW - 1}),"
+                    " o -> date_add(day, o))"
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(maxday))
+        .filter(F.col("day") <= F.col("maxd"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 div wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+_ORACLE_DAU_WAU = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+),
+wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT user_id, day + CAST(o.o AS INT) AS day
+        FROM pairs, (SELECT unnest(range(0, {DAU_WAU_WINDOW})) AS o) o)
+  GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day, dau, wau,
+       CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau USING (day)
+WHERE day <= (SELECT max(day) FROM pairs)
+"""
+
+
 AB_SALT = "ab:"  # hash salt for deterministic arm assignment
 AB_CONVERT_VALUE = 100.0  # an event with value >= this counts as a conversion
 
@@ -671,6 +809,8 @@ FROM sums
 
 
 QUERIES = {
+    "events_streaks": q_events_streaks,
+    "events_dau_wau": q_events_dau_wau,
     "events_ab_test": q_events_ab_test,
     "events_linreg_trend": q_events_linreg_trend,
     "events_path_mining": q_events_path_mining,
@@ -685,6 +825,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_streaks": _ORACLE_STREAKS,
+    "events_dau_wau": _ORACLE_DAU_WAU,
     "events_ab_test": _ORACLE_AB_TEST,
     "events_linreg_trend": _ORACLE_LINREG,
     "events_path_mining": _ORACLE_PATHS,

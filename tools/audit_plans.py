@@ -501,6 +501,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    "events_streaks": (
+        # one (user, day) distinct shuffle; the islands window and the
+        # rollups all partition by user_id
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+    ),
+    "events_dau_wau": (
+        # (user, day) distinct + bounded 7x offset explode; both branches
+        # aggregate map-side and join keyed on day — no per-day rescan
+        [r"Generate", r"partial_count"],
+        [r"CartesianProduct", r"Window"],
+    ),
     "io_partitioned_roundtrip": (
         # the read-back scan must prune at the DIRECTORY level: the
         # event_type filter appears as PartitionFilters, and the scan
