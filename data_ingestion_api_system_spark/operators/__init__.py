@@ -232,18 +232,18 @@ def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> Data
 # so far). Registry order is therefore a per-round certification budget. The
 # window composition is structural:
 #   positions 1..5   : pipeline (the reference's soul; driver-green every round)
-#   positions 6..5+P : prep (all of it — new operators land here and are
-#                      therefore in-window automatically)
 #   remaining slots  : every other registry entry, ordered by STALENESS —
 #                      ascending last-driver-green round computed from the
 #                      committed CORRECTNESS_r*.json files, registry natural
-#                      order as tiebreak. Never-certified entries sort first.
+#                      order as tiebreak. Never-certified entries sort first;
+#                      newborns (``_BORN_ROUND``) wait exactly one round.
 # Deriving the fill from the driver's own records (VERDICT r5 #2) makes the
 # rotation self-maintaining: each round the driver commits a new
 # CORRECTNESS_r{N}.json, which reorders the next round's tail to the
-# argmax-stale set with zero hand-editing (never-certified entries —
-# including brand-new non-prep operators — sort first). With ~84 tail
-# entries and ~26 fill slots the full cycle is 3-4 rounds.
+# argmax-stale set with zero hand-editing. The former "ALL of prep" fixed
+# block was dropped in round 8 (VERDICT r7 #1): once additions stopped
+# landing in prep it re-certified 16 never-stale entries every round. With
+# ~153 tail entries and ~45 fill slots the full cycle is 3-4 rounds.
 _WINDOW_SIZE = 50
 
 # Fallback fill order if no CORRECTNESS_r*.json history is readable (e.g.
@@ -398,7 +398,7 @@ def effective_staleness(name: str, history: dict[str, int]) -> int:
 
 
 def staleness_fill(tail_names, history=None) -> list[str]:
-    """Order the non-pipeline/non-prep registry tail by ascending
+    """Order the non-pipeline registry tail by ascending
     effective staleness (never-certified first, except newborns — see
     ``effective_staleness``); ties keep registry natural order (Python sort
     stability). Falls back to the frozen ``_FALLBACK_FILL`` prefix when no
@@ -449,16 +449,18 @@ def all_query_modules() -> tuple:
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate QUERIES/ORACLE across all operator modules, ordered so the
-    driver's 50-entry verified prefix covers (a) the 5 pipeline entries,
-    (b) ALL of prep — the module every new operator lands in, so additions
-    are in-window by construction — and (c) the rest of the registry by
-    ascending staleness (``staleness_fill``), so each round the driver
-    re-certifies the longest-unverified tail automatically.
+    driver's 50-entry verified prefix covers (a) the 5 pipeline entries
+    (reference soul — driver-green every round by design), and (b) the rest
+    of the registry by ascending staleness (``staleness_fill``), so each
+    round the driver re-certifies the longest-unverified tail automatically.
+    New operators enter via ``_BORN_ROUND`` (one-round wait, then first in
+    line) — the former "ALL of prep always in-window" clause is gone
+    (VERDICT r7 #1): it burned 16 slots/round re-certifying never-stale
+    entries once additions stopped landing in prep.
     tests/test_registry_window.py pins this invariant; run it after touching
     any QUERIES dict."""
     mods = all_query_modules()
     pipeline = next(m for m in mods if m.__name__.endswith(".pipeline"))
-    prep = next(m for m in mods if m.__name__.endswith(".prep"))
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
@@ -468,7 +470,6 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     ordered: dict[str, QueryFn] = {}
     ordered.update(pipeline.QUERIES)
-    ordered.update(prep.QUERIES)
     tail = [n for n in queries if n not in ordered]
     for name in staleness_fill(tail):
         ordered[name] = queries[name]

@@ -23,12 +23,15 @@ from ..sources.formats import read_table, write_table
 from ..tables import load_table
 from . import tune
 
-# inside the repo per the sandbox contract; sf-suffixed so concurrent
-# gates at different scale factors never collide
+# inside the repo per the sandbox contract; sf-suffixed AND pid-suffixed so
+# concurrent runs — different scale factors, or two gates at the SAME sf
+# (driver gate + a local check_oracle.py, ADVICE r7) — never write/read the
+# same directory
 _ROUNDTRIP_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "spark-warehouse",
     "io_roundtrip",
+    f"pid{os.getpid()}",
 )
 
 IO_KEEP_TYPES = ("click", "purchase")

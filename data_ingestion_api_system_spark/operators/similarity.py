@@ -1037,24 +1037,30 @@ def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("v").alias("dim", "x"),
     )
     xd = F.col("x").cast("decimal(25,12)")
-    mean6 = lambda flag: F.round(  # noqa: E731
-        F.sum(F.when(flag, xd)).cast("double")
-        / F.count(F.when(flag, F.lit(1))),
-        6,
+    # Degenerate-input guard (ADVICE r7): a label with ALL vectors in one
+    # snapshot has count=0 on the other side — divide only when count>0 so
+    # both engines yield NULL explicitly instead of relying on Spark's
+    # non-ANSI NULL-on-div-zero vs DuckDB's IEEE inf/NaN (same pattern as
+    # events_ab_test's degenerate-rate guard).
+    mean6 = lambda flag: F.when(  # noqa: E731
+        F.count(F.when(flag, F.lit(1))) > 0,
+        F.round(
+            F.sum(F.when(flag, xd)).cast("double")
+            / F.count(F.when(flag, F.lit(1))),
+            6,
+        ),
     )
     means = ex.groupBy("label", "dim").agg(
         mean6(F.col("is_a")).alias("ma"),
         mean6(~F.col("is_a")).alias("mb"),
     )
     da, db = F.col("ma").cast("decimal(12,6)"), F.col("mb").cast("decimal(12,6)")
+    norm_a = F.sqrt(F.sum(da * da).cast("double"))
+    norm_b = F.sqrt(F.sum(db * db).cast("double"))
     geo = means.groupBy("label").agg(
-        F.round(
-            F.sum(da * db).cast("double")
-            / (
-                F.sqrt(F.sum(da * da).cast("double"))
-                * F.sqrt(F.sum(db * db).cast("double"))
-            ),
-            6,
+        F.when(
+            (norm_a > 0) & (norm_b > 0),
+            F.round(F.sum(da * db).cast("double") / (norm_a * norm_b), 6),
         ).alias("centroid_cosine"),
         F.round(F.sqrt(F.sum((da - db) * (da - db)).cast("double")), 6).alias(
             "l2_shift"
@@ -1078,18 +1084,22 @@ ex AS (
 ),
 means AS (
   SELECT label, dim,
-         ROUND(CAST(SUM(CASE WHEN is_a THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
-               / COUNT(CASE WHEN is_a THEN 1 END), 6) AS ma,
-         ROUND(CAST(SUM(CASE WHEN NOT is_a THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
-               / COUNT(CASE WHEN NOT is_a THEN 1 END), 6) AS mb
+         CASE WHEN COUNT(CASE WHEN is_a THEN 1 END) = 0 THEN NULL
+              ELSE ROUND(CAST(SUM(CASE WHEN is_a THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN is_a THEN 1 END), 6) END AS ma,
+         CASE WHEN COUNT(CASE WHEN NOT is_a THEN 1 END) = 0 THEN NULL
+              ELSE ROUND(CAST(SUM(CASE WHEN NOT is_a THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN NOT is_a THEN 1 END), 6) END AS mb
   FROM ex GROUP BY 1, 2
 ),
 geo AS (
   SELECT label,
-         ROUND(CAST(SUM(CAST(ma AS DECIMAL(12,6)) * CAST(mb AS DECIMAL(12,6))) AS DOUBLE)
+         CASE WHEN sqrt(CAST(SUM(CAST(ma AS DECIMAL(12,6)) * CAST(ma AS DECIMAL(12,6))) AS DOUBLE)) > 0
+               AND sqrt(CAST(SUM(CAST(mb AS DECIMAL(12,6)) * CAST(mb AS DECIMAL(12,6))) AS DOUBLE)) > 0
+              THEN ROUND(CAST(SUM(CAST(ma AS DECIMAL(12,6)) * CAST(mb AS DECIMAL(12,6))) AS DOUBLE)
                / (sqrt(CAST(SUM(CAST(ma AS DECIMAL(12,6)) * CAST(ma AS DECIMAL(12,6))) AS DOUBLE))
                   * sqrt(CAST(SUM(CAST(mb AS DECIMAL(12,6)) * CAST(mb AS DECIMAL(12,6))) AS DOUBLE))),
-               6) AS centroid_cosine,
+               6) END AS centroid_cosine,
          ROUND(sqrt(CAST(SUM((CAST(ma AS DECIMAL(12,6)) - CAST(mb AS DECIMAL(12,6)))
                             * (CAST(ma AS DECIMAL(12,6)) - CAST(mb AS DECIMAL(12,6)))) AS DOUBLE)), 6) AS l2_shift
   FROM means GROUP BY label

@@ -29,19 +29,18 @@ def registry():
     return list(queries), queries, oracle
 
 
-def test_window_holds_pipeline_and_all_of_prep(registry):
+def test_window_holds_pipeline(registry):
     """Positions 1..50 must contain the 5 pipeline entries (reference soul,
-    driver-green every round) and EVERY prep entry (the module new operators
-    land in — in-window by construction)."""
+    driver-green every round). The former ALL-of-prep clause was dropped in
+    round 8 (VERDICT r7 #1): prep entries now rotate by staleness like every
+    other family, reclaiming 16 window slots per round."""
     names, _, _ = registry
     window = set(names[:_WINDOW_SIZE])
 
-    from data_ingestion_api_system_spark.operators import pipeline, prep
+    from data_ingestion_api_system_spark.operators import pipeline
 
     missing_pipeline = set(pipeline.QUERIES) - window
     assert not missing_pipeline, f"pipeline entries out of window: {missing_pipeline}"
-    missing_prep = set(prep.QUERIES) - window
-    assert not missing_prep, f"prep entries out of window: {missing_prep}"
 
 
 def test_fill_is_argmax_stale(registry):
@@ -54,9 +53,9 @@ def test_fill_is_argmax_stale(registry):
     if not history:
         pytest.skip("no CORRECTNESS_r*.json history in this checkout")
 
-    from data_ingestion_api_system_spark.operators import pipeline, prep
+    from data_ingestion_api_system_spark.operators import pipeline
 
-    fixed = set(pipeline.QUERIES) | set(prep.QUERIES)
+    fixed = set(pipeline.QUERIES)
     tail = [n for n in names if n not in fixed]
     in_window = [n for n in names[:_WINDOW_SIZE] if n not in fixed]
     out_window = tail[len(in_window):]
@@ -108,9 +107,9 @@ def test_staleness_fill_fallback_is_deterministic(registry):
     prefix and keep registry natural order for names beyond it."""
     names, queries, _ = registry
 
-    from data_ingestion_api_system_spark.operators import pipeline, prep
+    from data_ingestion_api_system_spark.operators import pipeline
 
-    fixed = set(pipeline.QUERIES) | set(prep.QUERIES)
+    fixed = set(pipeline.QUERIES)
     tail = [n for n in queries if n not in fixed]
     got = staleness_fill(tail, history={})
     rank = {n: i for i, n in enumerate(_FALLBACK_FILL)}
@@ -118,13 +117,31 @@ def test_staleness_fill_fallback_is_deterministic(registry):
     assert got == expected
 
 
-def test_prep_cannot_overflow_window():
-    """pipeline + prep must fit in the window with room for at least a few
-    fills; if prep grows past this, split it or widen the structural design
-    consciously."""
-    from data_ingestion_api_system_spark.operators import pipeline, prep
+def test_fixed_head_cannot_overflow_window():
+    """The fixed head (pipeline only, post-r8) must leave the vast majority
+    of the window for staleness fills."""
+    from data_ingestion_api_system_spark.operators import pipeline
 
-    assert len(pipeline.QUERIES) + len(prep.QUERIES) + 10 <= _WINDOW_SIZE
+    assert len(pipeline.QUERIES) + 40 <= _WINDOW_SIZE
+
+
+def test_round8_window_certifies_newborns_and_r4_cohort(registry):
+    """Pin VERDICT r7 #1's Done condition against the committed history:
+    with the r1..r7 CORRECTNESS files present, the 50-entry window must
+    contain every never-certified entry (all 30 round-7 newborns, including
+    io_partitioned_roundtrip, which the old prep clause pushed to position
+    51) plus >= 15 entries of the round-4 stale cohort."""
+    names, _, _ = registry
+    history = correctness_history()
+    if not history or max(history.values()) != 7:
+        pytest.skip("history beyond round 7 — composition assertion is r8-specific")
+    window = names[:_WINDOW_SIZE]
+    never = {n for n in names if n not in history}
+    missing = never - set(window)
+    assert not missing, f"never-certified entries out of window: {missing}"
+    assert "io_partitioned_roundtrip" in window
+    r4 = [n for n in window if history.get(n) == 4]
+    assert len(r4) >= 15, f"only {len(r4)} r4-cohort entries in window"
 
 
 def test_no_duplicate_names_and_oracle_subset(registry):

@@ -45,6 +45,14 @@ DEFAULT = [
     "orders_backlog_sweep",
     "events_rfm_segmentation",
     "pipeline_status_rollup",
+    # round-7f/7g heavies (VERDICT r7 #4): the offset-explode DAU/WAU
+    # fan-out, the banded pHash equi-join, the entropy word-explode, the
+    # broadcast-LUT ADC fold, and the micro-batch enrichment path
+    "events_dau_wau",
+    "multimodal_phash_dedup",
+    "text_entropy_score",
+    "sim_pq_adc_search",
+    "streaming_static_enrich",
 ]
 
 
