@@ -88,6 +88,24 @@ ADDED_R7 = [
     "sim_ndcg_eval",
 ]
 
+# Added round 8: benched from birth (same policy as ADDED_R7) — the two
+# gaps-and-islands/window shapes, the label-prop join loop, the MG
+# candidate+verify sketch, the broadcast-batch hard-negative scorer, the
+# CSV sink cycle, the streaming windowed top-k, and the two narrow-map
+# audits (Benford, length buckets).
+ADDED_R8 = [
+    "events_interval_merge",
+    "orders_pareto_frontier",
+    "graph_label_prop",
+    "text_length_buckets",
+    "sim_hard_negatives",
+    "sketch_heavy_hitters",
+    "dq_benford_check",
+    "streaming_windowed_topk",
+    "io_csv_roundtrip",
+    "multimodal_audio_windows",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,7 +157,7 @@ def main() -> None:
     from data_ingestion_api_system_spark.operators import release_pins
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8:
         fn = qs[name]
 
         def run_once():
@@ -166,7 +184,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "queries_added": ADDED_R7,
+            "queries_added": ADDED_R7 + ADDED_R8,
             "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
             "sf": float(sf),
             # methodology marker so cross-round numbers are

@@ -382,19 +382,35 @@ _BORN_ROUND = {
     "arrow_cents_ledger": 7,
     "events_streaks": 7,
     "events_dau_wau": 7,
+    # round-8 additions (all exact in the local full gate on landing;
+    # they wait one round, then claim first window priority in round 9)
+    "events_interval_merge": 8,
+    "orders_pareto_frontier": 8,
+    "graph_label_prop": 8,
+    "text_length_buckets": 8,
+    "sim_hard_negatives": 8,
+    "sketch_heavy_hitters": 8,
+    "dq_benford_check": 8,
+    "streaming_windowed_topk": 8,
+    "io_csv_roundtrip": 8,
+    "multimodal_audio_windows": 8,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 
 
-def effective_staleness(name: str, history: dict[str, int]) -> int:
+def effective_staleness(name: str, history: dict[str, int]) -> float:
     """Sort key for the driver window: the round of the entry's last driver
-    pass; never-certified entries count as ``born − _ROTATION_CYCLE`` when
-    their birth round is known (newborns — see ``_BORN_ROUND``) and as −1
-    (maximally stale) otherwise."""
+    pass; never-certified entries count as ``born − _ROTATION_CYCLE + 0.5``
+    when their birth round is known (newborns — see ``_BORN_ROUND``) and as
+    −1 (maximally stale) otherwise. The half-step makes a newborn lose a
+    TIE against real history from a full cycle ago (e.g. round-8 newborns
+    at 8−4+0.5=4.5 sort after the r4-certified cohort at 4.0, not
+    interleaved with it by registry order) while still beating everything
+    certified within the cycle."""
     if name in history:
-        return history[name]
+        return float(history[name])
     born = _BORN_ROUND.get(name)
-    return -1 if born is None else born - _ROTATION_CYCLE
+    return -1.0 if born is None else born - _ROTATION_CYCLE + 0.5
 
 
 def staleness_fill(tail_names, history=None) -> list[str]:

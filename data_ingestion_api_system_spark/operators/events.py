@@ -808,7 +808,104 @@ FROM sums
 """
 
 
+INTERVAL_TTL_SECONDS = 300  # each event opens a 5-minute activity interval
+
+
+def q_events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (the second classic gaps-and-islands
+    form after `events_streaks`'s consecutive-days variant): every event
+    opens a [ts, ts+300s) activity interval, and per user the
+    overlapping intervals are coalesced into maximal merged spans — the
+    watch-time / session-coverage dedup every media product computes
+    (overlapping plays must not double-count covered seconds).
+
+    Plan: ONE user_id exchange shared by both windows — a row starts a new
+    span iff its start exceeds the running max of all earlier ends (ROWS
+    UNBOUNDED..1 PRECEDING), and the span id is the running sum of those
+    start flags. Tie-safety: rows with equal start are island-stable under
+    either peer order (the second row's preceding max already contains the
+    first row's end, so its flag is always 0), so the ROWS frame is
+    deterministic here despite ts ties. All arithmetic is BIGINT epoch
+    seconds. Output is |users| rows; at 100 TB the same plan holds —
+    per-user data is window-local and never leaves its partition."""
+    tune(spark)
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+    ).withColumn("e", F.col("s") + INTERVAL_TTL_SECONDS)
+    w = Window.partitionBy("user_id").orderBy("s")
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_span = spans.groupBy("user_id", "span_id").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return per_span.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("bigint")
+        .alias("covered_seconds"),
+        F.max(F.col("span_end") - F.col("span_start"))
+        .cast("bigint")
+        .alias("longest_span_seconds"),
+    )
+
+
+_ORACLE_INTERVAL_MERGE = f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_TTL_SECONDS} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM iv
+),
+spans AS (
+  SELECT user_id, s, e,
+         sum(new_span) OVER (PARTITION BY user_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS span_id
+  FROM flagged
+),
+per_span AS (
+  SELECT user_id, span_id, min(s) AS span_start, max(e) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM spans GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(span_end - span_start) AS BIGINT) AS covered_seconds,
+       CAST(max(span_end - span_start) AS BIGINT) AS longest_span_seconds
+FROM per_span
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "events_interval_merge": q_events_interval_merge,
     "events_streaks": q_events_streaks,
     "events_dau_wau": q_events_dau_wau,
     "events_ab_test": q_events_ab_test,
@@ -825,6 +922,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_interval_merge": _ORACLE_INTERVAL_MERGE,
     "events_streaks": _ORACLE_STREAKS,
     "events_dau_wau": _ORACLE_DAU_WAU,
     "events_ab_test": _ORACLE_AB_TEST,

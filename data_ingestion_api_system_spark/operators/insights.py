@@ -677,7 +677,79 @@ FROM b7 JOIN b1 USING (event_type)
 """
 
 
+# Benford first-digit expectation, log10(1 + 1/d) in integer ppm —
+# precomputed so neither engine evaluates a runtime log. Sums to exactly
+# 1,000,000.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def q_dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fraud/data-quality
+    screen (synthetic or fabricated amounts fail the first-significant-
+    digit distribution). Per digit 1..9: observed order share vs the
+    Benford expectation log10(1+1/d), both in exact integer ppm.
+
+    Determinism: the price is decimal-cast (the repo's verified
+    cross-engine double→DECIMAL(18,4) cast), scaled to an exact BIGINT,
+    and the first digit read from the integer's STRING form — integer
+    rendering is identical everywhere, unlike float log10/pow magnitude
+    math which diverges on power-of-ten boundaries. Expectation is a
+    broadcast 9-row literal table. Plan: one narrow map + a 9-group
+    partial agg; at 100 TB this is a single map-side-combined pass."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    int_amount = (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+        "bigint"
+    )
+    digit = F.substring(int_amount.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    expected = F.lit(None).cast("bigint")
+    for d, ppm in enumerate(BENFORD_PPM, start=1):
+        expected = F.when(F.col("digit") == d, F.lit(ppm)).otherwise(expected)
+    tot = F.broadcast(o.agg(F.count("*").cast("bigint").alias("n_total")))
+    return (
+        counts.crossJoin(tot)
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST((1000000 * n_orders) DIV n_total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            expected.cast("bigint").alias("expected_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm", F.abs(F.col("observed_ppm") - F.col("expected_ppm"))
+        )
+    )
+
+
+_SQL_BENFORD_EXPECTED = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(BENFORD_PPM, start=1)
+) + " END"
+
+_ORACLE_BENFORD = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+SELECT digit, n_orders,
+       CAST((1000000 * n_orders) // n_total AS BIGINT) AS observed_ppm,
+       CAST({_SQL_BENFORD_EXPECTED} AS BIGINT) AS expected_ppm,
+       abs(CAST((1000000 * n_orders) // n_total AS BIGINT)
+           - {_SQL_BENFORD_EXPECTED}) AS abs_dev_ppm
+FROM counts, tot
+"""
+
+
 QUERIES = {
+    "dq_benford_check": q_dq_benford_check,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "dq_mad_outliers": q_dq_mad_outliers,
     "events_seasonal_backtest": q_events_seasonal_backtest,
@@ -689,6 +761,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_benford_check": _ORACLE_BENFORD,
     "events_cusum_changepoint": _ORACLE_CUSUM,
     "dq_mad_outliers": _ORACLE_MAD,
     "events_seasonal_backtest": _ORACLE_SEASONAL,

@@ -86,10 +86,72 @@ GROUP BY event_type
 """
 
 
+def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the CSV sink→source cycle the same way the parquet entry
+    certifies the columnar one: write an events projection as
+    header-ful CSV (the interchange format every external consumer still
+    asks for), read it back under an EXPLICIT schema, and aggregate —
+    hash-equal to the oracle computed off the original parquet.
+
+    Type discipline: value is converted to exact BIGINT micro-units
+    BEFORE the write — floats through a text format re-parse through two
+    different dtoa/strtod stacks, so a production CSV contract pins
+    integers/decimals/strings only (this is the documented reason the
+    column set differs from the parquet entry). Schema-on-read is
+    declared, never inferred: inference would re-scan the files (2 full
+    passes at 100 TB) and can widen types between runs.
+
+    Scale: CSV writes are append-parallel per task like any sink; the
+    read side splits on newlines so parallelism survives, but no column
+    pruning/predicate pushdown exists — the plan audit asserts pushdown
+    on the PARQUET entry and this entry documents the contrast."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    dest = os.path.join(
+        _ROUNDTRIP_ROOT, "csv_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    write_table(ev, dest, "csv")
+    back = read_table(
+        spark,
+        dest,
+        "csv",
+        schema="event_id long, event_type string, user_id long, value_micros long",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+        F.sum("value_micros").cast("bigint").alias("sum_value_micros"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+    )
+
+
+_ORACLE_CSV_ROUNDTRIP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT)
+         AS sum_value_micros,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+    "io_csv_roundtrip": q_io_csv_roundtrip,
 }
 
 ORACLE = {
     "io_partitioned_roundtrip": _ORACLE_ROUNDTRIP,
+    "io_csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
 }

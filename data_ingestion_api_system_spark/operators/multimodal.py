@@ -225,7 +225,65 @@ FROM pairs WHERE shared_frames >= 2
 """
 
 
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing through mapInPandas: every payload expands into
+    overlapping [start, start+256) byte windows at hop 192 (the STFT /
+    wav2vec chunking shape), then rolls up per document — window count,
+    coverage bytes (sum of window lengths counts overlap, deliberately:
+    that's the featurizer's actual compute volume), and an order-sensitive
+    fingerprint (md5 of the concatenated per-window md5s in win_idx order)
+    so any dropped, duplicated, or reordered window breaks the hash.
+
+    The oracle regenerates the same windows relationally (range() over the
+    hop grid + substr slices — ASCII text ⇒ byte slices == char slices).
+    Scale: the expansion is per-row inside Arrow batches, zero shuffle;
+    the rollup keys on doc_id. Real audio swaps the byte slice for PCM
+    decode behind the same schema (sources/multimodal.py::decode_image
+    documents the codec gate)."""
+    tune(spark)
+    from ..sources.multimodal import audio_windows
+
+    wins = audio_windows(
+        binary_documents(spark, sf_dir).select("doc_id", "payload")
+    )
+    return wins.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.max("win_idx").cast("int").alias("last_win_idx"),
+        F.sum("n_bytes").cast("bigint").alias("compute_bytes"),
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.struct("win_idx", "window_md5")))
+                .getField("window_md5")
+            ).cast("binary")
+        ).alias("sequence_md5"),
+    )
+
+
+_ORACLE_AUDIO_WINDOWS = """
+WITH d AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS L
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(g AS BIGINT) AS start_byte,
+         CAST(least(256, L - g) AS BIGINT) AS n_bytes,
+         md5(substr(text, CAST(g + 1 AS INT), CAST(least(256, L - g) AS INT)))
+           AS window_md5
+  FROM d, unnest(range(0, L, 192)) AS t(g)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) - 1 AS INT) AS last_win_idx,
+       CAST(sum(n_bytes) AS BIGINT) AS compute_bytes,
+       md5(string_agg(window_md5, '|' ORDER BY start_byte)) AS sequence_md5
+FROM w
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_features": q_multimodal_features,
     "multimodal_size_rollup": q_multimodal_size_rollup,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -234,6 +292,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_audio_windows": _ORACLE_AUDIO_WINDOWS,
     "multimodal_features": _ORACLE_FEATURES,
     "multimodal_size_rollup": _ORACLE_SIZE_ROLLUP,
     "multimodal_frame_sample": _ORACLE_FRAME_SAMPLE,

@@ -956,7 +956,96 @@ FROM flagged GROUP BY c_mktsegment
 """
 
 
+# Misra-Gries counter budget. The MG guarantee: any key with GLOBAL count
+# > n/K must exceed n_p/K in at least one partition (counts sum across
+# partitions), so the union of per-partition K-counter summaries is a
+# SUPERSET of every phi=1/K-heavy key — candidates are then verified with
+# exact counts, so the final output is deterministic (partition-layout
+# independent) and oracle-checkable.
+HH_K = 2000
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phi-frequent heavy hitters (users with > n/HH_K of all events) via
+    the Misra-Gries summary (Misra & Gries 1982; the "space-saving" family
+    every streaming system ships as approx_top_k): each partition keeps at
+    most HH_K decrementing counters — the candidate union provably contains
+    every global heavy hitter — and ONLY the candidates get exact counts.
+
+    Scale rationale: at 100 TB the full groupBy(user_id) is a shuffle of
+    |users| rows, but the MG pass reduces each partition to <= HH_K rows
+    (constant!) before any exchange, and the exact-verify pass counts just
+    the candidate set via a broadcast semi join against the fact — the
+    LSH-candidates-then-verify shape applied to frequency. The Python MG
+    loop is per-partition mapInPandas (Arrow batches, dict ops, O(rows));
+    the verify side is pure JVM. Output = the exact phi-heavy set with
+    exact counts and integer-ppm shares, independent of partitioning."""
+    tune(spark)
+    import pandas as _pd
+
+    ev = spread(load_table(spark, sf_dir, "events").select("user_id"))
+
+    def mg_partition(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for u in pdf["user_id"].to_numpy():
+                u = int(u)
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < HH_K:
+                    counters[u] = 1
+                else:
+                    # decrement-all: the textbook MG step
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield _pd.DataFrame({"user_id": list(counters.keys())})
+
+    cand = ev.mapInPandas(mg_partition, schema="user_id long").distinct()
+    tot = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.count("*").cast("bigint").alias("n_total")
+        )
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    return (
+        exact.crossJoin(tot)
+        .filter(F.col("n_events") * HH_K > F.col("n_total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("CAST((1000000 * n_events) DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+_ORACLE_HEAVY_HITTERS = f"""
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events),
+c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST((1000000 * n_events) // n_total AS BIGINT) AS share_ppm
+FROM c, tot
+WHERE n_events * {HH_K} > n_total
+"""
+
+
 QUERIES = {
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "tpch_q4_order_priority": q_tpch_q4,
     "tpch_q7_nation_volume": q_tpch_q7,
     "tpch_q9_product_profit": q_tpch_q9,
@@ -977,6 +1066,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sketch_heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "tpch_q4_order_priority": _ORACLE_Q4,
     "tpch_q7_nation_volume": _ORACLE_Q7,
     "tpch_q9_product_profit": _ORACLE_Q9,

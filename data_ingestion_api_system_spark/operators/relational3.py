@@ -758,7 +758,188 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline query) per order priority: the orders
+    not dominated on (earlier-or-equal date, strictly higher price) by any
+    other order of the same priority — i.e. each one set a new running
+    price record when it arrived. Skyline is a real OLAP operator (best
+    price-vs-freshness tradeoffs, cost-vs-latency frontiers) whose naive
+    form is the O(n²) NOT-EXISTS dominance self-join.
+
+    Plan: the 2-D case collapses to ONE window — sort each priority
+    partition by day and keep rows whose price equals the running max
+    (default RANGE frame, so same-day peers share the max and ties all
+    qualify). One exchange on o_orderpriority, no self-join; the n²
+    dominance check exists only in tests. Prices pass through untouched
+    (comparison only, no float arithmetic), so cross-engine equality is
+    byte-exact."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("order_day")
+    return (
+        o.withColumn("run_max", F.max("price").over(w))
+        .filter(F.col("price") == F.col("run_max"))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("order_day").cast("string").alias("order_day"),
+            "price",
+        )
+    )
+
+
+_ORACLE_PARETO = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+       price
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_orderdate,
+         o_totalprice AS price,
+         max(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(o_orderdate AS DATE)) AS run_max
+  FROM orders
+)
+WHERE price = run_max
+"""
+
+
+# Label-propagation community detection: LABEL_PROP_ROUNDS synchronized
+# rounds over the brand co-occurrence graph (same edges as the triangle
+# entry). Label(v) <- the most frequent label among v's neighbors,
+# min-label tiebreak — fully deterministic, so both engines walk identical
+# label states round by round.
+LABEL_PROP_ROUNDS = 2
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan et
+    al. 2007) on the brand co-occurrence graph — the third graph kernel
+    after PageRank and connected components, and the standard cheap
+    community assignment at web scale (GraphFrames/GraphX ship exactly
+    this algorithm).
+
+    Plan: per round, ONE join of the (src,dst)-symmetrized edge list to
+    the current label table on dst, then a (src, label) count and a
+    deterministic argmax (row_number over the src-partitioned votes,
+    count desc / label asc). Labels start as each node's own brand string.
+    Edges are |brands|² bounded here; at node scale the same two
+    exchanges per round hold, with the label table partitioned by node id
+    and the rounds driven by a bounded unrolled loop exactly as the
+    PageRank entry argues (relational3 docstring there). Output: node,
+    final community, community size."""
+    tune(spark)
+    edges = pin(
+        _brand_baskets(spark, sf_dir)
+        .select("l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= MIN_PAIR_ORDERS)
+        .select("a", "b")
+    )
+    adj = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = adj.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LABEL_PROP_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nbr_label")
+                ),
+                "dst",
+            )
+            .groupBy("src", "nbr_label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # deterministic argmax: max count, then MIN label — a row_number
+        # over the (src)-partitioned votes (DuckDB's min_by can't order by
+        # a composite key, so both engines rank identically instead)
+        from pyspark.sql import Window
+
+        wv = Window.partitionBy("src").orderBy(
+            F.desc("cnt"), F.asc("nbr_label")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("node"), F.col("nbr_label").alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+_ORACLE_LABEL_PROP = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+),
+items AS (SELECT l_orderkey, unnest(brands) AS brand FROM baskets),
+edges AS (
+  SELECT a, b FROM (
+    SELECT ua.brand AS a, ub.brand AS b, count(*) AS n
+    FROM items ua JOIN items ub
+      ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
+    GROUP BY 1, 2
+  ) WHERE n >= {MIN_PAIR_ORDERS}
+),
+adj AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b AS src, a AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+v1 AS (
+  SELECT adj.src, l0.label AS nbr_label, count(*) AS cnt
+  FROM adj JOIN l0 ON adj.dst = l0.node
+  GROUP BY 1, 2
+),
+l1 AS (
+  SELECT src AS node, nbr_label AS label FROM (
+    SELECT src, nbr_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, nbr_label ASC) AS rk
+    FROM v1) WHERE rk = 1
+),
+v2 AS (
+  SELECT adj.src, l1.label AS nbr_label, count(*) AS cnt
+  FROM adj JOIN l1 ON adj.dst = l1.node
+  GROUP BY 1, 2
+),
+l2 AS (
+  SELECT src AS node, nbr_label AS label FROM (
+    SELECT src, nbr_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, nbr_label ASC) AS rk
+    FROM v2) WHERE rk = 1
+),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+  FROM l2 GROUP BY label
+)
+SELECT l2.node, l2.label AS community, sizes.community_size
+FROM l2 JOIN sizes USING (label)
+"""
+
+
 QUERIES = {
+    "orders_pareto_frontier": q_orders_pareto_frontier,
+    "graph_label_prop": q_graph_label_prop,
     "join_incremental_delta": q_join_incremental_delta,
     "date_functions": q_date_functions,
     "tpch_q8_market_share": q_tpch_q8,
@@ -774,6 +955,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_pareto_frontier": _ORACLE_PARETO,
+    "graph_label_prop": _ORACLE_LABEL_PROP,
     "join_incremental_delta": _ORACLE_IVM,
     "date_functions": _ORACLE_DATE_FUNCS,
     "tpch_q8_market_share": _ORACLE_Q8,

@@ -1236,7 +1236,73 @@ GROUP BY query_id
 """
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — for each anchor vector, the top-3 most
+    similar vectors with a DIFFERENT label. This is the contrastive-
+    training data op (SimCSE/DPR/Contriever all mine in-batch or corpus
+    hard negatives this way): the highest-cosine wrong-label neighbors
+    are exactly the examples that sharpen the decision boundary.
+
+    Plan: identical shape to `sim_knn_join` (broadcast anchor batch,
+    corpus stays put, per-anchor top-k window) plus the label-mismatch
+    filter BEFORE scoring output — at 100 TB the same LSH/IVF candidate
+    pruning as the ANN entries bolts on in front, and the label filter
+    pushes into the candidate scan."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    anchors = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("v").alias("bv"),
+        )
+    )
+    cand = e.select(
+        "vec_id", F.col("label").alias("cand_label"), F.col("v").alias("av")
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = (
+        cand.crossJoin(anchors)
+        .filter(F.col("cand_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id", "anchor_label", "vec_id", "cand_label", cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "anchor_label", "vec_id", "cand_label", "cosine", "rk")
+    )
+
+
+_ORACLE_HARD_NEGATIVES = f"""
+WITH e AS ({_SQL_EMB}),
+a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS bv
+      FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, c.vec_id, c.label AS cand_label,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine
+  FROM (SELECT vec_id, label, v AS av FROM e) c, a
+  WHERE c.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, vec_id, cand_label, cosine, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
+    "sim_hard_negatives": q_sim_hard_negatives,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
     "sim_knn_join": q_sim_knn_join,
@@ -1254,6 +1320,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_hard_negatives": _ORACLE_HARD_NEGATIVES,
     "sim_cosine_topk": _ORACLE_COSINE_TOPK,
     "sim_ivf_ann": _ORACLE_IVF,
     "sim_knn_join": _ORACLE_KNN_JOIN,

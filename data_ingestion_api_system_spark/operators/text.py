@@ -1218,7 +1218,87 @@ FROM terms GROUP BY doc_id
 """
 
 
+# Power-of-two sequence-length ladder for batch packing: a doc with n
+# whitespace tokens pads to the smallest bucket >= n. Integer comparisons
+# only (no log2), so both engines bucket identically.
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing — the batching layout every training
+    pipeline computes before `text_sequence_pack`-style packing: pad each
+    document to the smallest power-of-two token bucket and account for the
+    padding waste per bucket (tokens burned on pad vs a same-bucket batch)
+    and versus the naive pad-to-global-max baseline. The waste numbers are
+    what decide bucket boundaries for real dataloaders (HF's
+    length-grouped sampler, T5's pack-by-length).
+
+    Plan: one narrow pass computes n_tokens and the CASE-ladder bucket
+    (integer comparisons only — no float log2 to diverge), then a <=11-row
+    aggregate; the global-max baseline joins as a broadcast scalar. Waste
+    ratios are exact integer ppm. At 100 TB: map-side combine reduces each
+    partition to the ladder's 11 rows before the one tiny shuffle."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens("text"))
+    bucket = F.lit(LENGTH_BUCKETS[-1] * 2)
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
+    per_doc = docs.select(
+        n_tok.cast("bigint").alias("n_tokens"),
+        bucket.cast("bigint").alias("bucket_tokens"),
+    )
+    agg = per_doc.groupBy("bucket_tokens").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("bucket_tokens") - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )
+    gmax = F.broadcast(per_doc.agg(F.max("n_tokens").alias("global_max")))
+    return agg.crossJoin(gmax).select(
+        "bucket_tokens",
+        "n_docs",
+        "sum_tokens",
+        "pad_tokens",
+        F.expr(
+            "CAST((1000000 * pad_tokens) DIV (n_docs * bucket_tokens) AS BIGINT)"
+        ).alias("waste_ppm"),
+        F.expr(
+            "CAST((1000000 * (n_docs * global_max - sum_tokens))"
+            " DIV (n_docs * global_max) AS BIGINT)"
+        ).alias("naive_waste_ppm"),
+    )
+
+
+_SQL_BUCKET_LADDER = "CASE " + " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in LENGTH_BUCKETS
+) + f" ELSE {LENGTH_BUCKETS[-1] * 2} END"
+
+_ORACLE_LENGTH_BUCKETS = f"""
+WITH per_doc AS (
+  SELECT n_tokens, CAST({_SQL_BUCKET_LADDER} AS BIGINT) AS bucket_tokens
+  FROM (SELECT CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents)
+),
+agg AS (
+  SELECT bucket_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(sum(bucket_tokens - n_tokens) AS BIGINT) AS pad_tokens
+  FROM per_doc GROUP BY 1
+),
+gmax AS (SELECT max(n_tokens) AS global_max FROM per_doc)
+SELECT bucket_tokens, n_docs, sum_tokens, pad_tokens,
+       CAST((1000000 * pad_tokens) // (n_docs * bucket_tokens) AS BIGINT)
+         AS waste_ppm,
+       CAST((1000000 * (n_docs * global_max - sum_tokens))
+            // (n_docs * global_max) AS BIGINT) AS naive_waste_ppm
+FROM agg, gmax
+"""
+
+
 QUERIES = {
+    "text_length_buckets": q_text_length_buckets,
     "text_entropy_score": q_text_entropy_score,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_token_stats": q_text_token_stats,
@@ -1241,6 +1321,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_length_buckets": _ORACLE_LENGTH_BUCKETS,
     "text_entropy_score": _ORACLE_ENTROPY,
     "text_ngram_novelty": _ORACLE_NOVELTY,
     "text_token_stats": _ORACLE_TOKEN_STATS,

@@ -164,6 +164,66 @@ def resize_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_resize_images, schema=RESIZE_SCHEMA)
 
 
+# STFT-style audio framing: fixed window with 25% hop overlap, in bytes
+# (1 byte standing in for 1 PCM sample — see decode_image for the codec
+# gate; a real pipeline frames int16 samples the same way, just ×2 bytes).
+AUDIO_WIN_BYTES = 256
+AUDIO_HOP_BYTES = 192
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id bigint, win_idx int, start_byte bigint, n_bytes bigint, "
+    "window_md5 string"
+)
+
+
+def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Overlapping-window segmentation: each payload expands to
+    ceil(len/HOP) rows of [start, start+WIN) byte windows (last windows
+    are short) — the framing every audio featurizer (STFT, wav2vec chunk,
+    Whisper 30 s segment) performs before the model. The 'decode' is an
+    identity byte slice standing in for real PCM (see decode_image); the
+    1→N Arrow expansion, offsets, and content hashes are real."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            idx = 0
+            start = 0
+            while start < n:
+                seg = payload[start : start + AUDIO_WIN_BYTES]
+                rows.append(
+                    (
+                        int(doc_id),
+                        idx,
+                        start,
+                        len(seg),
+                        hashlib.md5(seg).hexdigest(),
+                    )
+                )
+                idx += 1
+                start += AUDIO_HOP_BYTES
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "win_idx", "start_byte", "n_bytes", "window_md5"],
+        ).astype(
+            {
+                "doc_id": "int64",
+                "win_idx": "int32",
+                "start_byte": "int64",
+                "n_bytes": "int64",
+            }
+        )
+
+
+def audio_windows(df: DataFrame) -> DataFrame:
+    """Run the overlapping-window segmenter over a (doc_id, payload)
+    DataFrame — each input row expands to ceil(len/hop) output rows inside
+    the Arrow batches."""
+    return df.mapInPandas(_audio_windows, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stand-in multimodal table: utf-8 text bytes as the opaque payload
     plus typed metadata — the exact column layout an image/audio table

