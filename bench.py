@@ -104,6 +104,9 @@ ADDED_R8 = [
     "streaming_windowed_topk",
     "io_csv_roundtrip",
     "multimodal_audio_windows",
+    "orders_abc_classification",
+    "graph_common_neighbors",
+    "io_json_roundtrip",
 ]
 
 

@@ -394,6 +394,9 @@ _BORN_ROUND = {
     "streaming_windowed_topk": 8,
     "io_csv_roundtrip": 8,
     "multimodal_audio_windows": 8,
+    "orders_abc_classification": 8,
+    "graph_common_neighbors": 8,
+    "io_json_roundtrip": 8,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -34,7 +34,7 @@ from ..functions import (
     sql_exact_sum_dec,
 )
 from ..tables import load_table
-from . import tune
+from . import pin, tune
 
 
 # ---------------------------------------------------------------------------
@@ -748,8 +748,122 @@ FROM counts, tot
 """
 
 
+def q_orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the merchandising Pareto analysis:
+    rank parts by revenue, classify into A (first 80% of cumulative
+    revenue), B (next 15%), C (tail 5%), and report each class's size and
+    exact-ppm revenue share. The global cumulative share is the hard part
+    at scale: a naive `SUM OVER (ORDER BY rev)` plans the un-scalable
+    single-partition WindowExec, so this uses the same TeraSort-style
+    recipe as ``global_ntile`` (operators/__init__.py:157) generalized
+    from ranks to running SUMS — one range exchange on (rev DESC, key),
+    per-PARTITION running sums (partitioned window), and per-partition
+    revenue totals folded into broadcast prefix offsets.
+
+    Numerics: per-part revenue is rounded to an exact DECIMAL(18,2) FIRST
+    (both engines agree), so every cumulative sum and the ×5/×20 class
+    boundary comparisons downstream are exact integer-decimal arithmetic —
+    no float accumulation order anywhere."""
+    tune(spark)
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(revenue_dec()), 2).cast("decimal(18,2)").alias("rev"))
+    )
+    parts_n = spark.sparkContext.defaultParallelism
+    ranked = pin(
+        pr.repartitionByRange(parts_n, F.col("rev").desc(), F.col("l_partkey").asc())
+        .sortWithinPartitions(F.col("rev").desc(), F.col("l_partkey").asc())
+    )
+    body = ranked.select(
+        "*", F.monotonically_increasing_id().alias("__mid")
+    ).select(
+        "l_partkey",
+        "rev",
+        F.shiftrightunsigned("__mid", 33).cast("bigint").alias("__pid"),
+    )
+    wrun = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = body.withColumn("__run", F.sum("rev").over(wrun))
+    ptot = run.groupBy("__pid").agg(F.sum("rev").alias("__psum"))
+    p2 = ptot.select(
+        F.col("__pid").alias("__pid2"), F.col("__psum").alias("__psum2")
+    )
+    offsets = (
+        ptot.join(F.broadcast(p2), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__psum2"), F.lit(0).cast("decimal(18,2)")).alias(
+                "__off"
+            )
+        )
+    )
+    total = ptot.agg(F.sum("__psum").alias("__total"))
+    classed = (
+        run.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.col("__off") + F.col("__run"))
+        .withColumn(
+            "part_class",
+            F.when(F.col("__cum") * 5 <= F.col("__total") * 4, "A")
+            .when(F.col("__cum") * 20 <= F.col("__total") * 19, "B")
+            .otherwise("C"),
+        )
+    )
+    cents = F.sum((F.col("rev") * 100).cast("bigint")).cast("bigint")
+    agg = classed.groupBy("part_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+        cents.alias("__cents"),
+    )
+    tot_cents = F.broadcast(
+        pr.agg(F.sum((F.col("rev") * 100).cast("bigint")).cast("bigint").alias("__tc"))
+    )
+    return agg.crossJoin(tot_cents).select(
+        "part_class",
+        "n_parts",
+        "class_revenue",
+        F.expr("CAST((1000000 * __cents) DIV __tc AS BIGINT)").alias("share_ppm"),
+    )
+
+
+_ORACLE_ABC = f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM({SQL_REVENUE_DEC}), 2) AS DECIMAL(18,2)) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pr
+),
+tot AS (SELECT SUM(rev) AS total,
+               CAST(SUM(CAST(rev * 100 AS BIGINT)) AS BIGINT) AS tc
+        FROM pr),
+classed AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+              WHEN cum * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS part_class
+  FROM ranked, tot
+)
+SELECT part_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue,
+       CAST((1000000 * CAST(SUM(CAST(rev * 100 AS BIGINT)) AS BIGINT))
+            // (SELECT tc FROM tot) AS BIGINT) AS share_ppm
+FROM classed GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_benford_check": q_dq_benford_check,
+    "orders_abc_classification": q_orders_abc_classification,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "dq_mad_outliers": q_dq_mad_outliers,
     "events_seasonal_backtest": q_events_seasonal_backtest,
@@ -762,6 +876,7 @@ QUERIES = {
 
 ORACLE = {
     "dq_benford_check": _ORACLE_BENFORD,
+    "orders_abc_classification": _ORACLE_ABC,
     "events_cusum_changepoint": _ORACLE_CUSUM,
     "dq_mad_outliers": _ORACLE_MAD,
     "events_seasonal_backtest": _ORACLE_SEASONAL,

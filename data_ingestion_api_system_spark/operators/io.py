@@ -146,12 +146,68 @@ GROUP BY event_type
 """
 
 
+def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the JSON-lines sink→source cycle with NESTING — the thing
+    CSV structurally can't carry: each event is written as
+    {event_id, event_type, payload: {user_id, value_micros}}, read back
+    under an explicit nested schema, and the aggregate over the NESTED
+    fields must hash-match the oracle computed flat off parquet. This is
+    the interchange shape of every webhook/export API; the declared
+    read-schema again avoids the 2-pass inference scan (and silent type
+    widening) at 100 TB. Same integer-micros discipline as the CSV entry —
+    floats never transit a text format."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.col("user_id"),
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .alias("value_micros"),
+        ).alias("payload"),
+    )
+    dest = os.path.join(
+        _ROUNDTRIP_ROOT, "json_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    write_table(ev, dest, "json")
+    back = read_table(
+        spark,
+        dest,
+        "json",
+        schema=(
+            "event_id long, event_type string, "
+            "payload struct<user_id: long, value_micros: long>"
+        ),
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("payload.user_id").cast("bigint").alias("n_users"),
+        F.sum("payload.value_micros").cast("bigint").alias("sum_value_micros"),
+        F.max("payload.user_id").cast("bigint").alias("max_user"),
+    )
+
+
+_ORACLE_JSON_ROUNDTRIP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT)
+         AS sum_value_micros,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
     "io_csv_roundtrip": q_io_csv_roundtrip,
+    "io_json_roundtrip": q_io_json_roundtrip,
 }
 
 ORACLE = {
     "io_partitioned_roundtrip": _ORACLE_ROUNDTRIP,
     "io_csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
+    "io_json_roundtrip": _ORACLE_JSON_ROUNDTRIP,
 }

@@ -937,8 +937,112 @@ FROM l2 JOIN sizes USING (label)
 """
 
 
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features per edge: common-neighbor count and
+    neighborhood Jaccard (the two classic similarity scores behind
+    people-you-may-know / also-bought edges) over the brand co-occurrence
+    graph. Jaccard of N(a)\\{b} vs N(b)\\{a} = common / (deg(a) + deg(b)
+    − 2 − common), in exact integer ppm.
+
+    Plan: common neighbors come from ONE wedge equi-join on the shared
+    endpoint of the symmetrized edge list (a<b dedups each wedge), joined
+    back to the edge list and the per-node degree table — never a
+    neighborhood materialization per pair. At node scale this is the
+    standard distributed CN/Jaccard recipe; the heavy-degree mitigation
+    (cap or sample hub neighborhoods) bolts onto the one wedge join."""
+    tune(spark)
+    edges = pin(
+        _brand_baskets(spark, sf_dir)
+        .select("l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= MIN_PAIR_ORDERS)
+        .select("a", "b")
+    )
+    adj = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = adj.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
+    x = adj.select(F.col("src").alias("wa"), F.col("dst").alias("c"))
+    y = adj.select(F.col("src").alias("wb"), F.col("dst").alias("c"))
+    cn = (
+        x.join(y, "c")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("degree").alias("degree_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("degree").alias("degree_b"))
+    out = (
+        edges.join(
+            cn,
+            (F.col("a") == F.col("wa")) & (F.col("b") == F.col("wb")),
+            "left",
+        )
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.coalesce("common", F.lit(0)).cast("bigint").alias("common_neighbors"),
+            "degree_a",
+            "degree_b",
+        )
+    )
+    denom = F.col("degree_a") + F.col("degree_b") - 2 - F.col("common_neighbors")
+    return out.withColumn(
+        "jaccard_ppm",
+        F.when(denom > 0, F.expr(
+            "CAST((1000000 * common_neighbors)"
+            " DIV (degree_a + degree_b - 2 - common_neighbors) AS BIGINT)"
+        )).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+_ORACLE_COMMON_NEIGHBORS = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+),
+items AS (SELECT l_orderkey, unnest(brands) AS brand FROM baskets),
+edges AS (
+  SELECT a, b FROM (
+    SELECT ua.brand AS a, ub.brand AS b, count(*) AS n
+    FROM items ua JOIN items ub
+      ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
+    GROUP BY 1, 2
+  ) WHERE n >= {MIN_PAIR_ORDERS}
+),
+adj AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b AS src, a AS dst FROM edges
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY src),
+cn AS (
+  SELECT x.src AS wa, y.src AS wb, CAST(count(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY 1, 2
+)
+SELECT e.a AS brand_a, e.b AS brand_b,
+       CAST(coalesce(cn.common, 0) AS BIGINT) AS common_neighbors,
+       da.degree AS degree_a, db.degree AS degree_b,
+       CASE WHEN da.degree + db.degree - 2 - coalesce(cn.common, 0) > 0
+            THEN CAST((1000000 * coalesce(cn.common, 0))
+                      // (da.degree + db.degree - 2 - coalesce(cn.common, 0))
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS jaccard_ppm
+FROM edges e
+LEFT JOIN cn ON e.a = cn.wa AND e.b = cn.wb
+JOIN deg da ON da.src = e.a
+JOIN deg db ON db.src = e.b
+"""
+
+
 QUERIES = {
     "orders_pareto_frontier": q_orders_pareto_frontier,
+    "graph_common_neighbors": q_graph_common_neighbors,
     "graph_label_prop": q_graph_label_prop,
     "join_incremental_delta": q_join_incremental_delta,
     "date_functions": q_date_functions,
@@ -956,6 +1060,7 @@ QUERIES = {
 
 ORACLE = {
     "orders_pareto_frontier": _ORACLE_PARETO,
+    "graph_common_neighbors": _ORACLE_COMMON_NEIGHBORS,
     "graph_label_prop": _ORACLE_LABEL_PROP,
     "join_incremental_delta": _ORACLE_IVM,
     "date_functions": _ORACLE_DATE_FUNCS,

@@ -336,6 +336,114 @@ def test_streaming_topk_matches_pure_python(spark):
 # io_csv_roundtrip
 # ---------------------------------------------------------------------------
 
+def test_abc_classification_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.insights import (
+        q_orders_abc_classification,
+    )
+
+    out = {r.part_class: r for r in q_orders_abc_classification(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT l_partkey, l_extendedprice, l_discount FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchall()
+    cent = Decimal("0.01")
+    rev = defaultdict(Decimal)
+    for pk, price, disc in rows:
+        # mirror revenue_dec(): decimal-cast FACTORS (price 2dp, discount
+        # 2dp half-up from the exact binary double), multiply exactly
+        p = Decimal(price).quantize(cent, rounding=ROUND_HALF_UP)
+        d = Decimal(disc).quantize(cent, rounding=ROUND_HALF_UP)
+        rev[pk] += p * (1 - d)
+    rev = {pk: v.quantize(cent, rounding=ROUND_HALF_UP) for pk, v in rev.items()}
+    total = sum(rev.values())
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    cum = Decimal(0)
+    for pk, v in ranked:
+        cum += v
+        cls = "A" if cum * 5 <= total * 4 else ("B" if cum * 20 <= total * 19 else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += v
+    assert set(out) == set(agg)
+    tot_cents = int(total * 100)
+    for cls, (n, s) in agg.items():
+        r = out[cls]
+        assert r.n_parts == n
+        assert Decimal(str(r.class_revenue)) == s
+        assert r.share_ppm == (1_000_000 * int(s * 100)) // tot_cents
+    # the A class must dominate revenue share but not part count
+    if {"A", "C"} <= set(out):
+        assert out["A"].share_ppm > out["C"].share_ppm
+
+
+def test_common_neighbors_match_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        q_graph_common_neighbors,
+    )
+
+    rows = q_graph_common_neighbors(spark, SF_DIR).collect()
+    pairs = duckdb.sql(
+        f"""
+        WITH b AS (
+          SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+          FROM read_parquet('{SF_DIR}/lineitem.parquet') li
+          JOIN read_parquet('{SF_DIR}/part.parquet') p ON l_partkey = p_partkey
+          GROUP BY l_orderkey
+        ), i AS (SELECT l_orderkey, unnest(brands) AS brand FROM b)
+        SELECT ua.brand, ub.brand, count(*) FROM i ua JOIN i ub
+          ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    nbrs: dict[str, set] = defaultdict(set)
+    edge_list = []
+    for a, b, n in pairs:
+        if n >= MIN_PAIR_ORDERS:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+            edge_list.append((a, b))
+    assert {(r.brand_a, r.brand_b) for r in rows} == set(edge_list)
+    for r in rows:
+        a, b = r.brand_a, r.brand_b
+        common = len(nbrs[a] & nbrs[b])
+        assert r.common_neighbors == common
+        assert (r.degree_a, r.degree_b) == (len(nbrs[a]), len(nbrs[b]))
+        denom = len(nbrs[a]) + len(nbrs[b]) - 2 - common
+        want = (1_000_000 * common) // denom if denom > 0 else 0
+        assert r.jaccard_ppm == want
+        # jaccard is the common set over the union of the two punctured
+        # neighborhoods — the denominator identity holds exactly (no self
+        # loops, and b∉N(b)/a∉N(a) keep the endpoints out of the overlap)
+        union = (nbrs[a] - {b}) | (nbrs[b] - {a})
+        assert denom == len(union)
+
+
+def test_json_roundtrip_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.io import q_io_json_roundtrip
+
+    out = {r.event_type: r for r in q_io_json_roundtrip(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT event_type, user_id, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    for et, uid, val in rows:
+        micros = int(
+            Decimal(val).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP) * 10000
+        )
+        a = agg[et]
+        a[0] += 1
+        a[1].add(uid)
+        a[2] += micros
+        a[3] = max(a[3], uid)
+    assert set(out) == set(agg)
+    for et, (n, users, sm, hi) in agg.items():
+        r = out[et]
+        assert (r.n_events, r.n_users, r.sum_value_micros, r.max_user) == (
+            n, len(users), sm, hi,
+        )
+
+
 def test_audio_windows_match_pure_python(spark):
     import hashlib
 

@@ -569,6 +569,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas", r"partial_count|partial_max"],
         [r"CartesianProduct", r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
     ),
+    "orders_abc_classification": (
+        # TeraSort-style global running sum: ONE range exchange, the
+        # cumulative window partitioned by the derived partition id (the
+        # registry window-guard verifies no SinglePartition WindowExec)
+        [r"rangepartitioning", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "graph_common_neighbors": (
+        # wedge equi-join on the shared endpoint + degree joins — all
+        # hash joins over the bounded edge table
+        [r"HashJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "io_json_roundtrip": (
+        # read-back is a json scan under a DECLARED nested schema
+        [r"(?i)json", r"partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
 }
 
 
