@@ -53,6 +53,17 @@ DEFAULT = [
     "text_entropy_score",
     "sim_pq_adc_search",
     "streaming_static_enrich",
+    # round-8 operators with nontrivial shuffle/join/Python-exec shapes:
+    # the LPA join loop, the MG candidate+verify pass, the island windows,
+    # the audio 1->N expansion, the global running sum, the wedge join,
+    # and the streaming windowed rank
+    "graph_label_prop",
+    "sketch_heavy_hitters",
+    "events_interval_merge",
+    "multimodal_audio_windows",
+    "orders_abc_classification",
+    "graph_common_neighbors",
+    "streaming_windowed_topk",
 ]
 
 
