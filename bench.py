@@ -107,6 +107,9 @@ ADDED_R8 = [
     "orders_abc_classification",
     "graph_common_neighbors",
     "io_json_roundtrip",
+    "sql_lateral_topk",
+    "orders_cohort_ltv",
+    "text_rake_keyphrases",
 ]
 
 

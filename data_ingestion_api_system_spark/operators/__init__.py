@@ -397,6 +397,9 @@ _BORN_ROUND = {
     "orders_abc_classification": 8,
     "graph_common_neighbors": 8,
     "io_json_roundtrip": 8,
+    "sql_lateral_topk": 8,
+    "orders_cohort_ltv": 8,
+    "text_rake_keyphrases": 8,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

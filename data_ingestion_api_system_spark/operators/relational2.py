@@ -956,6 +956,110 @@ FROM flagged GROUP BY c_mktsegment
 """
 
 
+_SQL_LATERAL = """
+SELECT n.n_name, t.c_custkey, t.spend
+FROM nation n, LATERAL (
+  SELECT c.c_custkey,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey
+  ORDER BY spend DESC, c.c_custkey ASC
+  LIMIT 2
+) t
+"""
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL surface: top-2
+    customers by order spend PER NATION, written as the per-row subquery a
+    SQL user reaches for first. Catalyst decorrelates the lateral into a
+    join + per-nation rank (DecorrelateInnerQuery), i.e. the same physical
+    shape as the windowed top-k entries — certifying that the
+    decorrelation rewrite, not just the hand-written window, is
+    correctness- and scale-safe. DuckDB runs the IDENTICAL text (both
+    engines speak this SQL:1999 construct), so the oracle is the same
+    string. Spend is an exact DECIMAL sum rounded once."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the revenue twin of
+    `cohort_retention`: customers are cohorted by FIRST-order month, and
+    each (cohort, months-since-first) cell reports active buyers, exact
+    revenue, and the cohort's cumulative LTV-to-date. This is the
+    payback-period table every growth team reads.
+
+    Plan: the first-order month is one min-aggregate on o_custkey; the
+    cohort join runs on the same key; the cell rollup partial-aggregates
+    map-side; and the cumulative LTV window partitions BY COHORT (bounded
+    cells per cohort = months observed), so nothing global exists. Month
+    arithmetic is integer (year*12+month), immune to calendar/tz
+    libraries disagreeing."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy(F.col("m0").alias("cohort_m"), (F.col("m") - F.col("m0")).alias("months_since"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("decimal(18,2)").alias("rev"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.concat_ws(
+            "-",
+            (F.col("cohort_m") / 12).cast("int").cast("string"),
+            F.lpad((F.col("cohort_m") % 12).cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        "months_since",
+        "n_active",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(wc).cast("double").alias("cum_ltv"),
+    )
+
+
+_ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m
+  FROM orders
+),
+first AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+cells AS (
+  SELECT m0 AS cohort_m, m - m0 AS months_since,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              AS DECIMAL(18,2)) AS rev
+  FROM o JOIN first ON o.o_custkey = first.o_custkey
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_m // 12 AS INT) || '-' || lpad(CAST(cohort_m % 12 AS VARCHAR), 2, '0')
+         AS cohort_month,
+       months_since, n_active,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY months_since
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_ltv
+FROM cells
+"""
+
+
 # Misra-Gries counter budget. The MG guarantee: any key with GLOBAL count
 # > n/K must exceed n_p/K in at least one partition (counts sum across
 # partitions), so the union of per-partition K-counter summaries is a
@@ -1045,6 +1149,8 @@ WHERE n_events * {HH_K} > n_total
 
 
 QUERIES = {
+    "sql_lateral_topk": q_sql_lateral_topk,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "tpch_q4_order_priority": q_tpch_q4,
     "tpch_q7_nation_volume": q_tpch_q7,
@@ -1066,6 +1172,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_lateral_topk": _SQL_LATERAL,
+    "orders_cohort_ltv": _ORACLE_COHORT_LTV,
     "sketch_heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "tpch_q4_order_priority": _ORACLE_Q4,
     "tpch_q7_nation_volume": _ORACLE_Q7,

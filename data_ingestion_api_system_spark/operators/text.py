@@ -1297,7 +1297,146 @@ FROM agg, gmax
 """
 
 
+def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    unsupervised keyword algorithm: candidate phrases are maximal runs of
+    non-stopword words (a gaps-and-islands grouping over token positions),
+    each word gets corpus-level frequency and degree (sum of the lengths
+    of every phrase it appears in), and a phrase scores the sum of its
+    words' degree/frequency ratios. Top-3 phrases per document.
+
+    Numerics: each word's ratio is an exact integer ppm ((10^6·deg) DIV
+    freq) summed as BIGINTs — no float division anywhere, so ranking ties
+    are impossible to diverge. Plan: one doc-keyed window builds phrase
+    ids, one (word)-keyed aggregate builds the corpus stats (map-side
+    combined), one join scores phrase words, and the per-doc top-3 is a
+    WindowGroupLimit. At 100 TB each stage shuffles bounded keys (words /
+    doc ids), never raw text twice."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.regexp_replace("raw", "[^a-z]", "").alias("w"),
+    )
+    boundary = (F.col("w") == "") | F.col("w").isin(*STOPWORDS)
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    marked = words.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(F.when(boundary, 1).otherwise(0))
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("phrase_id"),
+        boundary.alias("b"),
+    ).filter(~F.col("b"))
+    phrases = marked.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x.getField("w"),
+            ),
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    occ = marked.join(
+        phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"]
+    ).select("doc_id", "phrase_id", "w", "plen")
+    stats = occ.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        occ.join(stats, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(F.expr("CAST((1000000 * deg) DIV freq AS BIGINT)"))
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    per_phrase = scored.groupBy("doc_id", "phrase", "score_ppm", "plen").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("phrase")
+    )
+    return (
+        per_phrase.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "phrase",
+            F.col("plen").cast("bigint").alias("n_words"),
+            "score_ppm",
+            "n_occurrences",
+            "rk",
+        )
+    )
+
+
+_ORACLE_RAKE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         regexp_replace(tk[CAST(i AS INT)], '[^a-z]', '', 'g') AS w
+  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN w = '' OR w IN {_SQL_STOPLIST} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id,
+         (w = '' OR w IN {_SQL_STOPLIST}) AS b
+  FROM words
+),
+mk AS (SELECT doc_id, pos, w, phrase_id FROM marked WHERE NOT b),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM mk GROUP BY 1, 2
+),
+occ AS (
+  SELECT mk.doc_id, mk.phrase_id, mk.w, p.plen
+  FROM mk JOIN phrases p ON mk.doc_id = p.doc_id AND mk.phrase_id = p.phrase_id
+),
+stats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+  FROM occ GROUP BY w
+),
+scored AS (
+  SELECT o.doc_id, o.phrase_id,
+         CAST(SUM((1000000 * s.deg) // s.freq) AS BIGINT) AS score_ppm
+  FROM occ o JOIN stats s ON o.w = s.w
+  GROUP BY 1, 2
+),
+per_phrase AS (
+  SELECT p.doc_id, p.phrase, sc.score_ppm, p.plen,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM scored sc JOIN phrases p
+    ON sc.doc_id = p.doc_id AND sc.phrase_id = p.phrase_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, phrase, CAST(plen AS BIGINT) AS n_words, score_ppm,
+       n_occurrences, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_ppm DESC, phrase ASC) AS rk
+  FROM per_phrase)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
+    "text_rake_keyphrases": q_text_rake_keyphrases,
     "text_length_buckets": q_text_length_buckets,
     "text_entropy_score": q_text_entropy_score,
     "text_ngram_novelty": q_text_ngram_novelty,
@@ -1321,6 +1460,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_rake_keyphrases": _ORACLE_RAKE,
     "text_length_buckets": _ORACLE_LENGTH_BUCKETS,
     "text_entropy_score": _ORACLE_ENTROPY,
     "text_ngram_novelty": _ORACLE_NOVELTY,

@@ -482,6 +482,132 @@ def test_audio_windows_match_pure_python(spark):
         assert r.sequence_md5 == hashlib.md5("|".join(md5s).encode()).hexdigest()
 
 
+def test_lateral_topk_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.relational2 import (
+        q_sql_lateral_topk,
+    )
+
+    rows = q_sql_lateral_topk(spark, SF_DIR).collect()
+    spend_rows = duckdb.sql(
+        f"""
+        SELECT c.c_nationkey, c.c_custkey, o.o_totalprice
+        FROM read_parquet('{SF_DIR}/customer.parquet') c
+        JOIN read_parquet('{SF_DIR}/orders.parquet') o
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    nations = dict(duckdb.sql(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{SF_DIR}/nation.parquet')"
+    ).fetchall())
+    cent = Decimal("0.01")
+    spend = defaultdict(Decimal)
+    nat_of = {}
+    for nk, ck, price in spend_rows:
+        spend[ck] += Decimal(price).quantize(cent, rounding=ROUND_HALF_UP)
+        nat_of[ck] = nk
+    per_nation = defaultdict(list)
+    for ck, s in spend.items():
+        per_nation[nat_of[ck]].append((-s, ck))
+    want = set()
+    for nk, lst in per_nation.items():
+        for negs, ck in sorted(lst)[:2]:
+            want.add((nations[nk], ck, float(-negs)))
+    assert {(r.n_name, r.c_custkey, r.spend) for r in rows} == want
+
+
+def test_cohort_ltv_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.relational2 import (
+        q_orders_cohort_ltv,
+    )
+
+    out = {(r.cohort_month, r.months_since): r
+           for r in q_orders_cohort_ltv(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT o_custkey, o_totalprice, year(o_orderdate)*12 + month(o_orderdate) "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    cent = Decimal("0.01")
+    first = {}
+    for ck, _, m in rows:
+        first[ck] = min(first.get(ck, m), m)
+    cells = defaultdict(lambda: [set(), Decimal(0)])
+    for ck, price, m in rows:
+        m0 = first[ck]
+        c = cells[(m0, m - m0)]
+        c[0].add(ck)
+        c[1] += Decimal(price).quantize(cent, rounding=ROUND_HALF_UP)
+    # cumulative per cohort in months_since order
+    by_cohort = defaultdict(list)
+    for (m0, ms), (users, rev) in cells.items():
+        by_cohort[m0].append((ms, users, rev))
+    assert len(out) == len(cells)
+    for m0, lst in by_cohort.items():
+        label = f"{m0 // 12}-{m0 % 12:02d}"
+        cum = Decimal(0)
+        for ms, users, rev in sorted(lst):
+            cum += rev
+            r = out[(label, ms)]
+            assert r.n_active == len(users)
+            assert Decimal(str(r.revenue)) == rev
+            assert Decimal(str(r.cum_ltv)) == cum
+
+
+def test_rake_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        STOPWORDS,
+        q_text_rake_keyphrases,
+    )
+
+    rows = q_text_rake_keyphrases(spark, SF_DIR).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    # pass 1: extract phrases per doc (gaps-and-islands over stopwords)
+    doc_phrases = {}
+    for did, text in docs:
+        toks = re.split(r"\s+", text.lower(), flags=re.ASCII)
+        words = [re.sub(r"[^a-z]", "", t) for t in toks]
+        phrases, cur = [], []
+        for w in words:
+            if w == "" or w in STOPWORDS:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        doc_phrases[did] = phrases
+    # pass 2: corpus word stats
+    freq, deg = Counter(), Counter()
+    for phrases in doc_phrases.values():
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+    # pass 3: score and rank
+    got = defaultdict(list)
+    for r in rows:
+        got[r.doc_id].append((r.rk, r.phrase, r.score_ppm, r.n_words, r.n_occurrences))
+    for did, phrases in doc_phrases.items():
+        if not phrases:
+            assert did not in got
+            continue
+        per = Counter(" ".join(p) for p in phrases)
+        scoredp = {}
+        for p in phrases:
+            key = " ".join(p)
+            scoredp[key] = (
+                sum((1_000_000 * deg[w]) // freq[w] for w in p), len(p)
+            )
+        ranked = sorted(
+            ((ph, sc, ln) for ph, (sc, ln) in scoredp.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        want = [(i + 1, ph, sc, ln, per[ph]) for i, (ph, sc, ln) in enumerate(ranked)]
+        assert sorted(got[did]) == want, did
+
+
 def test_csv_roundtrip_matches_pure_python(spark):
     out = {r.event_type: r for r in q_io_csv_roundtrip(spark, SF_DIR).collect()}
     rows = duckdb.sql(

@@ -587,6 +587,25 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"(?i)json", r"partial_count"],
         [r"CartesianProduct", r"SortMergeJoin", r"Window"],
     ),
+    "sql_lateral_topk": (
+        # Catalyst must DECORRELATE the lateral subquery into a join +
+        # per-nation rank — a per-outer-row re-execution (nested loop)
+        # would be the non-scalable plan
+        [r"Window|WindowGroupLimit", r"HashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "orders_cohort_ltv": (
+        # first-order min agg + custkey join + cohort-partitioned
+        # cumulative window (guard verifies it's partitioned)
+        [r"partial_min", r"Window", r"HashJoin|SortMergeJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "text_rake_keyphrases": (
+        # phrase-id window, corpus word stats partial-agg, scoring join,
+        # per-doc top-3 as a rank filter
+        [r"Window", r"partial_count", r"HashJoin|SortMergeJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
