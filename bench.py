@@ -110,6 +110,7 @@ ADDED_R8 = [
     "sql_lateral_topk",
     "orders_cohort_ltv",
     "text_rake_keyphrases",
+    "dedup_lsh_tuning_sweep",
 ]
 
 

@@ -400,6 +400,7 @@ _BORN_ROUND = {
     "sql_lateral_topk": 8,
     "orders_cohort_ltv": 8,
     "text_rake_keyphrases": 8,
+    "dedup_lsh_tuning_sweep": 8,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

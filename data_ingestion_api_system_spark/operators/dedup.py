@@ -956,7 +956,191 @@ FROM assigned a LEFT JOIN near n ON n.vec_b = a.vec_id
 """
 
 
+# (bands, rows-per-band) factorizations of the SAME 8 minhashes: the
+# collision probability for a pair at Jaccard j is 1-(1-j^r)^b, so the
+# sweep walks the curve from strict (1x8: j^8) to loose (4x2: catches low-j
+# pairs, floods candidates). Tuning b/r against measured precision/recall
+# is THE operational decision of an LSH dedup rollout.
+LSH_SWEEP_CONFIGS = ((1, 8), (2, 4), (4, 2))
+
+
+def q_dedup_lsh_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep — the tuning report a dedup rollout
+    runs before fixing (b, r): for each factorization of the same 8
+    minhashes, the candidate-pair volume (cost), the exactly-verified
+    duplicates among them (yield), precision, and pooled recall (verified
+    ÷ the union of verified pairs across ALL configs — the standard
+    pooled-ground-truth trick when exhaustive pairwise truth is
+    unaffordable, which at 100 TB it always is).
+
+    Plan: ONE signature pass (8 md5 minima per doc, pinned) feeds every
+    config's band table; candidates per config come from the same
+    band-bucket equi-join the production pipeline uses (length-band
+    suffixes included, so bucket-size bounds hold during the sweep too);
+    exact verification runs ONCE over the union of candidates (the 4x2
+    superset), then attributes per config by an equi-join. Counts and
+    ratios are exact integer ppm."""
+    tune(spark)
+    sh, _ = _lsh_shingles_and_candidates(spark, sf_dir)
+    n_hashes = 8
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hash_cols = [
+        F.substring(
+            F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s"))), 1, 16
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = pin(
+        ex.select("doc_id", *hash_cols)
+        .groupBy("doc_id")
+        .agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)],
+            F.count("*").alias("n_sh"),
+        )
+        .withColumn("len_band", F.expr("(length(bin(n_sh)) - 1) div 2"))
+    )
+    entries = []
+    for nb, rpb in LSH_SWEEP_CONFIGS:
+        cfg = f"{nb}x{rpb}"
+        for bi in range(nb):
+            bk = F.concat_ws("|", *[f"h{bi * rpb + ri}" for ri in range(rpb)])
+            for off in (0, 1):
+                entries.append(
+                    F.struct(
+                        F.lit(cfg).alias("cfg"),
+                        F.lit(bi).alias("band_idx"),
+                        F.concat(
+                            bk, F.lit("#"), (F.col("len_band") + off).cast("string")
+                        ).alias("band_key"),
+                    )
+                )
+    banded = sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", "e.cfg", "e.band_idx", "e.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = pin(
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["cfg", "doc_a", "doc_b"])
+    )
+    union_pairs = cand.select("doc_a", "doc_b").dropDuplicates()
+    vpairs = pin(_verify_pairs(sh, union_pairs).select("doc_a", "doc_b"))
+    pooled = F.broadcast(
+        vpairs.agg(F.count("*").cast("bigint").alias("n_pooled"))
+    )
+    pc = cand.groupBy("cfg").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    pv = (
+        cand.join(vpairs, ["doc_a", "doc_b"])
+        .groupBy("cfg")
+        .agg(F.count("*").cast("bigint").alias("n_verified"))
+    )
+    return (
+        pc.join(pv, "cfg", "left")
+        .na.fill(0, ["n_verified"])
+        .crossJoin(pooled)
+        .select(
+            "cfg",
+            F.split("cfg", "x").getItem(0).cast("int").alias("n_bands"),
+            F.split("cfg", "x").getItem(1).cast("int").alias("rows_per_band"),
+            "n_candidates",
+            "n_verified",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("CAST((1000000 * n_verified) DIV n_candidates AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("precision_ppm"),
+            F.when(
+                F.col("n_pooled") > 0,
+                F.expr("CAST((1000000 * n_verified) DIV n_pooled AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def _sweep_band_selects() -> str:
+    sels = []
+    for nb, rpb in LSH_SWEEP_CONFIGS:
+        cfg = f"{nb}x{rpb}"
+        for bi in range(nb):
+            key = " || '|' || ".join(f"h{bi * rpb + ri}" for ri in range(rpb)) or "''"
+            sels.append(
+                f"SELECT doc_id, '{cfg}' AS cfg, {bi} AS band_idx, "
+                f"({key}) || '#' || CAST(len_band + lb.off AS VARCHAR) AS band_key "
+                f"FROM sig, (VALUES (0), (1)) AS lb(off)"
+            )
+    return " UNION ALL ".join(sels)
+
+
+_ORACLE_LSH_SWEEP = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles
+  FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {', '.join(f'{_sql_minhash(i)} AS h{i}' for i in range(8))},
+         ((length(bin(len(shingles))) - 1) // 2) AS len_band
+  FROM sh
+),
+banded AS MATERIALIZED ({_sweep_band_selects()}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.cfg = b.cfg AND a.band_idx = b.band_idx
+               AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+up AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+vp AS MATERIALIZED (
+  SELECT u.doc_a, u.doc_b
+  FROM up u
+  JOIN sh sa ON sa.doc_id = u.doc_a
+  JOIN sh sb ON sb.doc_id = u.doc_b
+  WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+        >= {JACCARD_THRESHOLD}
+),
+pooled AS (SELECT CAST(count(*) AS BIGINT) AS n_pooled FROM vp),
+pc AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY cfg),
+pv AS (
+  SELECT c.cfg, CAST(count(*) AS BIGINT) AS n_verified
+  FROM cand c JOIN vp ON c.doc_a = vp.doc_a AND c.doc_b = vp.doc_b
+  GROUP BY c.cfg
+)
+SELECT pc.cfg,
+       CAST(string_split(pc.cfg, 'x')[1] AS INT) AS n_bands,
+       CAST(string_split(pc.cfg, 'x')[2] AS INT) AS rows_per_band,
+       pc.n_candidates,
+       CAST(coalesce(pv.n_verified, 0) AS BIGINT) AS n_verified,
+       CASE WHEN pc.n_candidates > 0
+            THEN CAST((1000000 * coalesce(pv.n_verified, 0)) // pc.n_candidates AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS precision_ppm,
+       CASE WHEN n_pooled > 0
+            THEN CAST((1000000 * coalesce(pv.n_verified, 0)) // n_pooled AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS recall_ppm
+FROM pc LEFT JOIN pv USING (cfg), pooled
+"""
+
+
 QUERIES = {
+    "dedup_lsh_tuning_sweep": q_dedup_lsh_tuning_sweep,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -969,6 +1153,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_lsh_tuning_sweep": _ORACLE_LSH_SWEEP,
     "dedup_exact": _ORACLE_EXACT,
     "dedup_embedding_cosine": _ORACLE_EMB_COSINE,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,

@@ -608,6 +608,84 @@ def test_rake_matches_pure_python(spark):
         assert sorted(got[did]) == want, did
 
 
+def test_lsh_tuning_sweep_matches_pure_python(spark):
+    """Full-algorithm re-derivation: minhash signatures, per-config
+    banding (length-band suffixes included), candidate buckets, exact
+    Jaccard verify — all in pure Python over the same corpus."""
+    import hashlib
+
+    from data_ingestion_api_system_spark.operators.dedup import (
+        LSH_SWEEP_CONFIGS,
+        SHINGLE_LEN,
+        q_dedup_lsh_tuning_sweep,
+    )
+
+    out = {r.cfg: r for r in q_dedup_lsh_tuning_sweep(spark, SF_DIR).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    shingles = {}
+    for did, text in docs:
+        if len(text) >= SHINGLE_LEN:
+            s = {text[i : i + SHINGLE_LEN] for i in range(len(text) - SHINGLE_LEN + 1)}
+            if s:
+                shingles[did] = s
+    # hash each distinct shingle once per salt (corpus-level memo)
+    all_sh = set().union(*shingles.values())
+    hmemo = {
+        (i, s): hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:16]
+        for i in range(8)
+        for s in all_sh
+    }
+    sig = {
+        did: [min(hmemo[(i, s)] for s in sset) for i in range(8)]
+        for did, sset in shingles.items()
+    }
+    len_band = {
+        did: ((len(sset)).bit_length() - 1) // 2 for did, sset in shingles.items()
+    }
+    cand = {}
+    for nb, rpb in LSH_SWEEP_CONFIGS:
+        cfg = f"{nb}x{rpb}"
+        buckets = defaultdict(list)
+        for did, h in sig.items():
+            for bi in range(nb):
+                key = "|".join(h[bi * rpb : (bi + 1) * rpb])
+                for off in (0, 1):
+                    buckets[(bi, f"{key}#{len_band[did] + off}")].append(did)
+        pairs = set()
+        for ids in buckets.values():
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+        cand[cfg] = pairs
+    union_pairs = set().union(*cand.values())
+
+    def is_dup(a, b):
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a] | shingles[b])
+        # ROUND(j, 6) >= 0.35  <=>  j >= 0.3499995, exactly in integers
+        return inter * 10_000_000 >= union * 3_499_995
+
+    vpairs = {p for p in union_pairs if is_dup(*p)}
+    assert set(out) == {f"{nb}x{rpb}" for nb, rpb in LSH_SWEEP_CONFIGS}
+    for nb, rpb in LSH_SWEEP_CONFIGS:
+        cfg = f"{nb}x{rpb}"
+        r = out[cfg]
+        nv = len(cand[cfg] & vpairs)
+        assert (r.n_bands, r.rows_per_band) == (nb, rpb)
+        assert r.n_candidates == len(cand[cfg])
+        assert r.n_verified == nv
+        assert r.precision_ppm == (
+            (1_000_000 * nv) // len(cand[cfg]) if cand[cfg] else 0
+        )
+        assert r.recall_ppm == ((1_000_000 * nv) // len(vpairs) if vpairs else 0)
+    # banding theory: stricter configs are subsets of looser ones
+    assert cand["1x8"] <= cand["2x4"] <= cand["4x2"]
+    assert out["1x8"].recall_ppm <= out["2x4"].recall_ppm <= out["4x2"].recall_ppm
+
+
 def test_csv_roundtrip_matches_pure_python(spark):
     out = {r.event_type: r for r in q_io_csv_roundtrip(spark, SF_DIR).collect()}
     rows = duckdb.sql(

@@ -606,6 +606,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"partial_count", r"HashJoin|SortMergeJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "dedup_lsh_tuning_sweep": (
+        # every config's candidates come from the banded equi-join (same
+        # shape as the production LSH path), never an all-pairs product;
+        # the one BNLJ in the plan is the broadcast 1-row pooled-total
+        # scalar (same allowance as the sim query-vector joins)
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
