@@ -111,6 +111,7 @@ ADDED_R8 = [
     "orders_cohort_ltv",
     "text_rake_keyphrases",
     "dedup_lsh_tuning_sweep",
+    "sim_ivf_nprobe_sweep",
 ]
 
 

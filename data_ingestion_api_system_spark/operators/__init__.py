@@ -401,6 +401,7 @@ _BORN_ROUND = {
     "orders_cohort_ltv": 8,
     "text_rake_keyphrases": 8,
     "dedup_lsh_tuning_sweep": 8,
+    "sim_ivf_nprobe_sweep": 8,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

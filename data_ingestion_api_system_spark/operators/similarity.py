@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, sql_exact_avg
 from ..tables import load_table
-from . import spread, tune
+from . import pin, spread, tune
 
 N_LSH_BITS = 8
 DIMS = 64
@@ -1301,7 +1301,183 @@ WHERE rk <= 3
 """
 
 
+IVF_NPROBE_SWEEP = (1, 2, 4)
+
+
+def q_sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning sweep — the ANN twin of `dedup_lsh_tuning_sweep`:
+    for nprobe ∈ {1,2,4} probed cells, the scanned-corpus fraction (cost)
+    and recall@5 vs the exact brute-force top-5 (quality). This walks the
+    latency/recall curve every FAISS/ScaNN deployment tunes; the sweep's
+    verdict (how many cells buy how much recall) is the capacity-planning
+    number for the 100 TB index.
+
+    Plan: ONE scored pass over the corpus (pinned) feeds the exact top-5,
+    every nprobe's candidate set, and the per-nprobe top-5 rank
+    (partitioned by nprobe). Cell ranking is a ≤|cells|² broadcast
+    join-count, not a global window. Centroids are exact decimal means;
+    all ratios integer ppm."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("bv")))
+    corpus = e.filter(F.col("vec_id") != 0)
+    cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "v"))
+        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = pin(
+        corpus.crossJoin(q).select("vec_id", "label", cos.alias("cosine"))
+    )
+    exact5 = F.broadcast(
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+        .select(F.col("vec_id").alias("hit_id"))
+    )
+    ex = e.select("label", F.posexplode("v").alias("idx", "val"))
+    cent = ex.groupBy("label", "idx").agg(
+        (F.sum(F.col("val").cast("decimal(20,8)")).cast("double") / F.count("*")).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    cell_cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "cv"))
+        / (F.expr(_SPARK_NORM.format("cv")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    cells = cent_arr.crossJoin(q).select("label", cell_cos.alias("cell_cosine"))
+    ca = cells.select(F.col("label").alias("la"), F.col("cell_cosine").alias("sa"))
+    cb = cells.select(F.col("label").alias("lb"), F.col("cell_cosine").alias("sb"))
+    cell_rank = F.broadcast(
+        ca.join(
+            F.broadcast(cb),
+            (F.col("sb") > F.col("sa"))
+            | ((F.col("sb") == F.col("sa")) & (F.col("lb") < F.col("la"))),
+            "left",
+        )
+        .groupBy("la")
+        .agg((F.count("lb") + 1).alias("cell_rk"))
+        .select(F.col("la").alias("label"), "cell_rk")
+    )
+    probes = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(*[F.lit(n) for n in IVF_NPROBE_SWEEP])).alias("nprobe")
+        )
+    )
+    cand = (
+        scored.join(cell_rank, "label")
+        .crossJoin(probes)
+        .filter(F.col("cell_rk") <= F.col("nprobe"))
+    )
+    wtop = Window.partitionBy("nprobe").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    top5 = cand.withColumn("rk", F.row_number().over(wtop)).filter(F.col("rk") <= 5)
+    hits = (
+        top5.join(exact5, top5.vec_id == F.col("hit_id"))
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    per_np = cand.groupBy("nprobe").agg(
+        F.countDistinct("label").cast("bigint").alias("n_cells_probed"),
+        F.count("*").cast("bigint").alias("n_scanned"),
+    )
+    n_corpus = F.broadcast(
+        scored.agg(F.count("*").cast("bigint").alias("n_corpus"))
+    )
+    return (
+        per_np.join(hits, "nprobe", "left")
+        .na.fill(0, ["n_hits"])
+        .crossJoin(n_corpus)
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_cells_probed",
+            "n_scanned",
+            F.expr("CAST((1000000 * n_scanned) DIV n_corpus AS BIGINT)").alias(
+                "scanned_ppm"
+            ),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.expr("CAST((1000000 * n_hits) DIV 5 AS BIGINT)").alias("recall_ppm"),
+        )
+    )
+
+
+_ORACLE_IVF_SWEEP = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT v AS bv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         ROUND({_SQL_DOT.replace('av', 'v')} / ({_sql_norm('v')} * {_sql_norm('bv')}), 6)
+           AS cosine
+  FROM e, q WHERE vec_id <> 0
+),
+exact5 AS (
+  SELECT vec_id AS hit_id FROM scored
+  ORDER BY cosine DESC, vec_id ASC LIMIT 5
+),
+ex AS (
+  SELECT label, i, v[CAST(i AS INT)] AS val
+  FROM e, (SELECT unnest(range(1, {DIMS + 1})) AS i) idxs
+),
+cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(val AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY label, i
+),
+cent_arr AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+cells AS (
+  SELECT label,
+         ROUND({_SQL_DOT.replace('av', 'cv').replace('bv', 'bv')} / ({_sql_norm('cv')} * {_sql_norm('bv')}), 6)
+           AS cell_cosine
+  FROM cent_arr, q
+),
+cell_rank AS (
+  SELECT a.label, CAST(1 + count(b.label) AS BIGINT) AS cell_rk
+  FROM cells a LEFT JOIN cells b
+    ON b.cell_cosine > a.cell_cosine
+    OR (b.cell_cosine = a.cell_cosine AND b.label < a.label)
+  GROUP BY a.label
+),
+probes AS (SELECT unnest([{', '.join(str(n) for n in IVF_NPROBE_SWEEP)}]) AS nprobe),
+cand AS (
+  SELECT s.vec_id, s.label, s.cosine, p.nprobe
+  FROM scored s JOIN cell_rank r ON s.label = r.label, probes p
+  WHERE r.cell_rk <= p.nprobe
+),
+top5 AS (
+  SELECT nprobe, vec_id FROM (
+    SELECT nprobe, vec_id,
+           row_number() OVER (PARTITION BY nprobe
+                              ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM cand) WHERE rk <= 5
+),
+hits AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM top5 JOIN exact5 ON top5.vec_id = exact5.hit_id
+  GROUP BY nprobe
+),
+per_np AS (
+  SELECT nprobe,
+         CAST(count(DISTINCT label) AS BIGINT) AS n_cells_probed,
+         CAST(count(*) AS BIGINT) AS n_scanned
+  FROM cand GROUP BY nprobe
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM scored)
+SELECT CAST(per_np.nprobe AS INT) AS nprobe,
+       per_np.n_cells_probed,
+       per_np.n_scanned,
+       CAST((1000000 * per_np.n_scanned) // tot.n_corpus AS BIGINT) AS scanned_ppm,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * coalesce(hits.n_hits, 0)) // 5 AS BIGINT) AS recall_ppm
+FROM per_np LEFT JOIN hits USING (nprobe), tot
+"""
+
+
 QUERIES = {
+    "sim_ivf_nprobe_sweep": q_sim_ivf_nprobe_sweep,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -1320,6 +1496,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_ivf_nprobe_sweep": _ORACLE_IVF_SWEEP,
     "sim_hard_negatives": _ORACLE_HARD_NEGATIVES,
     "sim_cosine_topk": _ORACLE_COSINE_TOPK,
     "sim_ivf_ann": _ORACLE_IVF,

@@ -686,6 +686,78 @@ def test_lsh_tuning_sweep_matches_pure_python(spark):
     assert out["1x8"].recall_ppm <= out["2x4"].recall_ppm <= out["4x2"].recall_ppm
 
 
+def test_ivf_nprobe_sweep_matches_pure_python(spark):
+    """numpy/pure-Python re-derivation of the whole sweep: centroids,
+    cell ranking, per-nprobe candidates, recall@5 vs exact top-5."""
+    from data_ingestion_api_system_spark.operators.similarity import (
+        IVF_NPROBE_SWEEP,
+        q_sim_ivf_nprobe_sweep,
+    )
+
+    out = {r.nprobe: r for r in q_sim_ivf_nprobe_sweep(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {vid: list(v) for vid, _, v in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return acc ** 0.5
+
+    bv = vecs[0]
+    scored = {
+        vid: round(fold_dot(v, bv) / (norm(v) * norm(bv)), 6)
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    exact5 = {vid for _, vid in sorted(((-c, vid) for vid, c in scored.items()))[:5]}
+    # exact decimal centroid means, as double division like both engines
+    from decimal import Decimal
+
+    by_label = defaultdict(list)
+    for vid, v in vecs.items():
+        by_label[labels[vid]].append(v)
+    cells = {}
+    for lab, vs in by_label.items():
+        cv = [
+            float(
+                sum(
+                    Decimal(v[i]).quantize(Decimal("1E-8"), rounding=ROUND_HALF_UP)
+                    for v in vs
+                )
+            )
+            / len(vs)
+            for i in range(len(bv))
+        ]
+        cells[lab] = round(fold_dot(cv, bv) / (norm(cv) * norm(bv)), 6)
+    ranked_cells = sorted(cells, key=lambda l: (-cells[l], l))
+    n_corpus = len(scored)
+    for np_ in IVF_NPROBE_SWEEP:
+        probed = set(ranked_cells[:np_])
+        cand = {vid: c for vid, c in scored.items() if labels[vid] in probed}
+        top5 = {vid for _, vid in sorted(((-c, vid) for vid, c in cand.items()))[:5]}
+        r = out[np_]
+        assert r.n_cells_probed == len(probed)
+        assert r.n_scanned == len(cand)
+        assert r.scanned_ppm == (1_000_000 * len(cand)) // n_corpus
+        assert r.n_hits == len(top5 & exact5)
+        assert r.recall_ppm == (1_000_000 * len(top5 & exact5)) // 5
+    # more probes can only scan more and recall at least as much
+    rs = [out[np_] for np_ in sorted(IVF_NPROBE_SWEEP)]
+    assert all(a.n_scanned <= b.n_scanned for a, b in zip(rs, rs[1:]))
+    assert all(a.recall_ppm <= b.recall_ppm for a, b in zip(rs, rs[1:]))
+
+
 def test_csv_roundtrip_matches_pure_python(spark):
     out = {r.event_type: r for r in q_io_csv_roundtrip(spark, SF_DIR).collect()}
     rows = duckdb.sql(

@@ -614,6 +614,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_count"],
         [r"CartesianProduct"],
     ),
+    "sim_ivf_nprobe_sweep": (
+        # one scored pass (query-vector BNLJ broadcast, allowed like every
+        # sim entry), per-nprobe top-5 partitioned by nprobe, exact top-5
+        # as TakeOrderedAndProject — no global window, no cartesian
+        [r"TakeOrderedAndProject", r"Window", r"partial_count"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
