@@ -963,6 +963,16 @@ FROM assigned a LEFT JOIN near n ON n.vec_b = a.vec_id
 # is THE operational decision of an LSH dedup rollout.
 LSH_SWEEP_CONFIGS = ((1, 8), (2, 4), (4, 2))
 
+# The sweep measures on a deterministic 1-in-SWEEP_SAMPLE_MOD document
+# sample — exactly how a production rollout tunes (b, r): the loose 4x2
+# config's candidate volume is quadratic in near-dup cluster sizes (at
+# sf0.1 the FULL corpus yields 2.1M 4x2 candidates), so sweeping the whole
+# corpus would cost a large fraction of running the dedup itself. The
+# sample keeps every config's precision/recall estimate while bounding the
+# quadratic term by 1/MOD²; doc_id is uniform, so id-mod sampling is
+# unbiased and engine-identical.
+SWEEP_SAMPLE_MOD = 4
+
 
 def q_dedup_lsh_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding-parameter sweep — the tuning report a dedup rollout
@@ -971,7 +981,10 @@ def q_dedup_lsh_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates among them (yield), precision, and pooled recall (verified
     ÷ the union of verified pairs across ALL configs — the standard
     pooled-ground-truth trick when exhaustive pairwise truth is
-    unaffordable, which at 100 TB it always is).
+    unaffordable, which at 100 TB it always is). Runs on a deterministic
+    1-in-SWEEP_SAMPLE_MOD id-mod document sample (see the constant's
+    rationale: the loose config's candidate volume is quadratic in
+    cluster sizes, and tuning is a sampled measurement by nature).
 
     Plan: ONE signature pass (8 md5 minima per doc, pinned) feeds every
     config's band table; candidates per config come from the same
@@ -981,7 +994,8 @@ def q_dedup_lsh_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset), then attributes per config by an equi-join. Counts and
     ratios are exact integer ppm."""
     tune(spark)
-    sh, _ = _lsh_shingles_and_candidates(spark, sf_dir)
+    sh_full, _ = _lsh_shingles_and_candidates(spark, sf_dir)
+    sh = sh_full.filter(F.col("doc_id") % SWEEP_SAMPLE_MOD == 0)
     n_hashes = 8
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     hash_cols = [
@@ -1092,7 +1106,7 @@ _ORACLE_LSH_SWEEP = f"""
 WITH sh AS MATERIALIZED (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles
   FROM documents
-  WHERE len({_SQL_SHINGLES}) > 0
+  WHERE len({_SQL_SHINGLES}) > 0 AND doc_id % {SWEEP_SAMPLE_MOD} = 0
 ),
 sig AS MATERIALIZED (
   SELECT doc_id,

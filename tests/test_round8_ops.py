@@ -617,12 +617,14 @@ def test_lsh_tuning_sweep_matches_pure_python(spark):
     from data_ingestion_api_system_spark.operators.dedup import (
         LSH_SWEEP_CONFIGS,
         SHINGLE_LEN,
+        SWEEP_SAMPLE_MOD,
         q_dedup_lsh_tuning_sweep,
     )
 
     out = {r.cfg: r for r in q_dedup_lsh_tuning_sweep(spark, SF_DIR).collect()}
     docs = duckdb.sql(
-        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        f"WHERE doc_id % {SWEEP_SAMPLE_MOD} = 0"
     ).fetchall()
     shingles = {}
     for did, text in docs:

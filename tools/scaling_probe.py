@@ -64,6 +64,11 @@ DEFAULT = [
     "orders_abc_classification",
     "graph_common_neighbors",
     "streaming_windowed_topk",
+    # the two tuning sweeps: the LSH sweep's loose 4x2 config carries the
+    # registry's only deliberately-quadratic-in-cluster-size term, bounded
+    # by the 1-in-4 id-mod sample (dedup.py::SWEEP_SAMPLE_MOD)
+    "dedup_lsh_tuning_sweep",
+    "sim_ivf_nprobe_sweep",
 ]
 
 
