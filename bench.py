@@ -112,6 +112,8 @@ ADDED_R8 = [
     "text_rake_keyphrases",
     "dedup_lsh_tuning_sweep",
     "sim_ivf_nprobe_sweep",
+    "join_salted_skew",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -402,6 +402,8 @@ _BORN_ROUND = {
     "text_rake_keyphrases": 8,
     "dedup_lsh_tuning_sweep": 8,
     "sim_ivf_nprobe_sweep": 8,
+    "join_salted_skew": 8,
+    "text_tokenizer_fertility": 8,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -1040,9 +1040,61 @@ JOIN deg db ON db.src = e.b
 """
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key defense for JOINS, spelled out (the join twin of
+    `salted_aggregation`): the fact side salts its key with
+    ``event_id % N_SALTS`` and the dimension side replicates each row
+    N_SALTS times (a bounded Generate — |dim|×8 rows), so the equi-join
+    runs on (key, salt) and a hot key's rows spread across N_SALTS
+    reducers instead of melting one. Results are provably identical to
+    the direct join (the oracle IS the direct join); only the shuffle
+    layout differs. AQE's skew-join does this adaptively from runtime
+    stats; this is the manual pattern for a KNOWN hot key — and the
+    replicated-dim trick is also exactly how broadcast-unfriendly
+    medium dims join skewed facts at 100 TB."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.col("event_id") % N_SALTS
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+        )
+    )
+    return (
+        ev.join(
+            dim,
+            (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            exact_sum_dec(
+                F.col("value").cast("decimal(25,4)")
+            ).alias("sum_value"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+        )
+    )
+
+
+_ORACLE_SALTED_JOIN = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_exact_sum_dec("CAST(value AS DECIMAL(25,4))")} AS sum_value,
+       CAST(min(user_id) AS BIGINT) AS min_user
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "orders_pareto_frontier": q_orders_pareto_frontier,
     "graph_common_neighbors": q_graph_common_neighbors,
+    "join_salted_skew": q_join_salted_skew,
     "graph_label_prop": q_graph_label_prop,
     "join_incremental_delta": q_join_incremental_delta,
     "date_functions": q_date_functions,
@@ -1061,6 +1113,7 @@ QUERIES = {
 ORACLE = {
     "orders_pareto_frontier": _ORACLE_PARETO,
     "graph_common_neighbors": _ORACLE_COMMON_NEIGHBORS,
+    "join_salted_skew": _ORACLE_SALTED_JOIN,
     "graph_label_prop": _ORACLE_LABEL_PROP,
     "join_incremental_delta": _ORACLE_IVM,
     "date_functions": _ORACLE_DATE_FUNCS,

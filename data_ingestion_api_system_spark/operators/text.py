@@ -1435,7 +1435,78 @@ WHERE rk <= 3
 """
 
 
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per (lang, source) — the metric that
+    decides vocab choices and corpus budgets: chars-per-token (compression
+    the tokenizer achieves on this slice) and tokens-per-word (fertility
+    proper; >1.3 on a language usually means the vocab under-serves it),
+    plus the per-doc chars-per-token extremes that flag pathological
+    slices (base64 blobs, code, CJK under a latin vocab).
+
+    All ratios are exact integer ppm; per-doc extremes compute the ppm
+    per doc FIRST (a narrow map) then min/max — a map-side-combined
+    aggregate either way. One scan, one (lang, source) shuffle of
+    bounded-domain keys."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    words = F.size(tokens("text"))
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        bpe.cast("bigint").alias("bpe"),
+        words.cast("bigint").alias("words"),
+    ).filter((F.col("bpe") > 0) & (F.col("words") > 0))
+    doc_cpt = F.expr("CAST((1000000 * n_chars) DIV bpe AS BIGINT)")
+    return (
+        per_doc.withColumn("doc_cpt_ppm", doc_cpt)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("bpe").cast("bigint").alias("sum_tokens"),
+            F.sum("words").cast("bigint").alias("sum_words"),
+            F.expr(
+                "CAST((1000000 * sum(n_chars)) DIV sum(bpe) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(bpe)) DIV sum(words) AS BIGINT)"
+            ).alias("tokens_per_word_ppm"),
+            F.min("doc_cpt_ppm").cast("bigint").alias("min_doc_cpt_ppm"),
+            F.max("doc_cpt_ppm").cast("bigint").alias("max_doc_cpt_ppm"),
+        )
+    )
+
+
+_ORACLE_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS words
+  FROM documents
+),
+flt AS (
+  SELECT *, CAST((1000000 * n_chars) // bpe AS BIGINT) AS doc_cpt_ppm
+  FROM per_doc WHERE bpe > 0 AND words > 0
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(bpe) AS BIGINT) AS sum_tokens,
+       CAST(sum(words) AS BIGINT) AS sum_words,
+       CAST((1000000 * sum(n_chars)) // sum(bpe) AS BIGINT) AS chars_per_token_ppm,
+       CAST((1000000 * sum(bpe)) // sum(words) AS BIGINT) AS tokens_per_word_ppm,
+       CAST(min(doc_cpt_ppm) AS BIGINT) AS min_doc_cpt_ppm,
+       CAST(max(doc_cpt_ppm) AS BIGINT) AS max_doc_cpt_ppm
+FROM flt
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "text_tokenizer_fertility": q_text_tokenizer_fertility,
     "text_rake_keyphrases": q_text_rake_keyphrases,
     "text_length_buckets": q_text_length_buckets,
     "text_entropy_score": q_text_entropy_score,
@@ -1460,6 +1531,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_tokenizer_fertility": _ORACLE_FERTILITY,
     "text_rake_keyphrases": _ORACLE_RAKE,
     "text_length_buckets": _ORACLE_LENGTH_BUCKETS,
     "text_entropy_score": _ORACLE_ENTROPY,

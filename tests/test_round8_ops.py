@@ -760,6 +760,84 @@ def test_ivf_nprobe_sweep_matches_pure_python(spark):
     assert all(a.recall_ppm <= b.recall_ppm for a, b in zip(rs, rs[1:]))
 
 
+def test_salted_join_equals_direct_join(spark):
+    """The salted plan must produce EXACTLY the direct join's answer —
+    re-derived here with a pure-Python dict join."""
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        q_join_salted_skew,
+    )
+
+    out = {r.c_mktsegment: r for r in q_join_salted_skew(spark, SF_DIR).collect()}
+    seg = dict(duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall())
+    rows = duckdb.sql(
+        f"SELECT user_id, value FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, set(), Decimal(0), None])
+    q4 = Decimal("0.0001")
+    for uid, val in rows:
+        if uid not in seg:
+            continue
+        a = agg[seg[uid]]
+        a[0] += 1
+        a[1].add(uid)
+        a[2] += Decimal(val).quantize(q4, rounding=ROUND_HALF_UP)
+        a[3] = uid if a[3] is None else min(a[3], uid)
+    assert set(out) == set(agg)
+    for s, (n, users, sm, lo) in agg.items():
+        r = out[s]
+        assert (r.n_events, r.n_users, r.min_user) == (n, len(users), lo)
+        assert Decimal(str(r.sum_value)) == sm.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+
+
+def test_tokenizer_fertility_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        BPE_PATTERN,
+        q_text_tokenizer_fertility,
+    )
+
+    out = {(r.lang, r.source): r
+           for r in q_text_tokenizer_fertility(spark, SF_DIR).collect()}
+    # third-source tokenization: Python re (ASCII-flagged), not either
+    # engine's regexp_extract_all
+    raw = duckdb.sql(
+        f"SELECT lang, source, n_chars, text "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    docs = [
+        (
+            lang,
+            src,
+            nc,
+            len(re.findall(BPE_PATTERN, text, flags=re.ASCII)),
+            len([t for t in re.split(r"\s+", text, flags=re.ASCII) if t]),
+        )
+        for lang, src, nc, text in raw
+    ]
+    agg = defaultdict(lambda: [0, 0, 0, 0, None, None])
+    for lang, src, nc, bpe, words in docs:
+        if bpe <= 0 or words <= 0:
+            continue
+        cpt = (1_000_000 * nc) // bpe
+        a = agg[(lang, src)]
+        a[0] += 1
+        a[1] += nc
+        a[2] += bpe
+        a[3] += words
+        a[4] = cpt if a[4] is None else min(a[4], cpt)
+        a[5] = cpt if a[5] is None else max(a[5], cpt)
+    assert set(out) == set(agg)
+    for k, (n, sc, st, sw, lo, hi) in agg.items():
+        r = out[k]
+        assert (r.n_docs, r.sum_chars, r.sum_tokens, r.sum_words) == (n, sc, st, sw)
+        assert r.chars_per_token_ppm == (1_000_000 * sc) // st
+        assert r.tokens_per_word_ppm == (1_000_000 * st) // sw
+        assert (r.min_doc_cpt_ppm, r.max_doc_cpt_ppm) == (lo, hi)
+        # BPE splits at least at every whitespace word: fertility >= ~1
+        assert r.sum_tokens >= r.sum_words
+
+
 def test_csv_roundtrip_matches_pure_python(spark):
     out = {r.event_type: r for r in q_io_csv_roundtrip(spark, SF_DIR).collect()}
     rows = duckdb.sql(

@@ -621,6 +621,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject", r"Window", r"partial_count"],
         [r"CartesianProduct"],
     ),
+    "join_salted_skew": (
+        # dim replication is a bounded Generate; the join is an EQUI-join
+        # on (key, salt) — the whole point is no hot-key single reducer
+        [r"Generate", r"HashJoin|SortMergeJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "text_tokenizer_fertility": (
+        # one scan, narrow per-doc ratios, (lang, source) partial agg
+        [r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"Join", r"Window"],
+    ),
 }
 
 
