@@ -814,15 +814,15 @@ def q_orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cents = F.sum((F.col("rev") * 100).cast("bigint")).cast("bigint")
-    agg = classed.groupBy("part_class").agg(
+    # the total rides along from the broadcast __total (exact DECIMAL sum
+    # of the same per-part revs) — re-aggregating lineitem for it would be
+    # a second full fact scan for a number already in hand
+    return classed.groupBy("part_class").agg(
         F.count("*").cast("bigint").alias("n_parts"),
         F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
         cents.alias("__cents"),
-    )
-    tot_cents = F.broadcast(
-        pr.agg(F.sum((F.col("rev") * 100).cast("bigint")).cast("bigint").alias("__tc"))
-    )
-    return agg.crossJoin(tot_cents).select(
+        (F.max("__total") * 100).cast("bigint").alias("__tc"),
+    ).select(
         "part_class",
         "n_parts",
         "class_revenue",

@@ -13,6 +13,7 @@ query's predicate a DIRECTORY prune rather than a scan.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,13 +27,24 @@ from . import tune
 # inside the repo per the sandbox contract; sf-suffixed AND pid-suffixed so
 # concurrent runs — different scale factors, or two gates at the SAME sf
 # (driver gate + a local check_oracle.py, ADVICE r7) — never write/read the
-# same directory
+# same directory. The pid dir is removed atexit: without that, every gate /
+# bench / pytest process would orphan its own full events copies under
+# spark-warehouse (unbounded accumulation across runs).
 _ROUNDTRIP_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "spark-warehouse",
     "io_roundtrip",
     f"pid{os.getpid()}",
 )
+
+
+def _cleanup_roundtrip_root() -> None:
+    import shutil
+
+    shutil.rmtree(_ROUNDTRIP_ROOT, ignore_errors=True)
+
+
+atexit.register(_cleanup_roundtrip_root)
 
 IO_KEEP_TYPES = ("click", "purchase")
 

@@ -1022,10 +1022,13 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return cells.select(
+        # decode on (m-1): m = year*12 + month with month 1..12, so a
+        # December m is divisible by 12 and the naive //12 %12 decode
+        # would label it '<year+1>-00'
         F.concat_ws(
             "-",
-            (F.col("cohort_m") / 12).cast("int").cast("string"),
-            F.lpad((F.col("cohort_m") % 12).cast("string"), 2, "0"),
+            ((F.col("cohort_m") - 1) / 12).cast("int").cast("string"),
+            F.lpad(((F.col("cohort_m") - 1) % 12 + 1).cast("string"), 2, "0"),
         ).alias("cohort_month"),
         "months_since",
         "n_active",
@@ -1049,7 +1052,8 @@ cells AS (
   FROM o JOIN first ON o.o_custkey = first.o_custkey
   GROUP BY 1, 2
 )
-SELECT CAST(cohort_m // 12 AS INT) || '-' || lpad(CAST(cohort_m % 12 AS VARCHAR), 2, '0')
+SELECT CAST((cohort_m - 1) // 12 AS INT) || '-'
+         || lpad(CAST((cohort_m - 1) % 12 + 1 AS VARCHAR), 2, '0')
          AS cohort_month,
        months_since, n_active,
        CAST(rev AS DOUBLE) AS revenue,
@@ -1091,8 +1095,11 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mg_partition(batches):
         counters: dict[int, int] = {}
+        n_rows = 0
         for pdf in batches:
-            for u in pdf["user_id"].to_numpy():
+            arr = pdf["user_id"].to_numpy()
+            n_rows += len(arr)
+            for u in arr:
                 u = int(u)
                 if u in counters:
                     counters[u] += 1
@@ -1107,12 +1114,21 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                             dead.append(k)
                     for k in dead:
                         del counters[k]
-        yield _pd.DataFrame({"user_id": list(counters.keys())})
+        # the partition's row count rides the SAME pass as a sentinel row
+        # (user_id NULL), so n_total needs no second scan of the fact
+        users = list(counters.keys())
+        yield _pd.DataFrame(
+            {
+                "user_id": _pd.array(users + [None], dtype="Int64"),
+                "prows": _pd.array([None] * len(users) + [n_rows], dtype="Int64"),
+            }
+        )
 
-    cand = ev.mapInPandas(mg_partition, schema="user_id long").distinct()
+    summary = ev.mapInPandas(mg_partition, schema="user_id long, prows long")
+    cand = summary.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
     tot = F.broadcast(
-        load_table(spark, sf_dir, "events").agg(
-            F.count("*").cast("bigint").alias("n_total")
+        summary.filter(F.col("prows").isNotNull()).agg(
+            F.sum("prows").cast("bigint").alias("n_total")
         )
     )
     exact = (

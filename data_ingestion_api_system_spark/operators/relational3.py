@@ -588,6 +588,29 @@ CROSS JOIN tot
 """
 
 
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned brand co-occurrence edge list (a < b, support >=
+    MIN_PAIR_ORDERS) — the ONE graph construction shared by the triangle,
+    label-propagation, and link-prediction entries (extracted so a
+    threshold or shape change cannot silently diverge between them)."""
+    return pin(
+        _brand_baskets(spark, sf_dir)
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= MIN_PAIR_ORDERS)
+        .select("a", "b")
+    )
+
+
+def _brand_adj(edges: DataFrame) -> DataFrame:
+    """Symmetrized (src, dst) adjacency over an a<b edge list."""
+    return edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counting + local clustering coefficient over the
     brand co-occurrence graph (edge = brand pair in ≥ MIN_PAIR_ORDERS
@@ -607,15 +630,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closing join, and degree twice) — uncached, each re-runs the whole
     # mining pipeline (verified before the fix: 5× basket aggregation);
     # pinned so release_pins() can free the storage explicitly.
-    edges = pin(
-        _brand_baskets(spark, sf_dir)
-        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= MIN_PAIR_ORDERS)
-        .select("a", "b")
-    )
+    edges = _brand_edges(spark, sf_dir)
     tri = _triangles(edges)
     corners = tri.select(
         F.explode(F.array("a", "b", "c")).alias("brand")
@@ -835,18 +850,8 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank entry argues (relational3 docstring there). Output: node,
     final community, community size."""
     tune(spark)
-    edges = pin(
-        _brand_baskets(spark, sf_dir)
-        .select("l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= MIN_PAIR_ORDERS)
-        .select("a", "b")
-    )
-    adj = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = _brand_edges(spark, sf_dir)
+    adj = _brand_adj(edges)
     labels = adj.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -884,8 +889,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_LABEL_PROP = f"""
-WITH baskets AS (
+_SQL_BRAND_EDGES_CTES = f"""baskets AS (
   SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY l_orderkey
@@ -898,7 +902,11 @@ edges AS (
       ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
     GROUP BY 1, 2
   ) WHERE n >= {MIN_PAIR_ORDERS}
-),
+)"""
+
+
+_ORACLE_LABEL_PROP = f"""
+WITH {_SQL_BRAND_EDGES_CTES},
 adj AS (
   SELECT a AS src, b AS dst FROM edges
   UNION ALL SELECT b AS src, a AS dst FROM edges
@@ -951,18 +959,8 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed CN/Jaccard recipe; the heavy-degree mitigation
     (cap or sample hub neighborhoods) bolts onto the one wedge join."""
     tune(spark)
-    edges = pin(
-        _brand_baskets(spark, sf_dir)
-        .select("l_orderkey", F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= MIN_PAIR_ORDERS)
-        .select("a", "b")
-    )
-    adj = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = _brand_edges(spark, sf_dir)
+    adj = _brand_adj(edges)
     deg = adj.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
     x = adj.select(F.col("src").alias("wa"), F.col("dst").alias("c"))
     y = adj.select(F.col("src").alias("wb"), F.col("dst").alias("c"))
@@ -1001,20 +999,7 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_COMMON_NEIGHBORS = f"""
-WITH baskets AS (
-  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  GROUP BY l_orderkey
-),
-items AS (SELECT l_orderkey, unnest(brands) AS brand FROM baskets),
-edges AS (
-  SELECT a, b FROM (
-    SELECT ua.brand AS a, ub.brand AS b, count(*) AS n
-    FROM items ua JOIN items ub
-      ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
-    GROUP BY 1, 2
-  ) WHERE n >= {MIN_PAIR_ORDERS}
-),
+WITH {_SQL_BRAND_EDGES_CTES},
 adj AS (
   SELECT a AS src, b AS dst FROM edges
   UNION ALL SELECT b AS src, a AS dst FROM edges

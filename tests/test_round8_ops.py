@@ -542,7 +542,9 @@ def test_cohort_ltv_matches_pure_python(spark):
         by_cohort[m0].append((ms, users, rev))
     assert len(out) == len(cells)
     for m0, lst in by_cohort.items():
-        label = f"{m0 // 12}-{m0 % 12:02d}"
+        # (m-1) decode: December (m0 % 12 == 0) must stay in ITS year as
+        # month 12, not roll into '<year+1>-00'
+        label = f"{(m0 - 1) // 12}-{(m0 - 1) % 12 + 1:02d}"
         cum = Decimal(0)
         for ms, users, rev in sorted(lst):
             cum += rev
@@ -550,6 +552,9 @@ def test_cohort_ltv_matches_pure_python(spark):
             assert r.n_active == len(users)
             assert Decimal(str(r.revenue)) == rev
             assert Decimal(str(r.cum_ltv)) == cum
+    # December regression: every label's month must be 1..12 (the naive
+    # m//12 decode emitted '<year+1>-00' for December cohorts)
+    assert all(1 <= int(lbl.rsplit("-", 1)[1]) <= 12 for lbl, _ in out)
 
 
 def test_rake_matches_pure_python(spark):
