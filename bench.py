@@ -217,6 +217,29 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         str(Path(__file__).resolve().parent / "BENCH_LOCAL.json"),
     )
+    # Overwrite guard (VERDICT r8 #2): in rounds 7 AND 8 a loaded driver run
+    # overwrote the committed solo record at this path, and r8's round-end
+    # commit destroyed the round's only clean perf series. A contaminated run
+    # (load > 4.0 at start on this 32-cpu box) must never replace a clean
+    # record: divert it to an untracked sibling (*.live.json, gitignored)
+    # and leave the clean file alone. Clean-over-clean and
+    # contaminated-over-contaminated refreshes still go to the main path.
+    if load_1m_at_start > 4.0:
+        existing_load = None
+        try:
+            with open(out_path) as fh:
+                existing_load = json.load(fh).get("load_1m_at_start")
+        except (OSError, ValueError):
+            pass
+        if existing_load is not None and existing_load <= 4.0:
+            diverted = str(Path(out_path).with_suffix(".live.json"))
+            print(
+                f"# NOTE: existing record at {out_path} is clean "
+                f"(load {existing_load}); writing this contaminated run "
+                f"(load {load_1m_at_start}) to {diverted} instead",
+                file=sys.stderr,
+            )
+            out_path = diverted
     with open(out_path, "w") as fh:
         fh.write(result + "\n")
     spark.stop()
