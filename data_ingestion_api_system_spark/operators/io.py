@@ -44,6 +44,37 @@ def _cleanup_roundtrip_root() -> None:
     shutil.rmtree(_ROUNDTRIP_ROOT, ignore_errors=True)
 
 
+def _sweep_orphaned_pid_dirs() -> None:
+    """Best-effort removal of sibling pid* dirs whose owner died without
+    running atexit (SIGKILL/OOM — ADVICE r8: those orphans accumulated
+    with nothing sweeping them). A pid is 'dead' when os.kill(pid, 0)
+    raises ProcessLookupError; pids we can't signal (EPERM) or can't
+    parse are left alone."""
+    import shutil
+
+    parent = os.path.dirname(_ROUNDTRIP_ROOT)
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for name in siblings:
+        if not name.startswith("pid"):
+            continue
+        try:
+            pid = int(name[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        except OSError:
+            pass
+
+
+_sweep_orphaned_pid_dirs()
 atexit.register(_cleanup_roundtrip_root)
 
 IO_KEEP_TYPES = ("click", "purchase")

@@ -235,7 +235,12 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     so any dropped, duplicated, or reordered window breaks the hash.
 
     The oracle regenerates the same windows relationally (range() over the
-    hop grid + substr slices — ASCII text ⇒ byte slices == char slices).
+    hop grid + substr slices). PARITY INVARIANT: the Spark side windows
+    the utf-8 BYTE payload while DuckDB's substr slices CHARACTERS (no
+    BLOB substring exists in DuckDB), so parity requires documents.text to
+    be pure ASCII — enforced by
+    tests/test_round9_ops.py::test_documents_text_is_ascii_all_sfs
+    against every generated SF, not just assumed (ADVICE r8).
     Scale: the expansion is per-row inside Arrow batches, zero shuffle;
     the rollup keys on doc_id. Real audio swaps the byte slice for PCM
     decode behind the same schema (sources/multimodal.py::decode_image

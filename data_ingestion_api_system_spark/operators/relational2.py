@@ -23,7 +23,7 @@ from ..functions import (
     sql_exact_sum_dec,
 )
 from ..tables import load_table, register_views
-from . import spread, tune
+from . import pin, spread, tune
 
 
 # ---------------------------------------------------------------------------
@@ -1074,49 +1074,51 @@ HH_K = 2000
 
 
 def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phi-frequent heavy hitters (users with > n/HH_K of all events) via
-    the Misra-Gries summary (Misra & Gries 1982; the "space-saving" family
-    every streaming system ships as approx_top_k): each partition keeps at
-    most HH_K decrementing counters — the candidate union provably contains
-    every global heavy hitter — and ONLY the candidates get exact counts.
+    """Phi-frequent heavy hitters (users with > n/HH_K of all events):
+    per-partition candidate generation in the Misra-Gries / space-saving
+    family (Misra & Gries 1982 — what streaming systems ship as
+    approx_top_k), then exact verification of candidates only.
+
+    Candidate rule (VERDICT r8 #3 — vectorized, no per-row Python): a
+    partition with n_p rows emits every key whose LOCAL count*HH_K > n_p.
+    Superset guarantee: counts sum across partitions, so a key with GLOBAL
+    count > n/HH_K must be partition-heavy (count_p > n_p/HH_K) in at
+    least one partition — and strict inequality bounds each partition's
+    emission to < HH_K keys. The whole pass is one numpy
+    ``value_counts``-style unique/count per Arrow partition; the old
+    per-row MG decrement dict (the registry's last row-at-a-time Python)
+    is gone at identical output.
 
     Scale rationale: at 100 TB the full groupBy(user_id) is a shuffle of
-    |users| rows, but the MG pass reduces each partition to <= HH_K rows
-    (constant!) before any exchange, and the exact-verify pass counts just
-    the candidate set via a broadcast semi join against the fact — the
-    LSH-candidates-then-verify shape applied to frequency. The Python MG
-    loop is per-partition mapInPandas (Arrow batches, dict ops, O(rows));
-    the verify side is pure JVM. Output = the exact phi-heavy set with
-    exact counts and integer-ppm shares, independent of partitioning."""
+    |users| rows, but the candidate pass reduces each partition to < HH_K
+    rows (constant!) before any exchange, and the exact-verify pass counts
+    just the candidate set via a broadcast semi join against the fact —
+    the LSH-candidates-then-verify shape applied to frequency. Output =
+    the exact phi-heavy set with exact counts and integer-ppm shares,
+    independent of partitioning."""
     tune(spark)
+    import numpy as _np
     import pandas as _pd
 
     ev = spread(load_table(spark, sf_dir, "events").select("user_id"))
 
-    def mg_partition(batches):
-        counters: dict[int, int] = {}
+    def hh_partition(batches):
+        # per-Arrow-batch vectorized unique/count, merged into a
+        # keyed-count Series (memory O(distinct keys in partition), never
+        # O(rows) — batches are not concatenated)
+        acc = None
         n_rows = 0
         for pdf in batches:
             arr = pdf["user_id"].to_numpy()
             n_rows += len(arr)
-            for u in arr:
-                u = int(u)
-                if u in counters:
-                    counters[u] += 1
-                elif len(counters) < HH_K:
-                    counters[u] = 1
-                else:
-                    # decrement-all: the textbook MG step
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            keys, counts = _np.unique(arr, return_counts=True)
+            s = _pd.Series(counts, index=keys)
+            acc = s if acc is None else acc.add(s, fill_value=0)
+        if acc is None:
+            acc = _pd.Series(dtype="int64")
+        users = [int(u) for u in acc.index[acc.to_numpy() * HH_K > n_rows]]
         # the partition's row count rides the SAME pass as a sentinel row
         # (user_id NULL), so n_total needs no second scan of the fact
-        users = list(counters.keys())
         yield _pd.DataFrame(
             {
                 "user_id": _pd.array(users + [None], dtype="Int64"),
@@ -1124,7 +1126,12 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    summary = ev.mapInPandas(mg_partition, schema="user_id long, prows long")
+    # pinned: cand and tot are two separate actions off the same full-scan
+    # pass — without the pin the candidate scan of events ran twice
+    # (ADVICE r8)
+    summary = pin(
+        ev.mapInPandas(hh_partition, schema="user_id long, prows long")
+    )
     cand = summary.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
     tot = F.broadcast(
         summary.filter(F.col("prows").isNotNull()).agg(

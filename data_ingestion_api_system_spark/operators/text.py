@@ -1241,7 +1241,12 @@ def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
     n_tok = F.size(tokens("text"))
-    bucket = F.lit(LENGTH_BUCKETS[-1] * 2)
+    # docs longer than the top rung (2 * LENGTH_BUCKETS[-1]) have NO ladder
+    # bucket >= n — they land in the explicit overflow bucket 0 with pad 0
+    # (ADVICE r8: the old ladder put them in the top rung, making
+    # pad_tokens and waste_ppm negative and silently breaking the
+    # "smallest bucket >= n" contract)
+    bucket = F.when(n_tok <= LENGTH_BUCKETS[-1] * 2, F.lit(LENGTH_BUCKETS[-1] * 2)).otherwise(F.lit(0))
     for b in reversed(LENGTH_BUCKETS):
         bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
     per_doc = docs.select(
@@ -1251,7 +1256,11 @@ def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_doc.groupBy("bucket_tokens").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-        F.sum(F.col("bucket_tokens") - F.col("n_tokens"))
+        F.sum(
+            F.when(F.col("bucket_tokens") == 0, F.lit(0)).otherwise(
+                F.col("bucket_tokens") - F.col("n_tokens")
+            )
+        )
         .cast("bigint")
         .alias("pad_tokens"),
     )
@@ -1262,7 +1271,8 @@ def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_tokens",
         "pad_tokens",
         F.expr(
-            "CAST((1000000 * pad_tokens) DIV (n_docs * bucket_tokens) AS BIGINT)"
+            "CAST(CASE WHEN bucket_tokens = 0 THEN 0 ELSE"
+            " (1000000 * pad_tokens) DIV (n_docs * bucket_tokens) END AS BIGINT)"
         ).alias("waste_ppm"),
         F.expr(
             "CAST((1000000 * (n_docs * global_max - sum_tokens))"
@@ -1273,7 +1283,7 @@ def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BUCKET_LADDER = "CASE " + " ".join(
     f"WHEN n_tokens <= {b} THEN {b}" for b in LENGTH_BUCKETS
-) + f" ELSE {LENGTH_BUCKETS[-1] * 2} END"
+) + f" WHEN n_tokens <= {LENGTH_BUCKETS[-1] * 2} THEN {LENGTH_BUCKETS[-1] * 2} ELSE 0 END"
 
 _ORACLE_LENGTH_BUCKETS = f"""
 WITH per_doc AS (
@@ -1284,13 +1294,16 @@ agg AS (
   SELECT bucket_tokens,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-         CAST(sum(bucket_tokens - n_tokens) AS BIGINT) AS pad_tokens
+         CAST(sum(CASE WHEN bucket_tokens = 0 THEN 0
+                       ELSE bucket_tokens - n_tokens END) AS BIGINT)
+           AS pad_tokens
   FROM per_doc GROUP BY 1
 ),
 gmax AS (SELECT max(n_tokens) AS global_max FROM per_doc)
 SELECT bucket_tokens, n_docs, sum_tokens, pad_tokens,
-       CAST((1000000 * pad_tokens) // (n_docs * bucket_tokens) AS BIGINT)
-         AS waste_ppm,
+       CAST(CASE WHEN bucket_tokens = 0 THEN 0
+            ELSE (1000000 * pad_tokens) // (n_docs * bucket_tokens) END
+            AS BIGINT) AS waste_ppm,
        CAST((1000000 * (n_docs * global_max - sum_tokens))
             // (n_docs * global_max) AS BIGINT) AS naive_waste_ppm
 FROM agg, gmax

@@ -69,6 +69,20 @@ DEFAULT = [
     # by the 1-in-4 id-mod sample (dedup.py::SWEEP_SAMPLE_MOD)
     "dedup_lsh_tuning_sweep",
     "sim_ivf_nprobe_sweep",
+    # VERDICT r8 #5: the remaining round-8 entries — mostly narrow-map /
+    # bounded-output shapes where an accidental regression (a lost
+    # pushdown, a widened shuffle) would otherwise go unmeasured
+    "orders_pareto_frontier",
+    "text_length_buckets",
+    "sim_hard_negatives",
+    "dq_benford_check",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "sql_lateral_topk",
+    "orders_cohort_ltv",
+    "text_rake_keyphrases",
+    "join_salted_skew",
+    "text_tokenizer_fertility",
 ]
 
 
