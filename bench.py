@@ -116,6 +116,18 @@ ADDED_R8 = [
     "text_tokenizer_fertility",
 ]
 
+# Added round 9: benched from birth — the ORC typed-columnar sink cycle,
+# the deterministic KMV distinct sketch (merged + direct paths), PMI
+# collocation mining, truncated-Katz walk counts, and the MMR
+# diversified-retrieval unroll.
+ADDED_R9 = [
+    "io_orc_roundtrip",
+    "sketch_kmv_distinct",
+    "text_pmi_collocations",
+    "graph_katz_centrality",
+    "sim_mmr_diversify",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +179,7 @@ def main() -> None:
     from data_ingestion_api_system_spark.operators import release_pins
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7 + ADDED_R8:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9:
         fn = qs[name]
 
         def run_once():
@@ -194,7 +206,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "queries_added": ADDED_R7 + ADDED_R8,
+            "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9,
             "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
             "sf": float(sf),
             # methodology marker so cross-round numbers are

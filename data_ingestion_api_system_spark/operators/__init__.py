@@ -404,6 +404,12 @@ _BORN_ROUND = {
     "sim_ivf_nprobe_sweep": 8,
     "join_salted_skew": 8,
     "text_tokenizer_fertility": 8,
+    # round-9 additions
+    "io_orc_roundtrip": 9,
+    "sketch_kmv_distinct": 9,
+    "text_pmi_collocations": 9,
+    "graph_katz_centrality": 9,
+    "sim_mmr_diversify": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

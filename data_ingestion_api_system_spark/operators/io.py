@@ -243,14 +243,77 @@ GROUP BY event_type
 """
 
 
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the ORC sink→source cycle — the second TYPED columnar
+    format (the Hive-lineage twin of parquet that warehouse migrations
+    still move through). Unlike the CSV/JSON entries, which restrict
+    themselves to integers because floats can't safely transit a text
+    format, ORC carries real types natively: this entry round-trips a
+    DECIMAL(18,4) measure and a DATE column through the file format and
+    proves both survived bit-exact — the aggregate over the read-back
+    table must hash-match the oracle computed off the original parquet
+    (`exact_sum` decimal discipline on both sides; dates compared as ISO
+    strings per the cross-engine date rule).
+
+    Scale: identical posture to the parquet entry — append-parallel
+    writes, split-parallel reads, column projection honored by the ORC
+    reader (it strips unread columns like parquet does); ts is projected
+    to DATE before the write so the entry certifies a type that
+    round-trips identically across parquet/ORC epochs (raw TIMESTAMP
+    precision is a parquet-NANOS-vs-ORC-nanos evolution concern the
+    partitioned entry already documents)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("value_dec"),
+        F.to_date("ts").alias("day"),
+    )
+    dest = os.path.join(
+        _ROUNDTRIP_ROOT, "orc_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    write_table(ev, dest, "orc")
+    back = read_table(
+        spark,
+        dest,
+        "orc",
+        schema=(
+            "event_id long, event_type string, user_id long, "
+            "value_dec decimal(18,4), day date"
+        ),
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+        F.round(F.sum("value_dec"), 2).cast("double").alias("sum_value"),
+        F.min(F.col("day").cast("string")).alias("min_day"),
+        F.max(F.col("day").cast("string")).alias("max_day"),
+    )
+
+
+_ORACLE_ORC_ROUNDTRIP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS min_day,
+       CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS max_day
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
     "io_csv_roundtrip": q_io_csv_roundtrip,
     "io_json_roundtrip": q_io_json_roundtrip,
+    "io_orc_roundtrip": q_io_orc_roundtrip,
 }
 
 ORACLE = {
     "io_partitioned_roundtrip": _ORACLE_ROUNDTRIP,
     "io_csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "io_json_roundtrip": _ORACLE_JSON_ROUNDTRIP,
+    "io_orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
 }

@@ -448,11 +448,167 @@ FROM exact CROSS JOIN est
 """
 
 
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002, the
+# order-statistics alternative to HLL. Unlike HLL (whose register layout
+# is engine-internal, so `sketch_hll_union_rollup` can only certify a
+# tolerance verdict), KMV is FULLY deterministic given the hash: the
+# sketch is literally the K smallest distinct hash values, so the DuckDB
+# oracle recomputes the exact same estimate bit-for-bit and the gate
+# hash-matches the ESTIMATE itself, not just a within-ε flag.
+KMV_K = 64
+# full-range Carter–Wegman hash (no % WIDTH — we need the order statistic,
+# not a bucket); constants from the same family as the join-size sketch
+_KMV_HASH = (
+    f"((((user_id % {JS_P}) + {JS_P}) % {JS_P}"
+    f" * {JS_A[2]} + {JS_B[2]}) % {JS_P})"
+)
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimation per event_type via the KMV sketch, built
+    TWICE: directly over all events, and by merging per-(type, day) daily
+    sketches — certifying the exact merge identity that makes KMV a
+    rollup-table sketch. Merging k-min lists is just "k smallest of the
+    union", and that equals the direct sketch EXACTLY: any hash among the
+    global k smallest distinct values has < k distinct values below it,
+    so in particular < k within its own day — it survives the daily cut.
+    The entry emits both estimates and a literal equality flag; the
+    oracle independently recomputes both paths, so a single dropped or
+    duplicated hash anywhere in either path breaks the gate.
+
+    Estimator: with h_(k) the k-th smallest distinct hash on [0, P),
+    est = (k−1)·P // h_(k) (the unbiased KMV form, kept in exact integer
+    division); when a type has fewer than k distinct hashes the sketch IS
+    the distinct set and the estimate is its size.
+
+    Scale: the daily path is the product — per (type, day) the sketch is
+    ≤ K rows (constant), partials prune map-side (any value not among a
+    partition's k smallest can't be among the global k smallest), and
+    every wider window is a metadata-only merge, exactly like the HLL
+    rollup. The direct path and `exact_users` re-scan raw events as the
+    audit twin (the sampled-audit role `sim_recall_eval` documents). All
+    windows partition by (type[, day]) — no global sort anywhere."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.expr(_KMV_HASH).alias("h"),
+    )
+    # daily sketches: the K smallest distinct hashes per (type, day)
+    wd = Window.partitionBy("event_type", "day").orderBy("h")
+    daily_sketch = (
+        ev.select("event_type", "day", "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= KMV_K)
+        .drop("rk")
+    )
+    wt = Window.partitionBy("event_type").orderBy("h")
+
+    def kmv_estimate(hashes: DataFrame) -> DataFrame:
+        """(event_type, h) distinct-hash rows → per-type KMV estimate."""
+        ranked = hashes.distinct().withColumn("rk", F.row_number().over(wt))
+        return ranked.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_h"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("kth"),
+        ).select(
+            "event_type",
+            F.when(F.col("kth").isNull(), F.col("n_h"))
+            .otherwise(
+                F.expr(f"CAST(({KMV_K} - 1) * CAST({JS_P} AS BIGINT) DIV kth AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("est"),
+        )
+
+    merged = kmv_estimate(daily_sketch.select("event_type", "h")).select(
+        "event_type", F.col("est").alias("kmv_merged")
+    )
+    direct = kmv_estimate(ev.select("event_type", "h")).select(
+        "event_type", F.col("est").alias("kmv_direct")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        exact.join(direct, "event_type")
+        .join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "kmv_direct",
+            "kmv_merged",
+            (F.col("kmv_merged") == F.col("kmv_direct"))
+            .cast("int")
+            .alias("merged_equals_direct"),
+            F.expr(
+                "CAST(abs(kmv_direct - exact_users) * 1000000"
+                " DIV exact_users AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+_ORACLE_KMV = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+         {_KMV_HASH} AS h
+  FROM events
+),
+daily_sketch AS (
+  SELECT event_type, day, h FROM (
+    SELECT event_type, day, h,
+           row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rk
+    FROM (SELECT DISTINCT event_type, day, h FROM ev)
+  ) WHERE rk <= {KMV_K}
+),
+merged AS (
+  SELECT event_type,
+         CASE WHEN max(CASE WHEN rk = {KMV_K} THEN h END) IS NULL
+              THEN count(*)
+              ELSE CAST({KMV_K} - 1 AS BIGINT) * {JS_P} // max(CASE WHEN rk = {KMV_K} THEN h END)
+         END AS kmv_merged
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM (SELECT DISTINCT event_type, h FROM daily_sketch)
+  ) GROUP BY event_type
+),
+direct AS (
+  SELECT event_type,
+         CASE WHEN max(CASE WHEN rk = {KMV_K} THEN h END) IS NULL
+              THEN count(*)
+              ELSE CAST({KMV_K} - 1 AS BIGINT) * {JS_P} // max(CASE WHEN rk = {KMV_K} THEN h END)
+         END AS kmv_direct
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM (SELECT DISTINCT event_type, h FROM ev)
+  ) GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, exact_users,
+       CAST(kmv_direct AS BIGINT) AS kmv_direct,
+       CAST(kmv_merged AS BIGINT) AS kmv_merged,
+       CAST(kmv_merged = kmv_direct AS INT) AS merged_equals_direct,
+       CAST(abs(kmv_direct - exact_users) * 1000000 // exact_users AS BIGINT)
+         AS err_ppm
+FROM exact JOIN direct USING (event_type) JOIN merged USING (event_type)
+"""
+
+
 QUERIES = {
     "layout_zorder_skipping": q_layout_zorder_skipping,
     "layout_compaction_bins": q_layout_compaction_bins,
     "sketch_hll_union_rollup": q_sketch_hll_union_rollup,
     "sketch_join_size_estimate": q_sketch_join_size_estimate,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
 }
 
 ORACLE = {
@@ -460,4 +616,5 @@ ORACLE = {
     "layout_compaction_bins": _ORACLE_COMPACTION,
     "sketch_hll_union_rollup": _ORACLE_HLL_ROLLUP,
     "sketch_join_size_estimate": _oracle_join_size(),
+    "sketch_kmv_distinct": _ORACLE_KMV,
 }

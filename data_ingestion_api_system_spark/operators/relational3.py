@@ -1106,8 +1106,95 @@ GROUP BY c_mktsegment
 """
 
 
+# Truncated Katz centrality (Katz 1953): score(v) = Σ_l β^l · walks_l(v),
+# walks_l = number of length-l walks ending at v (backtracking allowed —
+# the standard walk count, NOT paths). Truncated at KATZ_L and with β a
+# power of 1/2 the whole score is an exact INTEGER once scaled by
+# (1/β)^KATZ_L: katz_x64 = 16·w1 + 4·w2 + w3 for β=1/4, L=3 — no float
+# ever enters, so the oracle matches bit-for-bit including rank ties.
+KATZ_L = 3
+KATZ_INV_BETA = 4
+
+
+def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (truncated, exact-integer) per brand node — the
+    walk-based influence score between degree (L=1) and PageRank
+    (L→∞ with normalization), and the classic centrality a feature
+    pipeline derives alongside CN/Jaccard for link prediction.
+
+    Plan: walks_1 = degree (one groupBy over adjacency);
+    walks_{l+1}(v) = Σ_{u∈N(v)} walks_l(u) — each step is ONE equi-join
+    of the adjacency against the previous (node, count) table plus a
+    partial-agg groupBy on the node key, i.e. the same bounded
+    join-per-round shape as PageRank/LPA but with a FIXED unroll of
+    KATZ_L−1 = 2 steps and no convergence scalar. At node scale each
+    walk table partitions by node id and the adjacency is the only big
+    input — it never re-derives (pinned upstream by _brand_edges).
+    Skew note: a hub's walk count grows multiplicatively, but the JOIN
+    fan-out per step is |edges|, not degree² — Katz is hub-safe where
+    naive CN is not."""
+    tune(spark)
+    edges = _brand_edges(spark, sf_dir)
+    adj = _brand_adj(edges)
+    w1 = adj.groupBy("src").agg(F.count("*").alias("w")).select(
+        F.col("src").alias("node"), F.col("w").alias("w1")
+    )
+
+    def next_walks(prev: DataFrame, out_col: str) -> DataFrame:
+        return (
+            adj.join(prev, adj["dst"] == prev["node"])
+            .groupBy("src")
+            .agg(F.sum(prev.columns[-1]).alias(out_col))
+            .select(F.col("src").alias("node"), out_col)
+        )
+
+    w2 = next_walks(w1, "w2")
+    w3 = next_walks(w2, "w3")
+    scale2 = KATZ_INV_BETA  # β²·(1/β)³ = 1/β
+    scale1 = KATZ_INV_BETA * KATZ_INV_BETA  # β·(1/β)³ = 1/β²
+    return (
+        w1.join(w2, "node")
+        .join(w3, "node")
+        .select(
+            F.col("node").alias("brand"),
+            F.col("w1").cast("bigint").alias("walks1"),
+            F.col("w2").cast("bigint").alias("walks2"),
+            F.col("w3").cast("bigint").alias("walks3"),
+            (scale1 * F.col("w1") + scale2 * F.col("w2") + F.col("w3"))
+            .cast("bigint")
+            .alias("katz_x64"),
+        )
+    )
+
+
+_ORACLE_KATZ = f"""
+WITH {_SQL_BRAND_EDGES_CTES},
+adj AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b AS src, a AS dst FROM edges
+),
+w1 AS (SELECT src AS node, count(*) AS w1 FROM adj GROUP BY src),
+w2 AS (
+  SELECT adj.src AS node, sum(w1.w1) AS w2
+  FROM adj JOIN w1 ON adj.dst = w1.node GROUP BY adj.src
+),
+w3 AS (
+  SELECT adj.src AS node, sum(w2.w2) AS w3
+  FROM adj JOIN w2 ON adj.dst = w2.node GROUP BY adj.src
+)
+SELECT node AS brand,
+       CAST(w1.w1 AS BIGINT) AS walks1,
+       CAST(w2.w2 AS BIGINT) AS walks2,
+       CAST(w3.w3 AS BIGINT) AS walks3,
+       CAST({KATZ_INV_BETA * KATZ_INV_BETA} * w1.w1
+            + {KATZ_INV_BETA} * w2.w2 + w3.w3 AS BIGINT) AS katz_x64
+FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
+"""
+
+
 QUERIES = {
     "orders_pareto_frontier": q_orders_pareto_frontier,
+    "graph_katz_centrality": q_graph_katz_centrality,
     "graph_common_neighbors": q_graph_common_neighbors,
     "join_salted_skew": q_join_salted_skew,
     "graph_label_prop": q_graph_label_prop,
@@ -1127,6 +1214,7 @@ QUERIES = {
 
 ORACLE = {
     "orders_pareto_frontier": _ORACLE_PARETO,
+    "graph_katz_centrality": _ORACLE_KATZ,
     "graph_common_neighbors": _ORACLE_COMMON_NEIGHBORS,
     "join_salted_skew": _ORACLE_SALTED_JOIN,
     "graph_label_prop": _ORACLE_LABEL_PROP,

@@ -1476,7 +1476,173 @@ FROM per_np LEFT JOIN hits USING (nprobe), tot
 """
 
 
+# --- MMR diversified retrieval ---------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank a
+# candidate pool so each pick balances relevance to the query against
+# redundancy with what's already picked — the standard diversity layer on
+# top of ANN retrieval (and the dedup-aware selection step of a RAG/
+# training-batch sampler). score = λ·rel − (1−λ)·max_sim_to_selected;
+# with λ=0.7 and similarities as exact integer ppm the (×10-scaled) score
+# 7·rel_ppm − 3·maxsim_ppm is exact integer arithmetic end to end.
+MMR_POOL = 12  # candidate pool: the ANN stage's top-k
+MMR_K = 5  # diversified picks
+_MMR_LAM_REL = 7  # λ=0.7 (×10)
+_MMR_LAM_DIV = 3  # 1−λ (×10)
+
+
+def _cos_ppm_expr() -> F.Column:
+    """Integer-ppm cosine between columns av and bv: round(cos, 6) →
+    DECIMAL(10,6) → ×1e6 BIGINT. The double→decimal cast renders the same
+    6-dec value in both engines (the proven exactness bridge), so ppm
+    scores join/compare exactly."""
+    cos = F.expr(_SPARK_DOT) / (
+        F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))
+    )
+    return (F.round(cos, 6).cast("decimal(10,6)") * 1000000).cast("bigint")
+
+
+def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-MMR_K for the query vector (vec_id=0) over its
+    brute-force top-MMR_POOL candidate pool.
+
+    Plan: the DISTRIBUTED work is the pool construction — one broadcast
+    query against the corpus, TakeOrderedAndProject top-12 (identical
+    shape to `sim_cosine_topk`; at 100 TB the LSH/IVF entries supply this
+    pool instead). Everything after operates on the FIXED-size pool: the
+    12×12 pairwise similarity table and MMR_K−1 unrolled
+    argmax-selection steps, each one anti-join + bounded-aggregate +
+    top-1 over ≤12 rows — metadata-scale by construction, the same
+    bounded-unroll discipline as `sim_kmeans_step`/`graph_label_prop`
+    (no driver-side collect; the whole selection is one lazy plan).
+    Ties break on vec_id everywhere, so the pick sequence is unique."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("bv")))
+    pool = pin(
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.col("v").alias("av"))
+        .crossJoin(q)
+        .select("vec_id", "label", "av", _cos_ppm_expr().alias("rel_ppm"))
+        .orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    pairs = pin(
+        pool.select(F.col("vec_id").alias("a_id"), F.col("av").alias("pa"))
+        .crossJoin(
+            pool.select(F.col("vec_id").alias("b_id"), F.col("av").alias("pb"))
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("pa").alias("av"),
+            F.col("pb").alias("bv"),
+        )
+        .select("a_id", "b_id", _cos_ppm_expr().alias("sim_ppm"))
+    )
+    sel = (
+        pool.orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "label",
+            "rel_ppm",
+            F.lit(0).cast("bigint").alias("maxsim_ppm"),
+            (_MMR_LAM_REL * F.col("rel_ppm")).cast("bigint").alias("mmr_score"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    for i in range(2, MMR_K + 1):
+        chosen = sel.select("vec_id")
+        cand = pool.join(chosen, "vec_id", "left_anti")
+        ms = (
+            pairs.join(chosen.withColumnRenamed("vec_id", "b_id"), "b_id")
+            .groupBy("a_id")
+            .agg(F.max("sim_ppm").alias("maxsim_ppm"))
+        )
+        pick = (
+            cand.join(ms, cand["vec_id"] == ms["a_id"])
+            .select(
+                "vec_id",
+                "label",
+                "rel_ppm",
+                "maxsim_ppm",
+                (
+                    _MMR_LAM_REL * F.col("rel_ppm")
+                    - _MMR_LAM_DIV * F.col("maxsim_ppm")
+                )
+                .cast("bigint")
+                .alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("pick", F.lit(i))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "pick", "vec_id", "label", "rel_ppm", "maxsim_ppm", "mmr_score"
+    )
+
+
+def _sql_cos_ppm() -> str:
+    return (
+        f"CAST(CAST(ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6)"
+        " AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+    )
+
+
+def _oracle_mmr() -> str:
+    """Unrolled-CTE twin of the MMR selection: selU_i accumulates picks,
+    each step re-derives the candidate argmax exactly as the Spark plan
+    does."""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = f"selu{i - 1}"
+        steps.append(
+            f"""sel{i} AS (
+  SELECT vec_id, label, rel_ppm, maxsim_ppm, mmr_score, {i} AS pick FROM (
+    SELECT c.vec_id, c.label, c.rel_ppm, m.maxsim_ppm,
+           CAST({_MMR_LAM_REL} * c.rel_ppm
+                - {_MMR_LAM_DIV} * m.maxsim_ppm AS BIGINT) AS mmr_score
+    FROM pool c
+    JOIN (SELECT a_id, max(sim_ppm) AS maxsim_ppm FROM pairs
+          WHERE b_id IN (SELECT vec_id FROM {prev}) GROUP BY a_id) m
+      ON c.vec_id = m.a_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+    ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1
+  )
+),
+selu{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH e AS ({_SQL_EMB}),
+qv AS (SELECT v AS bv FROM e WHERE vec_id = 0),
+pool AS (
+  SELECT vec_id, label, av, rel_ppm FROM (
+    SELECT c.vec_id, c.label, c.v AS av, qv.bv,
+           {_sql_cos_ppm()} AS rel_ppm
+    FROM (SELECT vec_id, label, v FROM e WHERE vec_id <> 0) c, qv
+  ) ORDER BY rel_ppm DESC, vec_id ASC LIMIT {MMR_POOL}
+),
+pairs AS (
+  SELECT a_id, b_id, {_sql_cos_ppm()} AS sim_ppm FROM (
+    SELECT pa.vec_id AS a_id, pb.vec_id AS b_id, pa.av AS av, pb.av AS bv
+    FROM pool pa JOIN pool pb ON pa.vec_id <> pb.vec_id
+  )
+),
+selu1 AS (
+  SELECT vec_id, label, rel_ppm, CAST(0 AS BIGINT) AS maxsim_ppm,
+         CAST({_MMR_LAM_REL} * rel_ppm AS BIGINT) AS mmr_score, 1 AS pick
+  FROM pool ORDER BY rel_ppm DESC, vec_id ASC LIMIT 1
+),
+{steps_sql}
+SELECT pick, vec_id, label, rel_ppm, maxsim_ppm, mmr_score FROM selu{MMR_K}
+"""
+
+
 QUERIES = {
+    "sim_mmr_diversify": q_sim_mmr_diversify,
     "sim_ivf_nprobe_sweep": q_sim_ivf_nprobe_sweep,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -1496,6 +1662,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_mmr_diversify": _oracle_mmr(),
     "sim_ivf_nprobe_sweep": _ORACLE_IVF_SWEEP,
     "sim_hard_negatives": _ORACLE_HARD_NEGATIVES,
     "sim_cosine_topk": _ORACLE_COSINE_TOPK,

@@ -1518,7 +1518,107 @@ GROUP BY 1, 2
 """
 
 
+# --- PMI collocation mining -------------------------------------------------
+# Corpus-level collocations (Church & Hanks 1990): word pairs that co-occur
+# far more than independence predicts. Distinct from text_bigram_coherence
+# (prep.py), which SCORES EACH DOCUMENT by mean transition probability —
+# this entry mines the top pairs themselves, the lexicon-building /
+# tokenizer-vocab op. PMI = log(p(ab)/(p(a)p(b))); since log is monotone the
+# ranking only needs the lift ratio, kept as an exact integer:
+# lift_ppm = 1e6·N·c(ab) / (c(a)·c(b)) in DECIMAL(38,0) arithmetic
+# (Spark DIV == DuckDB HUGEINT // — verified identity), so no float log
+# ever enters the gate.
+PMI_MIN_PAIR = 5  # a-priori support floor: rare pairs have noisy PMI
+PMI_TOP_K = 20
+
+
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI_TOP_K collocations by PMI lift over the whole corpus.
+
+    Plan shape at 100 TB: ONE tokenization pass (pinned lowercased token
+    arrays feed both the unigram and bigram branches — the
+    interpreter-boundary rule from SCALE.md), two map-side-combined hash
+    aggregations whose outputs are VOCABULARY-sized (≪ corpus), the
+    support filter applied before any join (a-priori pruning, same as the
+    basket miner), then two broadcast-friendly joins of the surviving
+    pairs against the unigram counts and one 1-row total. The final
+    ordering is a top-k (TakeOrderedAndProject), never a full sort."""
+    tune(spark)
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = pin(
+        spread(load_table(spark, sf_dir, "documents")).select(lt.alias("lt"))
+    )
+    uni = d.select(F.explode("lt").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c1")
+    )
+    uni = pin(uni)
+    bg = (
+        d.filter(F.size("lt") >= 2)
+        .select(F.explode(F.expr("sequence(1, size(lt) - 1)")).alias("i"), "lt")
+        .select(
+            F.expr("element_at(lt, i)").alias("w1"),
+            F.expr("element_at(lt, i + 1)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= PMI_MIN_PAIR)
+    )
+    total = F.broadcast(uni.agg(F.sum("c1").cast("bigint").alias("n_total")))
+    scored = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b")), "w2")
+        .crossJoin(total)  # 1-row scalar — plans as broadcast BNLJ
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            F.col("c1a").cast("bigint").alias("c1a"),
+            F.col("c1b").cast("bigint").alias("c1b"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_total * pair_n)"
+                " DIV (CAST(c1a AS DECIMAL(38,0)) * c1b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOP_K)
+
+
+_SQL_LOWER_TOKS_PMI = f"list_transform({_SQL_TOKS}, t -> lower(t))"
+
+_ORACLE_PMI = f"""
+WITH d AS (SELECT {_SQL_LOWER_TOKS_PMI} AS lt FROM documents),
+uni AS (
+  SELECT w, count(*) AS c1 FROM (SELECT unnest(lt) AS w FROM d) GROUP BY w
+),
+bgidx AS (
+  SELECT lt, CAST(unnest(range(1, len(lt))) AS INT) AS i
+  FROM d WHERE len(lt) >= 2
+),
+bg AS (
+  SELECT w1, w2, count(*) AS pair_n FROM (
+    SELECT lt[i] AS w1, lt[i + 1] AS w2 FROM bgidx
+  ) GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR}
+),
+total AS (SELECT sum(c1) AS n_total FROM uni)
+SELECT w1, w2,
+       CAST(pair_n AS BIGINT) AS pair_n,
+       CAST(ua.c1 AS BIGINT) AS c1a,
+       CAST(ub.c1 AS BIGINT) AS c1b,
+       CAST((1000000::HUGEINT * n_total * pair_n)
+            // (ua.c1::HUGEINT * ub.c1) AS BIGINT) AS lift_ppm
+FROM bg
+JOIN uni ua ON bg.w1 = ua.w
+JOIN uni ub ON bg.w2 = ub.w
+CROSS JOIN total
+ORDER BY lift_ppm DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
+    "text_pmi_collocations": q_text_pmi_collocations,
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
     "text_rake_keyphrases": q_text_rake_keyphrases,
     "text_length_buckets": q_text_length_buckets,
@@ -1544,6 +1644,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_pmi_collocations": _ORACLE_PMI,
     "text_tokenizer_fertility": _ORACLE_FERTILITY,
     "text_rake_keyphrases": _ORACLE_RAKE,
     "text_length_buckets": _ORACLE_LENGTH_BUCKETS,

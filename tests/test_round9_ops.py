@@ -199,3 +199,253 @@ def test_bench_overwrite_guard_rule(tmp_path):
     assert out_path_for(5.7, 0.4) == diverted        # contaminated over clean
     assert out_path_for(5.7, None) == clean          # nothing to protect
     assert out_path_for(5.7, 6.0) == clean           # contaminated over same
+
+
+# ---------------------------------------------------------------------------
+# Round-9 newborn re-derivations: every operator gets a third, independent
+# pure-Python implementation (first-principles, not a transcription of the
+# Spark/SQL formulas) checked against the registry entry's actual output.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_est(hashes, k, p):
+    """KMV from first principles: k-th smallest DISTINCT hash on [0, p)."""
+    ds = sorted(set(hashes))
+    if len(ds) < k:
+        return len(ds)
+    return (k - 1) * p // ds[k - 1]
+
+
+def test_kmv_merge_identity_synthetic():
+    """The merge identity the operator certifies, on synthetic data: the k
+    smallest of the union of per-day k-min lists equal the k smallest of
+    the union, for an adversarial split (all small hashes on one day)."""
+    k = 8
+    days = [
+        list(range(100, 200)),          # the 8 global smallest live here
+        list(range(5000, 5300, 7)),
+        list(range(103, 400, 3)),       # overlaps day 0
+    ]
+    union = [h for d in days for h in d]
+    daily_kmin = [sorted(set(d))[:k] for d in days]
+    merged = [h for d in daily_kmin for h in d]
+    assert sorted(set(merged))[:k] == sorted(set(union))[:k]
+    assert _kmv_est(merged, k, 2**31 - 1) == _kmv_est(union, k, 2**31 - 1)
+
+
+def test_kmv_matches_pure_python(spark):
+    """Registry entry vs an independent per-type KMV built straight from
+    the raw parquet with Python ints (hash recomputed from its published
+    Carter-Wegman constants, estimate from the order statistic)."""
+    import pandas as pd
+
+    from data_ingestion_api_system_spark.operators.layout import (
+        JS_A,
+        JS_B,
+        JS_P,
+        KMV_K,
+        q_sketch_kmv_distinct,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    out = {r.event_type: r for r in q_sketch_kmv_distinct(spark, SF_DIR).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        users = grp["user_id"].astype(int)
+        hashes = [((u % JS_P + JS_P) % JS_P * JS_A[2] + JS_B[2]) % JS_P for u in users]
+        exact = users.nunique()
+        est = _kmv_est(hashes, KMV_K, JS_P)
+        r = out[etype]
+        assert r.exact_users == exact
+        assert r.kmv_direct == est
+        assert r.kmv_merged == est  # merge identity on real data
+        assert r.merged_equals_direct == 1
+        assert r.err_ppm == abs(est - exact) * 1_000_000 // exact
+
+
+def test_pmi_matches_pure_python(spark):
+    """Collocation mining re-derived with collections.Counter and Python
+    bigints: whitespace-lowercase tokens, pair/unigram counts, exact
+    integer lift, same (lift, w1, w2) ordering."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_ingestion_api_system_spark.operators.text import (
+        PMI_MIN_PAIR,
+        PMI_TOP_K,
+        q_text_pmi_collocations,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for text in docs["text"]:
+        toks = [t.lower() for t in text.split()]
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n_total = sum(uni.values())
+    scored = [
+        (1_000_000 * n_total * c // (uni[w1] * uni[w2]), w1, w2, c)
+        for (w1, w2), c in pairs.items()
+        if c >= PMI_MIN_PAIR
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = scored[:PMI_TOP_K]
+    got = q_text_pmi_collocations(spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    for r, (lift, w1, w2, c) in zip(got, expect):
+        assert (r.w1, r.w2) == (w1, w2)
+        assert r.pair_n == c
+        assert r.c1a == uni[w1] and r.c1b == uni[w2]
+        assert r.lift_ppm == lift
+
+
+def _brand_graph_adj(sf_dir):
+    """Brand co-occurrence adjacency from first principles: distinct
+    brands per order (lineitem x part), undirected edge when a pair
+    shares >= 10 baskets."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    pair_counts: Counter = Counter()
+    for _, brands in m.groupby("l_orderkey")["p_brand"]:
+        for a, b in combinations(sorted(set(brands)), 2):
+            pair_counts[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), n in pair_counts.items():
+        if n >= 10:
+            adj[a].add(b)
+            adj[b].add(a)
+    return adj
+
+
+def test_katz_matches_pure_python(spark):
+    """Walk counts by direct enumeration: w1 = degree, w_{l+1}(v) =
+    sum of w_l over neighbors; katz_x64 = 16*w1 + 4*w2 + w3."""
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        q_graph_katz_centrality,
+    )
+    from tests.conftest import SF_DIR
+
+    adj = _brand_graph_adj(SF_DIR)
+    w1 = {v: len(ns) for v, ns in adj.items()}
+    w2 = {v: sum(w1[u] for u in adj[v]) for v in adj}
+    w3 = {v: sum(w2[u] for u in adj[v]) for v in adj}
+    got = {r.brand: r for r in q_graph_katz_centrality(spark, SF_DIR).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        r = got[v]
+        assert (r.walks1, r.walks2, r.walks3) == (w1[v], w2[v], w3[v])
+        assert r.katz_x64 == 16 * w1[v] + 4 * w2[v] + w3[v]
+
+
+def test_orc_roundtrip_preserves_types(spark):
+    """The ORC cycle must preserve DECIMAL(18,4) and DATE through the
+    file format: check the written files' schema (read back WITHOUT a
+    declared schema) and the aggregate against a pandas recomputation."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from data_ingestion_api_system_spark.operators.io import (
+        _ROUNDTRIP_ROOT,
+        q_io_orc_roundtrip,
+    )
+    from tests.conftest import SF_DIR
+
+    out = {r.event_type: r for r in q_io_orc_roundtrip(spark, SF_DIR).collect()}
+
+    import os
+
+    dest = os.path.join(_ROUNDTRIP_ROOT, "orc_sf0.001")
+    inferred = dict(spark.read.orc(dest).dtypes)
+    assert inferred["value_dec"] == "decimal(18,4)"
+    assert inferred["day"] == "date"
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    for etype, grp in ev.groupby("event_type"):
+        r = out[etype]
+        assert r.n_events == len(grp)
+        assert r.n_distinct_ids == grp["event_id"].nunique()
+        dec_sum = sum(
+            Decimal(repr(v)).quantize(Decimal("0.0001")) for v in grp["value"]
+        )
+        assert Decimal(repr(r.sum_value)) == dec_sum.quantize(Decimal("0.01"))
+        assert r.min_day == str(grp["ts"].dt.date.min())
+        assert r.max_day == str(grp["ts"].dt.date.max())
+
+
+def _cos_ppm_py(a, b):
+    """Sequential-fold cosine -> half-up 6dp -> ppm int, mirroring the
+    engines' fold order (left-to-right, no pairwise summation)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    cos = dot / ((na ** 0.5) * (nb ** 0.5))
+    q = Decimal(cos).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    return int(q * 1_000_000)
+
+
+def test_mmr_matches_pure_python(spark):
+    """MMR re-derived from the paper's definition: greedy argmax of
+    lam*rel - (1-lam)*max-sim-to-selected over the top-12 pool, ties to
+    the smaller vec_id."""
+    import pandas as pd
+
+    from data_ingestion_api_system_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        q_sim_mmr_diversify,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    q = vecs[0]
+    rel = {v: _cos_ppm_py(vec, q) for v, vec in vecs.items() if v != 0}
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+    sim = {
+        (a, b): _cos_ppm_py(vecs[a], vecs[b])
+        for a in pool
+        for b in pool
+        if a != b
+    }
+    selected = []
+    expect = []
+    for _ in range(MMR_K):
+        best = None
+        for v in pool:
+            if v in selected:
+                continue
+            maxsim = max((sim[(v, s)] for s in selected), default=0)
+            score = 7 * rel[v] - 3 * maxsim
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, maxsim, score)
+        _, v, maxsim, score = best
+        selected.append(v)
+        expect.append((len(selected), v, rel[v], maxsim, score))
+    got = sorted(
+        q_sim_mmr_diversify(spark, SF_DIR).collect(), key=lambda r: r.pick
+    )
+    assert [
+        (r.pick, r.vec_id, r.rel_ppm, r.maxsim_ppm, r.mmr_score) for r in got
+    ] == expect
+    # structural invariants: distinct picks, first pick is pure argmax-rel
+    assert len({r.vec_id for r in got}) == MMR_K
+    assert got[0].vec_id == min(rel, key=lambda v: (-rel[v], v))

@@ -632,6 +632,40 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"partial_count|partial_sum"],
         [r"CartesianProduct", r"Join", r"Window"],
     ),
+    # ---- round 9 ----
+    "io_orc_roundtrip": (
+        # read-back side of the certified ORC sink: a real ORC scan under
+        # the declared schema, partial-agg rollup
+        [r"Scan orc", r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "sketch_kmv_distinct": (
+        # k-min order statistics via PARTITIONED windows (type[, day]) over
+        # distinct hashes; three per-type branches hash-join back together
+        [r"Window", r"HashAggregate", r"HashJoin|SortMergeJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "text_pmi_collocations": (
+        # vocabulary-sized aggs, support filter before the unigram joins,
+        # top-k never a full sort; the one BNLJ is the broadcast 1-row
+        # corpus-total scalar (standard allowance)
+        [r"TakeOrderedAndProject", r"partial_count", r"HashJoin|SortMergeJoin"],
+        [r"CartesianProduct"],
+    ),
+    "graph_katz_centrality": (
+        # fixed 2-step unroll: equi-join + partial-agg per walk length,
+        # no window, no pairwise blowup
+        [r"HashJoin|SortMergeJoin", r"partial_sum|partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    "sim_mmr_diversify": (
+        # pool construction is a top-k (TakeOrderedAndProject); the
+        # selection unroll is a Union of bounded top-1 steps over the
+        # 12-row pool; pool×pool and query-vector joins broadcast (BNLJ
+        # allowed like every sim entry)
+        [r"TakeOrderedAndProject", r"Union"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
