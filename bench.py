@@ -126,6 +126,18 @@ ADDED_R9 = [
     "text_pmi_collocations",
     "graph_katz_centrality",
     "sim_mmr_diversify",
+    # round-9b: the curation funnel, the BPE pair-count trainer step, the
+    # incremental bloom dedup (K chained broadcast joins + verify join),
+    # the theta-sketch overlap, the FK orphan sweep (7 anti-joins), the
+    # survival risk-set table, the k-core peel loop, and the Heaps curve
+    "text_filter_funnel",
+    "text_bpe_merge_step",
+    "dedup_incremental_bloom",
+    "sketch_theta_intersection",
+    "dq_referential_orphans",
+    "events_survival_hazard",
+    "graph_kcore_peel",
+    "text_heaps_vocab_growth",
 ]
 
 
@@ -231,27 +243,28 @@ def main() -> None:
     )
     # Overwrite guard (VERDICT r8 #2): in rounds 7 AND 8 a loaded driver run
     # overwrote the committed solo record at this path, and r8's round-end
-    # commit destroyed the round's only clean perf series. A contaminated run
-    # (load > 4.0 at start on this 32-cpu box) must never replace a clean
-    # record: divert it to an untracked sibling (*.live.json, gitignored)
-    # and leave the clean file alone. Clean-over-clean and
-    # contaminated-over-contaminated refreshes still go to the main path.
-    if load_1m_at_start > 4.0:
-        existing_load = None
-        try:
-            with open(out_path) as fh:
-                existing_load = json.load(fh).get("load_1m_at_start")
-        except (OSError, ValueError):
-            pass
-        if existing_load is not None and existing_load <= 4.0:
-            diverted = str(Path(out_path).with_suffix(".live.json"))
-            print(
-                f"# NOTE: existing record at {out_path} is clean "
-                f"(load {existing_load}); writing this contaminated run "
-                f"(load {load_1m_at_start}) to {diverted} instead",
-                file=sys.stderr,
-            )
-            out_path = diverted
+    # commit destroyed the round's only clean perf series. A noisier run
+    # must never replace a quieter record: if the existing record started
+    # at materially lower load than this run (>0.5 on the 1-min average —
+    # in round 9 a load-3.51 run slipped under the old fixed 4.0 gate and
+    # overwrote a load-0.4 record, inflating the series 15%), divert this
+    # run to an untracked sibling (*.live.json, gitignored) and leave the
+    # quieter file alone. Quieter-or-equal runs still refresh the record.
+    existing_load = None
+    try:
+        with open(out_path) as fh:
+            existing_load = json.load(fh).get("load_1m_at_start")
+    except (OSError, ValueError):
+        pass
+    if existing_load is not None and load_1m_at_start > existing_load + 0.5:
+        diverted = str(Path(out_path).with_suffix(".live.json"))
+        print(
+            f"# NOTE: existing record at {out_path} started quieter "
+            f"(load {existing_load} vs {load_1m_at_start}); writing this "
+            f"run to {diverted} instead",
+            file=sys.stderr,
+        )
+        out_path = diverted
     with open(out_path, "w") as fh:
         fh.write(result + "\n")
     spark.stop()

@@ -410,6 +410,14 @@ _BORN_ROUND = {
     "text_pmi_collocations": 9,
     "graph_katz_centrality": 9,
     "sim_mmr_diversify": 9,
+    "text_filter_funnel": 9,
+    "text_bpe_merge_step": 9,
+    "dedup_incremental_bloom": 9,
+    "sketch_theta_intersection": 9,
+    "dq_referential_orphans": 9,
+    "events_survival_hazard": 9,
+    "graph_kcore_peel": 9,
+    "text_heaps_vocab_growth": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -1153,7 +1153,142 @@ FROM pc LEFT JOIN pv USING (cfg), pooled
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) dedup: the arriving-batch-vs-historical-corpus
+# shape every continuously-ingesting pipeline runs (new crawl snapshot vs.
+# everything already kept). The historical side is summarized as a
+# deterministic Bloom filter over content fingerprints; only bloom-POSITIVE
+# batch docs reach the exact verification join, so the (huge) historical
+# fingerprint set is never anti-joined against the whole batch.
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 → "new batch", else "historical"
+
+
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an arriving batch (doc_id % 5 == 0) against the historical
+    corpus (the rest) with a Bloom-filter prefilter on the exact-dedup
+    content fingerprint, then exact-verify only the bloom positives.
+    Reports, per source: batch size, bloom positives, true duplicates,
+    false positives, and the docs kept.
+
+    Scale shape: the bloom bit set is AT MOST m = 65536 rows regardless of
+    corpus size — it broadcasts, and the membership decision is K chained
+    broadcast left joins (the batch never shuffles to be classified). Only
+    the positives — true dups + the bloom's ~(n/m)^K false-positive tail —
+    carry into the exact fingerprint equi-join against the historical set,
+    which is the one key-partitioned shuffle in the plan. The Bloom
+    no-false-negative guarantee (pinned by the `sketch_bloom_membership`
+    pytest) makes the prefilter lossless for dedup. Reuses the
+    deterministic salted-md5 bit positions from relational2 so both
+    engines compute identical bits."""
+    from .relational2 import BLOOM_K, _bloom_positions
+
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fps = docs.select(
+        "doc_id", "source", F.md5(norm).alias("fp"),
+        (F.col("doc_id") % INCR_BATCH_MOD == 0).alias("is_batch"),
+    )
+    hist = pin(fps.filter(~F.col("is_batch")).select("fp").distinct())
+    bits = hist.select(
+        F.explode(F.array(*_bloom_positions(F.col("fp")))).alias("pos")
+    ).distinct()
+    probe = fps.filter("is_batch").select(
+        "doc_id",
+        "source",
+        "fp",
+        *[
+            p.alias(f"pos_{i}")
+            for i, p in enumerate(_bloom_positions(F.col("fp")))
+        ],
+    )
+    tested = probe
+    for i in range(BLOOM_K):
+        tested = tested.join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"bpos_{i}"), F.lit(1).alias(f"hit_{i}")
+                )
+            ),
+            F.col(f"pos_{i}") == F.col(f"bpos_{i}"),
+            "left",
+        )
+    positive = (
+        sum(F.coalesce(f"hit_{i}", F.lit(0)) for i in range(BLOOM_K)) == BLOOM_K
+    )
+    flagged = tested.select("doc_id", "source", "fp", positive.alias("positive"))
+    # exact verification: only positives join the historical fingerprints
+    hv = hist.select(F.col("fp").alias("hfp"), F.lit(1).alias("is_dup"))
+    verified = flagged.join(
+        hv, F.col("positive") & (F.col("fp") == F.col("hfp")), "left"
+    ).select(
+        "source",
+        F.col("positive").cast("int").alias("positive"),
+        F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+    )
+    return verified.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_batch"),
+        F.sum("positive").cast("bigint").alias("n_bloom_pos"),
+        F.sum("is_dup").cast("bigint").alias("n_true_dup"),
+        F.sum(
+            F.when((F.col("positive") == 1) & (F.col("is_dup") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        (F.count("*") - F.sum("is_dup")).cast("bigint").alias("n_kept"),
+    )
+
+
+def _sql_incr_pos(key: str) -> str:
+    return f"('0x' || substr(md5(i.range || ':' || {key}), 1, 4))::INT"
+
+
+_ORACLE_INCR_BLOOM = f"""
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         doc_id % {INCR_BATCH_MOD} = 0 AS is_batch
+  FROM documents
+),
+hist AS (SELECT DISTINCT fp FROM fps WHERE NOT is_batch),
+bits AS (
+  SELECT DISTINCT {_sql_incr_pos('fp')} AS pos
+  FROM hist, range(0, 4) i
+),
+ppos AS (
+  SELECT doc_id, {_sql_incr_pos('fp')} AS pos
+  FROM fps, range(0, 4) i WHERE is_batch
+),
+perkey AS (
+  SELECT ppos.doc_id, count(*) AS n_pos,
+         sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM (SELECT DISTINCT doc_id, pos FROM ppos) ppos
+  LEFT JOIN bits USING (pos)
+  GROUP BY ppos.doc_id
+),
+flagged AS (
+  SELECT f.source,
+         CASE WHEN p.n_pos = p.n_hit THEN 1 ELSE 0 END AS positive,
+         CASE WHEN p.n_pos = p.n_hit AND h.fp IS NOT NULL THEN 1 ELSE 0 END
+           AS is_dup
+  FROM fps f
+  JOIN perkey p USING (doc_id)
+  LEFT JOIN hist h ON f.fp = h.fp
+  WHERE f.is_batch
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(sum(positive) AS BIGINT) AS n_bloom_pos,
+       CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
+       CAST(sum(CASE WHEN positive = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(count(*) - sum(is_dup) AS BIGINT) AS n_kept
+FROM flagged GROUP BY source
+"""
+
+
 QUERIES = {
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_lsh_tuning_sweep": q_dedup_lsh_tuning_sweep,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1167,6 +1302,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_incremental_bloom": _ORACLE_INCR_BLOOM,
     "dedup_lsh_tuning_sweep": _ORACLE_LSH_SWEEP,
     "dedup_exact": _ORACLE_EXACT,
     "dedup_embedding_cosine": _ORACLE_EMB_COSINE,

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, exact_avg_halfup, exact_sum, sql_exact_avg, sql_exact_avg_halfup, sql_exact_sum
 from ..tables import load_table
-from . import global_ntile, tune
+from . import global_ntile, pin, tune
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -904,7 +904,132 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Survival analysis (Kaplan–Meier risk sets + the Nelson–Aalen cumulative
+# hazard, Aalen 1978) over user lifetimes — the churn curve a retention
+# team reads. Kept integer-exact: the curve is emitted as the per-week
+# risk-set table (n_at_risk, n_churned) plus per-week and cumulative
+# hazard in floor-ppm, so no cross-engine float product ever happens
+# (a multiplicative survival estimate would need float products; the
+# cumulative HAZARD is a plain integer sum and carries the same
+# information).
+SURVIVAL_CENSOR_DAYS = 7  # quiet for > 7 days at corpus end → churned
+
+
+def q_events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenure-week survival table over user lifetimes: users quiet for
+    more than {SURVIVAL_CENSOR_DAYS} days before the corpus end count as
+    churned at their last-seen week, the rest are right-censored. Emits
+    the Kaplan–Meier risk-set counts and the Nelson–Aalen cumulative
+    hazard (both hazards in exact floor-ppm).
+
+    Scale shape: ONE groupBy(user_id) collapses the fact to per-user
+    (first_day, last_day) — the only corpus-size shuffle; the global
+    censor horizon is a broadcast 1-row scalar. Everything after runs on
+    the per-tenure-week aggregate, whose row count is calendar-bounded
+    (≤ weeks in the observation span, ~5 at test SF, ≤ a few thousand
+    ever), so the reverse-cumulative risk set and the cumulative hazard
+    are non-equi self-joins of a broadcast metadata-scale table — no
+    un-partitioned window over data-sized input."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    horizon = F.broadcast(per_user.agg(F.max("last_day").alias("max_day")))
+    lives = per_user.crossJoin(horizon).select(
+        F.expr("CAST(datediff(last_day, first_day) DIV 7 AS BIGINT)").alias(
+            "tenure_week"
+        ),
+        (
+            F.col("last_day") < F.date_sub(F.col("max_day"), SURVIVAL_CENSOR_DAYS)
+        )
+        .cast("int")
+        .alias("churned"),
+    )
+    g = pin(
+        lives.groupBy("tenure_week").agg(
+            F.count("*").alias("n_users"), F.sum("churned").alias("n_churned")
+        )
+    )
+    risk = (
+        g.select(F.col("tenure_week").alias("w"))
+        .join(
+            F.broadcast(
+                g.select(F.col("tenure_week").alias("w2"), "n_users")
+            ),
+            F.col("w2") >= F.col("w"),
+        )
+        .groupBy("w")
+        .agg(F.sum("n_users").cast("bigint").alias("n_at_risk"))
+    )
+    haz = pin(
+        g.join(risk, g["tenure_week"] == risk["w"]).select(
+            "tenure_week",
+            "n_at_risk",
+            F.col("n_churned").cast("bigint").alias("n_churned"),
+            F.expr("CAST(n_churned * 1000000 DIV n_at_risk AS BIGINT)").alias(
+                "hazard_ppm"
+            ),
+        )
+    )
+    cum = (
+        haz.select(F.col("tenure_week").alias("w"))
+        .join(
+            F.broadcast(
+                haz.select(
+                    F.col("tenure_week").alias("w2"),
+                    F.col("hazard_ppm").alias("h2"),
+                )
+            ),
+            F.col("w2") <= F.col("w"),
+        )
+        .groupBy("w")
+        .agg(F.sum("h2").cast("bigint").alias("cum_hazard_ppm"))
+    )
+    return haz.join(cum, haz["tenure_week"] == cum["w"]).select(
+        "tenure_week", "n_at_risk", "n_churned", "hazard_ppm", "cum_hazard_ppm"
+    )
+
+
+_ORACLE_SURVIVAL = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+pu AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM ev GROUP BY 1),
+mx AS (SELECT max(ld) AS max_day FROM pu),
+lives AS (
+  SELECT CAST((ld - fd) // 7 AS BIGINT) AS tenure_week,
+         CASE WHEN ld < max_day - {SURVIVAL_CENSOR_DAYS} THEN 1 ELSE 0 END
+           AS churned
+  FROM pu CROSS JOIN mx
+),
+g AS (
+  SELECT tenure_week, count(*) AS n_users, sum(churned) AS n_churned
+  FROM lives GROUP BY 1
+),
+w AS (
+  SELECT tenure_week, n_churned,
+         sum(n_users) OVER (ORDER BY tenure_week DESC) AS n_at_risk
+  FROM g
+),
+h AS (
+  SELECT tenure_week, n_at_risk, n_churned,
+         n_churned * 1000000 // n_at_risk AS hazard_ppm
+  FROM w
+)
+SELECT tenure_week,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY tenure_week) AS BIGINT)
+         AS cum_hazard_ppm
+FROM h
+"""
+
+
 QUERIES = {
+    "events_survival_hazard": q_events_survival_hazard,
     "events_interval_merge": q_events_interval_merge,
     "events_streaks": q_events_streaks,
     "events_dau_wau": q_events_dau_wau,
@@ -922,6 +1047,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_survival_hazard": _ORACLE_SURVIVAL,
     "events_interval_merge": _ORACLE_INTERVAL_MERGE,
     "events_streaks": _ORACLE_STREAKS,
     "events_dau_wau": _ORACLE_DAU_WAU,

@@ -861,7 +861,87 @@ FROM classed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: the FK orphan sweep a warehouse runs after
+# every load (the reference's existence guard, src/app.js:69-73, scaled to
+# the whole star schema). One row per declared FK edge.
+_FK_EDGES = (
+    # (name, child table, fk col, parent table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over every declared FK edge of the star
+    schema: per edge, the child row count, the child rows whose FK has no
+    parent, and the distinct orphan key count.
+
+    Scale shape: each child table is collapsed to its (fk → row-count)
+    aggregate FIRST (map-side combinable, output is key-cardinality sized,
+    ≪ fact), so the anti-join that finds orphans runs key-vs-key, never
+    row-vs-key; dimension parents (nation, region, customer, supplier,
+    part) broadcast. Child totals are read off the same collapsed
+    aggregate — one scan per child table even though two metrics come out
+    of it. Output is exactly |edges| rows."""
+    tune(spark)
+    parts = []
+    grouped_cache: dict[str, DataFrame] = {}
+    for name, child, fk, parent, pk in _FK_EDGES:
+        ck = f"{child}:{fk}"
+        if ck not in grouped_cache:
+            grouped_cache[ck] = pin(
+                load_table(spark, sf_dir, child)
+                .groupBy(F.col(fk).alias("k"))
+                .agg(F.count("*").alias("c"))
+            )
+        g = grouped_cache[ck]
+        pkeys = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = g.join(pkeys, "k", "left_anti")
+        totals = g.agg(
+            F.sum("c").cast("bigint").alias("child_rows")
+        ).crossJoin(
+            orphans.agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("orphan_rows"),
+                F.count("*").cast("bigint").alias("orphan_keys"),
+            )
+        )
+        parts.append(totals.select(F.lit(name).alias("fk_name"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("fk_name", "child_rows", "orphan_rows", "orphan_keys")
+
+
+def _fk_block(name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{name}' AS fk_name,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS child_rows,
+       CAST(coalesce((SELECT sum(c) FROM (
+          SELECT {fk} AS k, count(*) AS c FROM {child} GROUP BY 1
+        ) g WHERE NOT EXISTS (
+          SELECT 1 FROM {parent} p WHERE p.{pk} = g.k
+        )), 0) AS BIGINT) AS orphan_rows,
+       CAST((SELECT count(*) FROM (
+          SELECT {fk} AS k FROM {child} GROUP BY 1
+        ) g WHERE NOT EXISTS (
+          SELECT 1 FROM {parent} p WHERE p.{pk} = g.k
+        )) AS BIGINT) AS orphan_keys
+"""
+
+
+_ORACLE_ORPHANS = "\nUNION ALL\n".join(
+    _fk_block(*edge) for edge in _FK_EDGES
+)
+
+
 QUERIES = {
+    "dq_referential_orphans": q_dq_referential_orphans,
     "dq_benford_check": q_dq_benford_check,
     "orders_abc_classification": q_orders_abc_classification,
     "events_cusum_changepoint": q_events_cusum_changepoint,
@@ -875,6 +955,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_referential_orphans": _ORACLE_ORPHANS,
     "dq_benford_check": _ORACLE_BENFORD,
     "orders_abc_classification": _ORACLE_ABC,
     "events_cusum_changepoint": _ORACLE_CUSUM,

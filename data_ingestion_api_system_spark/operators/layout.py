@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import tune
+from . import pin, tune
 
 # 8 bits per dimension → 256×256 grid → 16-bit Z-value; 64 buckets ("files")
 # taken from the TOP 6 bits of the interleave, i.e. each bucket is a
@@ -603,7 +603,153 @@ FROM exact JOIN direct USING (event_type) JOIN merged USING (event_type)
 """
 
 
+# Theta-sketch set intersection (Dasgupta et al. 2016, the DataSketches
+# theta family): KMV sketches compose beyond union — two sketches cut to a
+# COMMON theta estimate the intersection as |{h ∈ A∩B : h < θ}| / (θ/P).
+# This is the audience-overlap query ("users who did X and Y") answered
+# from per-segment sketches without rescanning the fact, and like the KMV
+# entry it is FULLY deterministic given the hash, so the oracle
+# hash-matches the estimate itself.
+
+
+def q_sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact distinct-user overlap for every unordered pair of
+    event types, from K-minimum-value sketches cut to the pair's common
+    theta.
+
+    Scale shape: the fact is scanned once into per-type distinct hashes
+    (one (type, h) shuffle with map-side pruning — a value outside a
+    partition's k smallest can never be in the global k smallest); after
+    that EVERYTHING runs on ≤ |types|·K sketch rows — the pair grid, the
+    common-theta cut, and the estimate are metadata-scale. The exact
+    twin (per-pair distinct-user intersection via self-join on user_id)
+    rescans the fact as the audit, the same sampled-audit role the KMV
+    entry documents; production use stops at `est_both`."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.expr(_KMV_HASH).alias("h")
+    )
+    th = ev.select("event_type", "h").distinct()
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sketch = pin(
+        th.withColumn("rk", F.row_number().over(wt)).filter(F.col("rk") <= KMV_K)
+    )
+    theta = sketch.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))), F.lit(JS_P)
+        ).alias("theta")
+    )
+    types = theta.select(
+        F.col("event_type").alias("type_a"), F.col("theta").alias("theta_a")
+    )
+    grid = types.crossJoin(
+        theta.select(
+            F.col("event_type").alias("type_b"), F.col("theta").alias("theta_b")
+        )
+    ).filter(F.col("type_a") < F.col("type_b"))
+    common = (
+        sketch.select(F.col("event_type").alias("type_a"), "h")
+        .join(sketch.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    # cut both sketches to the pair's common theta, count survivors
+    ccnt = (
+        common.join(F.broadcast(grid), ["type_a", "type_b"])
+        .filter(F.col("h") < F.least("theta_a", "theta_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_common_sketch"))
+    )
+    exact = (
+        ev.select(F.col("event_type").alias("type_a"), "user_id")
+        .distinct()
+        .join(
+            ev.select(F.col("event_type").alias("type_b"), "user_id").distinct(),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_both"))
+    )
+    return (
+        grid.join(ccnt, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_common_sketch", F.lit(0)).cast("bigint").alias(
+                "n_common_sketch"
+            ),
+            F.expr(
+                f"CAST(coalesce(n_common_sketch, 0) * CAST({JS_P} AS BIGINT)"
+                " DIV least(theta_a, theta_b) AS BIGINT)"
+            ).alias("est_both"),
+            F.coalesce("exact_both", F.lit(0)).cast("bigint").alias("exact_both"),
+            F.expr(
+                "CASE WHEN coalesce(exact_both, 0) = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE CAST(abs(coalesce(n_common_sketch, 0) * CAST({JS_P} AS BIGINT)"
+                " DIV least(theta_a, theta_b) - exact_both) * 1000000"
+                " DIV exact_both AS BIGINT) END"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+_ORACLE_THETA = f"""
+WITH ev AS (
+  SELECT event_type, user_id, {_KMV_HASH} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM (SELECT DISTINCT event_type, h FROM ev)
+),
+sketch AS (SELECT event_type, h, rk FROM ranked WHERE rk <= {KMV_K}),
+theta AS (
+  SELECT event_type,
+         coalesce(max(CASE WHEN rk = {KMV_K} THEN h END), {JS_P}) AS theta
+  FROM sketch GROUP BY event_type
+),
+grid AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.theta AS theta_a, b.theta AS theta_b
+  FROM theta a JOIN theta b ON a.event_type < b.event_type
+),
+ccnt AS (
+  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+         count(*) AS n_common_sketch
+  FROM sketch sa
+  JOIN sketch sb ON sa.h = sb.h AND sa.event_type < sb.event_type
+  JOIN grid g ON g.type_a = sa.event_type AND g.type_b = sb.event_type
+  WHERE sa.h < least(g.theta_a, g.theta_b)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(DISTINCT a.user_id) AS exact_both
+  FROM (SELECT DISTINCT event_type, user_id FROM ev) a
+  JOIN (SELECT DISTINCT event_type, user_id FROM ev) b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT g.type_a, g.type_b,
+       CAST(coalesce(c.n_common_sketch, 0) AS BIGINT) AS n_common_sketch,
+       CAST(coalesce(c.n_common_sketch, 0) * CAST({JS_P} AS BIGINT)
+            // least(g.theta_a, g.theta_b) AS BIGINT) AS est_both,
+       CAST(coalesce(e.exact_both, 0) AS BIGINT) AS exact_both,
+       CASE WHEN coalesce(e.exact_both, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(abs(coalesce(c.n_common_sketch, 0) * CAST({JS_P} AS BIGINT)
+                          // least(g.theta_a, g.theta_b) - e.exact_both)
+                      * 1000000 // e.exact_both AS BIGINT) END AS err_ppm
+FROM grid g
+LEFT JOIN ccnt c ON g.type_a = c.type_a AND g.type_b = c.type_b
+LEFT JOIN exact e ON g.type_a = e.type_a AND g.type_b = e.type_b
+"""
+
+
 QUERIES = {
+    "sketch_theta_intersection": q_sketch_theta_intersection,
     "layout_zorder_skipping": q_layout_zorder_skipping,
     "layout_compaction_bins": q_layout_compaction_bins,
     "sketch_hll_union_rollup": q_sketch_hll_union_rollup,
@@ -612,6 +758,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sketch_theta_intersection": _ORACLE_THETA,
     "layout_zorder_skipping": _ORACLE_ZORDER,
     "layout_compaction_bins": _ORACLE_COMPACTION,
     "sketch_hll_union_rollup": _ORACLE_HLL_ROLLUP,

@@ -1617,7 +1617,323 @@ LIMIT {PMI_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher/C4-style filter funnel (Rae et al. 2021 §A1.1; Raffel et al. 2020).
+# Unlike `text_quality_score` (per-doc score) this is the CURATION FUNNEL a
+# pipeline operator reads: an ORDERED rule stack where each document is
+# attributed to its FIRST failing rule, reported per (stage, lang) with a
+# global ppm share. All rule arithmetic is integer-exact (ratio thresholds
+# rewritten as cross-multiplied integer comparisons) so both engines agree
+# bit-for-bit.
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 5000
+FUNNEL_WORD_LEN_LO = 3  # Gopher: mean word length in [3, 10]
+FUNNEL_WORD_LEN_HI = 10
+FUNNEL_STAGES = (
+    "01_too_short",
+    "02_too_long",
+    "03_word_len",
+    "04_symbol_ratio",
+    "05_top_token",
+    "06_stopword",
+    "07_survived",
+)
+
+
+def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered quality-filter funnel over the corpus: token-count bounds,
+    mean-word-length band, symbol-to-word ratio, most-common-token
+    dominance, and stopword evidence — each doc killed by its FIRST
+    failing rule, counts reported per (kill_stage, lang) with global ppm.
+
+    Scale shape: one embarrassingly-parallel projection computes every
+    rule feature per document (the dominant-token count is a SINGLE
+    sorted-run fold — one pass over the token array, per the one-fold
+    interpreter rule in SCALE.md), then one map-side-combinable aggregate
+    over ≤ |stages|×|langs| groups and a broadcast 1-row total for the
+    ppm share. No joins, no windows; documents never shuffle (only the
+    tiny per-group partials move)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_symbols = (
+        F.length("text") - F.length(F.replace("text", F.lit("#")))
+    ) + (F.length("text") - F.length(F.replace("text", F.lit("…"))))
+    # dominant-token count: one fold over the sorted token array (longest
+    # equal-run length) — a single pass, no per-distinct-token rescans
+    top_tok = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    n_stop_distinct = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in STOPWORDS]),
+            lambda s: F.array_contains(lowered, s),
+        )
+    )
+    stage = (
+        F.when(n_tokens < FUNNEL_MIN_TOKENS, FUNNEL_STAGES[0])
+        .when(n_tokens > FUNNEL_MAX_TOKENS, FUNNEL_STAGES[1])
+        .when(
+            (n_nonspace < FUNNEL_WORD_LEN_LO * n_tokens)
+            | (n_nonspace > FUNNEL_WORD_LEN_HI * n_tokens),
+            FUNNEL_STAGES[2],
+        )
+        .when(10 * n_symbols > n_tokens, FUNNEL_STAGES[3])
+        .when(5 * top_tok > n_tokens, FUNNEL_STAGES[4])
+        .when(n_stop_distinct < 2, FUNNEL_STAGES[5])
+        .otherwise(FUNNEL_STAGES[6])
+    )
+    staged = docs.select(stage.alias("kill_stage"), "lang")
+    total = F.broadcast(
+        docs.agg(F.count("*").cast("bigint").alias("n_total"))
+    )
+    return (
+        staged.groupBy("kill_stage", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(total)  # 1-row scalar — plans as broadcast BNLJ
+        .select(
+            "kill_stage",
+            "lang",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+_SQL_STOP_ARRAY = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_SQL_STAGE_FEATURES = f"""
+  SELECT lang,
+         len({_SQL_TOKS}) AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, chr(8230), ''))) AS n_symbols,
+         list_max(list_transform(list_distinct({_SQL_TOKS}),
+                                 d -> len(list_filter({_SQL_TOKS}, t -> t = d))))
+           AS top_tok,
+         len(list_filter({_SQL_STOP_ARRAY},
+             s -> list_contains(list_transform({_SQL_TOKS}, t -> lower(t)), s)))
+           AS n_stop_distinct
+  FROM documents
+"""
+
+_ORACLE_FUNNEL = f"""
+WITH feats AS ({_SQL_STAGE_FEATURES}),
+staged AS (
+  SELECT lang,
+         CASE
+           WHEN n_tokens < {FUNNEL_MIN_TOKENS} THEN '{FUNNEL_STAGES[0]}'
+           WHEN n_tokens > {FUNNEL_MAX_TOKENS} THEN '{FUNNEL_STAGES[1]}'
+           WHEN n_nonspace < {FUNNEL_WORD_LEN_LO} * n_tokens
+                OR n_nonspace > {FUNNEL_WORD_LEN_HI} * n_tokens
+             THEN '{FUNNEL_STAGES[2]}'
+           WHEN 10 * n_symbols > n_tokens THEN '{FUNNEL_STAGES[3]}'
+           WHEN 5 * top_tok > n_tokens THEN '{FUNNEL_STAGES[4]}'
+           WHEN n_stop_distinct < 2 THEN '{FUNNEL_STAGES[5]}'
+           ELSE '{FUNNEL_STAGES[6]}'
+         END AS kill_stage
+  FROM feats
+),
+total AS (SELECT count(*) AS n_total FROM documents)
+SELECT kill_stage, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+FROM staged CROSS JOIN total
+GROUP BY kill_stage, lang, n_total
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer merge step (Sennrich et al. 2016 §3.2). Production BPE
+# trainers never scan the corpus per merge: they collapse the corpus to the
+# WORD-FREQUENCY table once, then count adjacent symbol pairs weighted by
+# word frequency. This entry certifies exactly that distributed step: the
+# corpus-to-vocab collapse is one map-side-combinable aggregate, the pair
+# expansion runs over DISTINCT words only (vocab-size × word-length, ≪
+# corpus), and the winner selection is a top-k.
+BPE_MERGE_TOP_K = 20
+
+
+def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration over the corpus at the character level:
+    collapse to the word-frequency table, expand each DISTINCT word into
+    its adjacent character pairs, weight by word frequency, and emit the
+    top merge candidates.
+
+    Scale shape: corpus → vocab is ONE hash aggregate with map-side
+    combine (output is vocabulary-sized, ≪ corpus); the pair explode runs
+    over distinct words only, so its row count is Σ(len(w)−1) over the
+    VOCABULARY, not the corpus; the pair aggregate is again map-side
+    combinable; the final selection is TakeOrderedAndProject with a total
+    tie-break order (count desc, pair asc) so rank-boundary ties are
+    deterministic."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = vocab.select(
+        "word",
+        "wc",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) >= 2 THEN"
+                " transform(sequence(1, length(word) - 1),"
+                "           i -> substring(word, i, 2))"
+                " ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("bigint").alias("pair_count"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP_K)
+    )
+
+
+_ORACLE_BPE_MERGE = f"""
+WITH words AS (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+),
+vocab AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+pidx AS (
+  SELECT word, wc, CAST(unnest(range(1, length(word))) AS INT) AS i
+  FROM vocab WHERE length(word) >= 2
+),
+pairs AS (SELECT substr(word, i, 2) AS pair, wc, word FROM pidx)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_MERGE_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (Heaps 1978): distinct-vocabulary size as a
+# function of corpus prefix — the curve a data team reads to decide whether
+# more data still buys new vocabulary (and to size tokenizers). The naive
+# plan rescans the corpus per prefix; the scalable identity is that a word
+# contributes to prefix p iff its FIRST occurrence lands within p, so one
+# per-word min(doc_id) aggregate (vocabulary-sized) answers every prefix.
+
+
+def q_text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prefix growth curve at 10%-of-doc-id steps: documents seen,
+    running token total, and distinct vocabulary size per prefix.
+
+    Scale shape: TWO map-side-combinable aggregates answer all ten
+    prefixes — per-word first-occurrence (vocabulary-sized output) and
+    per-doc token counts collapsed to ≤ 11 decile-bucket rows; the
+    cumulative rollup is a broadcast non-equi join of the 10-row grid
+    against those bounded bucket tables. The corpus is never rescanned
+    per prefix and nothing data-sized crosses a non-equi join. Bucket
+    arithmetic is integer ceil-division, identical in both engines."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    maxid = F.broadcast(docs.agg(F.max("doc_id").alias("maxid")))
+    bucket = (
+        "CAST(((((doc_id * 100 + maxid - 1) DIV maxid) + 9) DIV 10) * 10 AS INT)"
+    )
+    dstat = docs.select("doc_id", F.size(tokens("text")).alias("nt"))
+    bd = (
+        dstat.crossJoin(maxid)
+        .select(F.expr(bucket).alias("b"), "nt")
+        .groupBy("b")
+        .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok"))
+    )
+    fw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    vb = (
+        fw.crossJoin(maxid)
+        .select(F.expr(bucket).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("nv"))
+    )
+    grid = (
+        docs.sparkSession.range(1, 11)
+        .select((F.col("id") * 10).cast("int").alias("prefix_pct"))
+    )
+    gd = (
+        grid.join(F.broadcast(bd), bd["b"] <= grid["prefix_pct"], "left")
+        .groupBy("prefix_pct")
+        .agg(
+            F.coalesce(F.sum("nd"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    gv = (
+        grid.join(F.broadcast(vb), vb["b"] <= grid["prefix_pct"], "left")
+        .groupBy("prefix_pct")
+        .agg(F.coalesce(F.sum("nv"), F.lit(0)).cast("bigint").alias("n_vocab"))
+    )
+    return gd.join(gv, "prefix_pct").select(
+        "prefix_pct", "n_docs", "n_tokens", "n_vocab"
+    )
+
+
+_SQL_HEAPS_BUCKET = "((((doc_id * 100 + maxid - 1) // maxid) + 9) // 10) * 10"
+
+_ORACLE_HEAPS = f"""
+WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
+dstat AS (SELECT doc_id, len({_SQL_TOKS}) AS nt FROM documents),
+bd AS (
+  SELECT {_SQL_HEAPS_BUCKET} AS b, count(*) AS nd, sum(nt) AS ntok
+  FROM dstat CROSS JOIN mx GROUP BY 1
+),
+words AS (
+  SELECT doc_id, unnest(list_transform({_SQL_TOKS}, t -> lower(t))) AS w
+  FROM documents
+),
+fw AS (SELECT w, min(doc_id) AS doc_id FROM words GROUP BY 1),
+vb AS (
+  SELECT {_SQL_HEAPS_BUCKET} AS b, count(*) AS nv
+  FROM fw CROSS JOIN mx GROUP BY 1
+),
+grid AS (SELECT CAST(unnest(range(1, 11)) * 10 AS INT) AS prefix_pct)
+SELECT prefix_pct,
+       CAST(coalesce((SELECT sum(nd) FROM bd WHERE bd.b <= grid.prefix_pct), 0)
+            AS BIGINT) AS n_docs,
+       CAST(coalesce((SELECT sum(ntok) FROM bd WHERE bd.b <= grid.prefix_pct), 0)
+            AS BIGINT) AS n_tokens,
+       CAST(coalesce((SELECT sum(nv) FROM vb WHERE vb.b <= grid.prefix_pct), 0)
+            AS BIGINT) AS n_vocab
+FROM grid
+"""
+
+
 QUERIES = {
+    "text_heaps_vocab_growth": q_text_heaps_vocab_growth,
+    "text_filter_funnel": q_text_filter_funnel,
+    "text_bpe_merge_step": q_text_bpe_merge_step,
     "text_pmi_collocations": q_text_pmi_collocations,
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
     "text_rake_keyphrases": q_text_rake_keyphrases,
@@ -1644,6 +1960,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_heaps_vocab_growth": _ORACLE_HEAPS,
+    "text_filter_funnel": _ORACLE_FUNNEL,
+    "text_bpe_merge_step": _ORACLE_BPE_MERGE,
     "text_pmi_collocations": _ORACLE_PMI,
     "text_tokenizer_fertility": _ORACLE_FERTILITY,
     "text_rake_keyphrases": _ORACLE_RAKE,

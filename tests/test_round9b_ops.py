@@ -1,0 +1,362 @@
+"""Round-9b operator tests: each new registry entry re-derived from the raw
+parquet with pure Python/pandas (a third implementation, independent of both
+the Spark plan and the DuckDB oracle), continuing the round-8 cohort policy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# text_filter_funnel
+
+
+def test_filter_funnel_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        FUNNEL_MAX_TOKENS,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_STAGES,
+        FUNNEL_WORD_LEN_HI,
+        FUNNEL_WORD_LEN_LO,
+        STOPWORDS,
+        q_text_filter_funnel,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    counts: Counter = Counter()
+    for _, row in docs.iterrows():
+        toks = _toks(row.text)
+        n = len(toks)
+        nonspace = len(re.sub(r"\s+", "", row.text))
+        symbols = row.text.count("#") + row.text.count("…")
+        top = max(Counter(toks).values()) if toks else 0
+        low = {t.lower() for t in toks}
+        nstop = sum(1 for s in STOPWORDS if s in low)
+        if n < FUNNEL_MIN_TOKENS:
+            st = FUNNEL_STAGES[0]
+        elif n > FUNNEL_MAX_TOKENS:
+            st = FUNNEL_STAGES[1]
+        elif nonspace < FUNNEL_WORD_LEN_LO * n or nonspace > FUNNEL_WORD_LEN_HI * n:
+            st = FUNNEL_STAGES[2]
+        elif 10 * symbols > n:
+            st = FUNNEL_STAGES[3]
+        elif 5 * top > n:
+            st = FUNNEL_STAGES[4]
+        elif nstop < 2:
+            st = FUNNEL_STAGES[5]
+        else:
+            st = FUNNEL_STAGES[6]
+        counts[(st, row.lang)] += 1
+    total = len(docs)
+    expected = {
+        (st, lang, n, n * 1_000_000 // total) for (st, lang), n in counts.items()
+    }
+    assert _rows(q_text_filter_funnel(spark, SF_DIR)) == expected
+    # the funnel must be non-degenerate on real data: survivors AND kills
+    stages = {s for s, _, _, _ in expected}
+    assert FUNNEL_STAGES[6] in stages and len(stages) >= 2
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merge_step
+
+
+def test_bpe_merge_step_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        BPE_MERGE_TOP_K,
+        q_text_bpe_merge_step,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab: Counter = Counter()
+    for text in docs.text:
+        vocab.update(_toks(text))
+    pair_count: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for word, wc in vocab.items():
+        for i in range(len(word) - 1):
+            p = word[i : i + 2]
+            pair_count[p] += wc
+            pair_words[p].add(word)
+    ranked = sorted(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {
+        (p, c, len(pair_words[p])) for p, c in ranked[:BPE_MERGE_TOP_K]
+    }
+    assert _rows(q_text_bpe_merge_step(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_bloom
+
+
+def test_incremental_bloom_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        q_dedup_incremental_bloom,
+    )
+    from data_ingestion_api_system_spark.operators.relational2 import BLOOM_K
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def fp(text):
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    docs = docs.assign(fp=docs.text.map(fp), batch=docs.doc_id % INCR_BATCH_MOD == 0)
+    hist = set(docs[~docs.batch].fp)
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:4], 16)
+            for i in range(BLOOM_K)
+        ]
+
+    bits = {p for f in hist for p in positions(f)}
+    agg: defaultdict = defaultdict(lambda: [0, 0, 0, 0])
+    for _, row in docs[docs.batch].iterrows():
+        pos = all(p in bits for p in positions(row.fp))
+        dup = row.fp in hist
+        a = agg[row.source]
+        a[0] += 1
+        a[1] += int(pos)
+        a[2] += int(dup)
+        a[3] += int(pos and not dup)
+    expected = {
+        (src, n, npos, ndup, nfp, n - ndup)
+        for src, (n, npos, ndup, nfp) in agg.items()
+    }
+    assert _rows(q_dedup_incremental_bloom(spark, SF_DIR)) == expected
+    # bloom guarantee: every true duplicate is bloom-positive
+    for _, n, npos, ndup, nfp, _ in expected:
+        assert npos == ndup + nfp and npos >= ndup
+
+
+# ---------------------------------------------------------------------------
+# sketch_theta_intersection
+
+
+def test_theta_intersection_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.layout import (
+        JS_A,
+        JS_B,
+        JS_P,
+        KMV_K,
+        q_sketch_theta_intersection,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+    def h(u):
+        return ((u % JS_P + JS_P) % JS_P * JS_A[2] + JS_B[2]) % JS_P
+
+    users: defaultdict = defaultdict(set)
+    for _, row in ev.iterrows():
+        users[row.event_type].add(int(row.user_id))
+    sk, theta = {}, {}
+    for t, us in users.items():
+        hs = sorted({h(u) for u in us})
+        sk[t] = set(hs[:KMV_K])
+        theta[t] = hs[KMV_K - 1] if len(hs) >= KMV_K else JS_P
+    expected = set()
+    for ta in users:
+        for tb in users:
+            if ta >= tb:
+                continue
+            th = min(theta[ta], theta[tb])
+            common = sum(1 for x in sk[ta] & sk[tb] if x < th)
+            est = common * JS_P // th
+            exact = len(users[ta] & users[tb])
+            err = 0 if exact == 0 else abs(est - exact) * 1_000_000 // exact
+            expected.add((ta, tb, common, est, exact, err))
+    assert _rows(q_sketch_theta_intersection(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# dq_referential_orphans
+
+
+def test_referential_orphans_matches_pandas(spark):
+    from data_ingestion_api_system_spark.operators.insights import (
+        _FK_EDGES,
+        q_dq_referential_orphans,
+    )
+
+    tables = {
+        t: pd.read_parquet(f"{SF_DIR}/{t}.parquet")
+        for t in "lineitem orders part supplier customer nation region".split()
+    }
+    expected = set()
+    for name, child, fk, parent, pk in _FK_EDGES:
+        c = tables[child]
+        parents = set(tables[parent][pk])
+        orphan_mask = ~c[fk].isin(parents)
+        expected.add(
+            (
+                name,
+                len(c),
+                int(orphan_mask.sum()),
+                int(c.loc[orphan_mask, fk].nunique()),
+            )
+        )
+    assert _rows(q_dq_referential_orphans(spark, SF_DIR)) == expected
+
+
+def test_referential_orphans_detects_injected_orphan(spark, tmp_path):
+    """Negative control: breaking one FK must surface in exactly that row
+    (the generated star schema is expected to be clean, so the zero rows
+    above would otherwise be a vacuous check)."""
+    import shutil
+
+    from data_ingestion_api_system_spark.operators.insights import (
+        q_dq_referential_orphans,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in (
+        "lineitem orders part supplier customer nation region "
+        "events documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+    nation = pd.read_parquet(sf / "nation.parquet")
+    nation.loc[nation.index[:2], "n_regionkey"] = 99  # no such region
+    nation.to_parquet(sf / "nation.parquet", index=False)
+    out = {r.fk_name: r for r in q_dq_referential_orphans(spark, str(sf)).collect()}
+    broken = out["nation.n_regionkey->region"]
+    assert broken.orphan_rows == 2 and broken.orphan_keys == 1
+    assert out["lineitem.l_orderkey->orders"].orphan_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# events_survival_hazard
+
+
+def test_survival_hazard_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        SURVIVAL_CENSOR_DAYS,
+        q_events_survival_hazard,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = ev.assign(day=ev.ts.dt.date).groupby("user_id").day
+    first, last = days.min(), days.max()
+    max_day = last.max()
+    weeks: defaultdict = defaultdict(lambda: [0, 0])
+    for u in first.index:
+        tw = (last[u] - first[u]).days // 7
+        churned = (max_day - last[u]).days > SURVIVAL_CENSOR_DAYS
+        weeks[tw][0] += 1
+        weeks[tw][1] += int(churned)
+    expected = set()
+    cum = 0
+    at_risk_total = sum(n for n, _ in weeks.values())
+    seen = 0
+    for tw in sorted(weeks):
+        n_users, n_churn = weeks[tw]
+        at_risk = at_risk_total - seen
+        seen += n_users
+        hz = n_churn * 1_000_000 // at_risk
+        cum += hz
+        expected.add((tw, at_risk, n_churn, hz, cum))
+    assert _rows(q_events_survival_hazard(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel
+
+
+def _strong_edges_pandas():
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    pt = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    baskets = m.groupby("l_orderkey").p_brand.agg(lambda s: sorted(set(s)))
+    pc: Counter = Counter()
+    for brands in baskets:
+        for i in range(len(brands)):
+            for j in range(i + 1, len(brands)):
+                pc[(brands[i], brands[j])] += 1
+    tn, npairs = sum(pc.values()), len(pc)
+    return [ab for ab, n in pc.items() if 10 * n * npairs > 11 * tn]
+
+
+def test_kcore_peel_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        q_graph_kcore_peel,
+    )
+
+    edges = _strong_edges_pandas()
+    adj = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    deg0 = Counter(s for s, _ in adj)
+    surv = set(adj)
+    for _ in range(KCORE_ROUNDS):
+        deg = Counter(s for s, _ in surv)
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        surv = {(s, d) for s, d in surv if s in keep and d in keep}
+    degf = Counter(s for s, _ in surv)
+    expected = {
+        (n, deg0[n], degf.get(n, 0), int(degf.get(n, 0) >= KCORE_K))
+        for n in deg0
+    }
+    assert _rows(q_graph_kcore_peel(spark, SF_DIR)) == expected
+
+
+def test_kcore_peel_removes_tail_on_synthetic_graph():
+    """Pure-python sanity of the peel semantics themselves: a 4-clique
+    with a pendant path must peel down to exactly the clique at k=3."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    adj = {(a, b) for a, b in clique + tail} | {
+        (b, a) for a, b in clique + tail
+    }
+    surv = set(adj)
+    for _ in range(3):
+        deg = Counter(s for s, _ in surv)
+        keep = {n for n, d in deg.items() if d >= 3}
+        surv = {(s, d) for s, d in surv if s in keep and d in keep}
+    assert {s for s, _ in surv} == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_vocab_growth
+
+
+def test_heaps_vocab_growth_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        q_text_heaps_vocab_growth,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values("doc_id")
+    maxid = int(docs.doc_id.max())
+    expected = set()
+    for pct in range(10, 101, 10):
+        cutoff = maxid * pct // 100
+        prefix = docs[docs.doc_id <= cutoff]
+        vocab = set()
+        ntok = 0
+        for text in prefix.text:
+            toks = [t.lower() for t in _toks(text)]
+            ntok += len(toks)
+            vocab.update(toks)
+        expected.add((pct, len(prefix), ntok, len(vocab)))
+    assert _rows(q_text_heaps_vocab_growth(spark, SF_DIR)) == expected
+    # the growth curve must be monotone in all three measures
+    rows = sorted(expected)
+    for a, b in zip(rows, rows[1:]):
+        assert b[1] >= a[1] and b[2] >= a[2] and b[3] >= a[3]

@@ -83,6 +83,24 @@ DEFAULT = [
     "text_rake_keyphrases",
     "join_salted_skew",
     "text_tokenizer_fertility",
+    # round-9 operators with nontrivial shuffle/join shapes: the KMV and
+    # theta order-statistic sketches, PMI's vocab-sized joins, the Katz
+    # 2-step unroll, the ORC sink cycle, the bloom-prefiltered incremental
+    # dedup, the BPE pair counter, the k-core peel loop, the survival
+    # risk-set rollup, the FK orphan sweep, the Heaps growth curve, and
+    # the funnel's single-pass rule stack
+    "sketch_kmv_distinct",
+    "sketch_theta_intersection",
+    "text_pmi_collocations",
+    "graph_katz_centrality",
+    "io_orc_roundtrip",
+    "dedup_incremental_bloom",
+    "text_bpe_merge_step",
+    "graph_kcore_peel",
+    "events_survival_hazard",
+    "dq_referential_orphans",
+    "text_heaps_vocab_growth",
+    "text_filter_funnel",
 ]
 
 
