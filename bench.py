@@ -138,6 +138,12 @@ ADDED_R9 = [
     "events_survival_hazard",
     "graph_kcore_peel",
     "text_heaps_vocab_growth",
+    # round-9c: the merge-schema sink cycle, the one-pass-per-table
+    # ANALYZE stats (multi-distinct Expand), and the global-quartile
+    # curriculum scheduler
+    "io_schema_evolution",
+    "layout_column_stats",
+    "prep_curriculum_order",
 ]
 
 

@@ -418,6 +418,9 @@ _BORN_ROUND = {
     "events_survival_hazard": 9,
     "graph_kcore_peel": 9,
     "text_heaps_vocab_growth": 9,
+    "io_schema_evolution": 9,
+    "layout_column_stats": 9,
+    "prep_curriculum_order": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -304,7 +304,72 @@ GROUP BY event_type
 """
 
 
+def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify parquet SCHEMA EVOLUTION through the sink: a 'legacy' batch
+    (two columns) and an 'evolved' batch (adds priority_code) land in the
+    same table root as key=value batch directories; the read-back merges
+    footers (mergeSchema) so legacy rows surface the new column as NULL,
+    and the per-batch aggregate must hash-match the oracle computed
+    straight from the original table — a dropped row, a mis-defaulted
+    column, or a partition-column mixup all break the gate.
+
+    Scale notes: schema evolution by footer-union is exactly how a 100 TB
+    lake table absorbs new columns without rewriting history; the entry's
+    read declares mergeSchema per-query, while the docstring contract (and
+    `sources/formats.py:read_table`) records that a production reader
+    should pin the union schema instead of re-merging footers every query.
+    Writes stay append-parallel; the batch directory IS the partition
+    pruning boundary for backfills."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    legacy = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.length("o_orderpriority").cast("int").alias("priority_code"),
+    )
+    dest = os.path.join(
+        _ROUNDTRIP_ROOT, "evo_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    write_table(legacy, os.path.join(dest, "batch=legacy"), "parquet")
+    write_table(evolved, os.path.join(dest, "batch=evolved"), "parquet")
+    back = read_table(spark, dest, "parquet", options={"mergeSchema": "true"})
+    return back.groupBy("batch").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("priority_code").cast("bigint").alias("n_with_code"),
+        F.sum(F.col("priority_code").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_code"),
+        F.coalesce(F.sum("priority_code"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_code"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )
+
+
+_ORACLE_SCHEMA_EVOLUTION = """
+SELECT 'legacy' AS batch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_with_code,
+       CAST(count(*) AS BIGINT) AS n_null_code,
+       CAST(0 AS BIGINT) AS sum_code,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'evolved' AS batch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_with_code,
+       CAST(0 AS BIGINT) AS n_null_code,
+       CAST(sum(length(o_orderpriority)) AS BIGINT) AS sum_code,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 QUERIES = {
+    "io_schema_evolution": q_io_schema_evolution,
     "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
     "io_csv_roundtrip": q_io_csv_roundtrip,
     "io_json_roundtrip": q_io_json_roundtrip,
@@ -312,6 +377,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "io_schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
     "io_partitioned_roundtrip": _ORACLE_ROUNDTRIP,
     "io_csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "io_json_roundtrip": _ORACLE_JSON_ROUNDTRIP,

