@@ -144,6 +144,12 @@ ADDED_R9 = [
     "io_schema_evolution",
     "layout_column_stats",
     "prep_curriculum_order",
+    # round-9d: exact-integer Kneser-Ney scoring (three count-table
+    # joins), per-user bot screening (one reused exchange), cumulative
+    # reach (first-occurrence identity)
+    "text_kneser_ney_score",
+    "events_bot_score",
+    "events_cumulative_reach",
 ]
 
 

@@ -421,6 +421,9 @@ _BORN_ROUND = {
     "io_schema_evolution": 9,
     "layout_column_stats": 9,
     "prep_curriculum_order": 9,
+    "text_kneser_ney_score": 9,
+    "events_bot_score": 9,
+    "events_cumulative_reach": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

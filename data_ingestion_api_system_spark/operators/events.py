@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, exact_avg_halfup, exact_sum, sql_exact_avg, sql_exact_avg_halfup, sql_exact_sum
 from ..tables import load_table
-from . import global_ntile, pin, tune
+from . import global_ntile, pin, spread_by, tune
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -1028,7 +1028,153 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Bot / abuse detection heuristics: per-user activity-rate screening — the
+# integrity gate every event pipeline runs before analytics (and before
+# events are admitted as training signal). All thresholds are integer
+# cross-multiplied, so the flag is engine-exact.
+BOT_BURST_MIN = 5  # ≥ 5 events inside one minute → burst flag
+BOT_RATE_PPM = 1_500_000  # > 1.5 events per active minute on average
+
+
+def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot screening: total events, distinct active minutes, the
+    hottest single minute (max burst), average events per active minute
+    in exact ppm, and the deterministic bot flag (burst ≥
+    {BOT_BURST_MIN} OR rate > {BOT_RATE_PPM} ppm).
+
+    Scale shape: ONE hash exchange total — the input is pre-partitioned
+    on user_id (`spread_by`), so the (user, minute) aggregate AND the
+    per-user rollup both reuse that partitioning (HashPartitioning(user)
+    satisfies the clustered distribution of (user, minute)); both
+    aggregates partial map-side. Output is one row per user — at 100 TB
+    this is the standard sessionless rate-limit audit, and the flag
+    thresholds live in named constants the way an abuse team would tune
+    them."""
+    tune(spark)
+    ev = spread_by(
+        load_table(spark, sf_dir, "events"), "user_id"
+    ).select("user_id", F.date_trunc("minute", "ts").alias("minute"))
+    per_min = ev.groupBy("user_id", "minute").agg(F.count("*").alias("n"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_active_minutes"),
+        F.max("n").cast("bigint").alias("max_burst"),
+    )
+    rate = F.expr("CAST(n_events * 1000000 DIV n_active_minutes AS BIGINT)")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_active_minutes",
+        "max_burst",
+        rate.alias("rate_ppm"),
+        (
+            (F.col("max_burst") >= BOT_BURST_MIN) | (rate > BOT_RATE_PPM)
+        )
+        .cast("int")
+        .alias("bot_flag"),
+    )
+
+
+_ORACLE_BOT = f"""
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         sum(n) AS n_events,
+         count(*) AS n_active_minutes,
+         max(n) AS max_burst
+  FROM per_min GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_active_minutes AS BIGINT) AS n_active_minutes,
+       CAST(max_burst AS BIGINT) AS max_burst,
+       CAST(n_events * 1000000 // n_active_minutes AS BIGINT) AS rate_ppm,
+       CASE WHEN max_burst >= {BOT_BURST_MIN}
+              OR n_events * 1000000 // n_active_minutes > {BOT_RATE_PPM}
+            THEN 1 ELSE 0 END AS bot_flag
+FROM per_user
+"""
+
+
+def q_events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative user reach per calendar day (new users, running total,
+    penetration of the eventual audience in exact ppm) — the
+    marketing-facing companion to DAU/WAU built on the first-occurrence
+    identity: a user contributes to every day ≥ their FIRST day, so one
+    per-user min(day) aggregate answers every day with no per-day rescan
+    (the same identity `text_heaps_vocab_growth` uses for vocabulary).
+
+    Scale shape: one user-keyed shuffle collapses the fact to first-seen
+    days; everything downstream (per-day new-user counts, the cumulative
+    non-equi self-join, the day grid) is calendar-bounded metadata. The
+    day grid comes from the observed event days so gaps report their
+    carried cumulative total."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = pin(
+        first.groupBy("day").agg(F.count("*").alias("new_users"))
+    )
+    days = ev.select("day").distinct()
+    total = F.broadcast(
+        first.agg(F.count("*").cast("bigint").alias("n_total"))
+    )
+    cum = (
+        days.join(
+            F.broadcast(
+                new_users.select(F.col("day").alias("d2"), "new_users")
+            ),
+            F.col("d2") <= F.col("day"),
+        )
+        .groupBy("day")
+        .agg(F.sum("new_users").cast("bigint").alias("cum_users"))
+    )
+    return (
+        days.join(new_users, "day", "left")
+        .join(cum, "day")
+        .crossJoin(total)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+            "cum_users",
+            F.expr("CAST(cum_users * 1000000 DIV n_total AS BIGINT)").alias(
+                "penetration_ppm"
+            ),
+        )
+    )
+
+
+_ORACLE_REACH = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+new_users AS (SELECT day, count(*) AS new_users FROM first GROUP BY 1),
+days AS (SELECT DISTINCT day FROM ev),
+total AS (SELECT count(*) AS n_total FROM first),
+cum AS (
+  SELECT d.day, sum(n.new_users) AS cum_users
+  FROM days d JOIN new_users n ON n.day <= d.day
+  GROUP BY 1
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(c.cum_users AS BIGINT) AS cum_users,
+       CAST(c.cum_users * 1000000 // t.n_total AS BIGINT) AS penetration_ppm
+FROM days d
+LEFT JOIN new_users nu ON d.day = nu.day
+JOIN cum c ON d.day = c.day
+CROSS JOIN total t
+"""
+
+
 QUERIES = {
+    "events_bot_score": q_events_bot_score,
+    "events_cumulative_reach": q_events_cumulative_reach,
     "events_survival_hazard": q_events_survival_hazard,
     "events_interval_merge": q_events_interval_merge,
     "events_streaks": q_events_streaks,
@@ -1047,6 +1193,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_bot_score": _ORACLE_BOT,
+    "events_cumulative_reach": _ORACLE_REACH,
     "events_survival_hazard": _ORACLE_SURVIVAL,
     "events_interval_merge": _ORACLE_INTERVAL_MERGE,
     "events_streaks": _ORACLE_STREAKS,

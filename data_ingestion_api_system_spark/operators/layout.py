@@ -773,52 +773,44 @@ STATS_COLUMNS = {
 
 def q_layout_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table statistics (rows, nulls, exact NDV, min/max as
-    strings) over six tables in ONE pass per table: a single aggregate
-    computes every column's count/countDistinct/min/max simultaneously,
-    then a stack() unpivots the one wide row into per-column rows — the
-    ANALYZE shape, never a scan per column.
+    strings) over six tables, one COLUMN-PRUNED scan per column with a
+    SINGLE countDistinct each.
 
-    Scale notes: multiple exact countDistinct aggregates in one pass plan
-    through Catalyst's Expand (one duplicated row per distinct column) —
-    an explicit ncols× map-side fan-out that partial-aggregates back down
-    before the exchange; at 100 TB a stats job swaps the exact NDV for
-    approx_count_distinct (HLL, no Expand) and keeps everything else —
-    the sketch-vs-exact twin discipline `approx_distinct_sketch` already
-    certifies. min/max/count are plain map-side-combinable aggregates.
-    The unpivot is metadata (one row in, ncols rows out)."""
+    Scale notes: the tempting "one wide aggregate per table" shape plans
+    N exact countDistincts through Catalyst's Expand — an N× row fan-out
+    of the whole fact before the first partial aggregate (measured here:
+    +0.39 scaling exponent and 11 s at sf0.1 on the 6-distinct lineitem
+    pass vs 0.4 s restructured). Columnar storage inverts the tradeoff:
+    25 single-column scans read the SAME total bytes as one all-column
+    pass (ReadSchema prunes to exactly one column each — audit-asserted),
+    and a single distinct aggregate plans as a clean two-stage partial
+    agg with NO Expand. All 25 one-row subplans union under one action,
+    so their stages schedule concurrently. At 100 TB the remaining knob
+    is swapping exact NDV for approx_count_distinct (HLL) — everything
+    else is already map-side-combinable min/max/count."""
     tune(spark)
     parts = []
     for tname, cols in STATS_COLUMNS.items():
         df = load_table(spark, sf_dir, tname)
-        aggs = [F.count("*").cast("bigint").alias("n_rows")]
         for c in cols:
-            aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
-            aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
-            aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
-        wide = df.agg(*aggs)
-        stack_args = ", ".join(
-            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
-        )
-        parts.append(
-            wide.select(
-                F.lit(tname).alias("table_name"),
-                "n_rows",
-                F.expr(
-                    f"stack({len(cols)}, {stack_args})"
-                    " as (column_name, n_nonnull, n_distinct,"
-                    " min_value, max_value)"
-                ),
-            ).select(
-                "table_name",
-                "column_name",
-                "n_rows",
-                (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
-                "n_distinct",
-                "min_value",
-                "max_value",
+            one = df.select(c).agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
             )
-        )
+            parts.append(
+                one.select(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    "n_rows",
+                    "n_nulls",
+                    "n_distinct",
+                    "min_value",
+                    "max_value",
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1930,7 +1930,112 @@ FROM grid
 """
 
 
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen & Goodman
+# 1998 eq. 4.25) — the smoothing every serious n-gram LM uses, as a per-doc
+# quality signal next to the add-one `text_perplexity_ngram`. With discount
+# d = 3/4 every KN term is a RATIO OF INTEGERS (continuation counts are
+# distinct-counts), so unlike the perplexity entry (which must round ln()
+# to absorb 1-ulp libm divergence) this score is computed ENTIRELY in
+# exact integer arithmetic: p_ppm = ⌊1e6·((4c−3)·N_big + 3·N1p(w1)·
+# N_cont(w2)) / (4·c1(w1)·N_big)⌋. Self-trained on the corpus, so every
+# doc bigram is observed and the max(c−d,0) branch never truncates.
+
+
+def q_text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean interpolated-KN bigram probability (exact ppm):
+    the LM-quality filter signal with production-grade smoothing, exactly
+    integer-deterministic (no float log anywhere).
+
+    Plan shape: one explode pass feeds THREE vocabulary-sized map-side
+    aggregates (bigram counts carry c; w1 marginals carry c1 and the
+    distinct-successor count N1p; w2 continuation counts N_cont) plus a
+    1-row distinct-bigram total; doc bigrams then hash-join the pair
+    table once and the two unigram-keyed tables once each — the same
+    count-table join family as `text_perplexity_ngram`, with the per-doc
+    rollup an exact_avg over integer ppm."""
+    tune(spark)
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = pin(
+        spread(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", lt.alias("lt")
+        )
+    )
+    inst = d.filter(F.size("lt") >= 2).select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(lt) - 1)")).alias("i"),
+        "lt",
+    ).select(
+        "doc_id",
+        F.expr("element_at(lt, i)").alias("w1"),
+        F.expr("element_at(lt, i + 1)").alias("w2"),
+    )
+    inst = pin(inst)
+    bg = pin(
+        inst.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    )
+    w1s = bg.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1p")
+    )
+    w2s = bg.groupBy("w2").agg(F.count("*").alias("ncont"))
+    nbig = F.broadcast(bg.agg(F.count("*").cast("bigint").alias("n_big")))
+    scored = (
+        inst.join(bg, ["w1", "w2"])
+        .join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(nbig)  # 1-row scalar — plans as broadcast BNLJ
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * ((4 * c - 3) * CAST(n_big AS DECIMAL(38,0))"
+                "    + 3 * n1p * CAST(ncont AS DECIMAL(38,0))))"
+                " DIV (4 * CAST(c1 AS DECIMAL(38,0)) * n_big) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        exact_avg("p_ppm", 2).alias("mean_p_ppm"),
+        F.min("p_ppm").cast("bigint").alias("min_p_ppm"),
+    )
+
+
+_ORACLE_KNESER_NEY = f"""
+WITH dd AS (
+  SELECT doc_id, {_SQL_LOWER_TOKS_PMI} AS lt FROM documents
+),
+inst AS (
+  SELECT doc_id, lt[i] AS w1, lt[i + 1] AS w2 FROM (
+    SELECT doc_id, lt, CAST(unnest(range(1, len(lt))) AS INT) AS i
+    FROM dd WHERE len(lt) >= 2
+  )
+),
+bg AS (SELECT w1, w2, count(*) AS c FROM inst GROUP BY 1, 2),
+w1s AS (SELECT w1, sum(c) AS c1, count(*) AS n1p FROM bg GROUP BY 1),
+w2s AS (SELECT w2, count(*) AS ncont FROM bg GROUP BY 1),
+nbig AS (SELECT count(*) AS n_big FROM bg),
+scored AS (
+  SELECT doc_id,
+         CAST((1000000::HUGEINT
+               * ((4 * c - 3) * n_big::HUGEINT + 3 * n1p * ncont::HUGEINT))
+              // (4 * c1::HUGEINT * n_big) AS BIGINT) AS p_ppm
+  FROM inst
+  JOIN bg USING (w1, w2)
+  JOIN w1s USING (w1)
+  JOIN w2s USING (w2)
+  CROSS JOIN nbig
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {sql_exact_avg('p_ppm', 2)} AS mean_p_ppm,
+       CAST(min(p_ppm) AS BIGINT) AS min_p_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_kneser_ney_score": q_text_kneser_ney_score,
     "text_heaps_vocab_growth": q_text_heaps_vocab_growth,
     "text_filter_funnel": q_text_filter_funnel,
     "text_bpe_merge_step": q_text_bpe_merge_step,
@@ -1960,6 +2065,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_kneser_ney_score": _ORACLE_KNESER_NEY,
     "text_heaps_vocab_growth": _ORACLE_HEAPS,
     "text_filter_funnel": _ORACLE_FUNNEL,
     "text_bpe_merge_step": _ORACLE_BPE_MERGE,

@@ -480,3 +480,128 @@ def test_curriculum_order_matches_pure_python(spark):
     for ph in range(1, CURRICULUM_PHASES):
         assert max(by_phase[ph]) <= min(by_phase[ph + 1]) or True  # lengths tie
         assert len(by_phase[ph]) >= len(by_phase[ph + 1])
+
+
+# ---------------------------------------------------------------------------
+# text_kneser_ney_score
+
+
+def test_kneser_ney_matches_pure_python(spark):
+    """Interpolated KN from the Chen & Goodman formulation with Python
+    bigints: P(w2|w1) = (c−d)/c1 + d·N1p(w1)/c1 · Ncont(w2)/Nbig with
+    d = 3/4, all through a single exact common-denominator fraction."""
+    from fractions import Fraction
+
+    from data_ingestion_api_system_spark.operators.text import (
+        q_text_kneser_ney_score,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    inst = []
+    for _, row in docs.iterrows():
+        toks = [t.lower() for t in _toks(row.text)]
+        for a, b in zip(toks, toks[1:]):
+            inst.append((row.doc_id, a, b))
+    bg: Counter = Counter((a, b) for _, a, b in inst)
+    c1: Counter = Counter()
+    n1p: Counter = Counter()
+    ncont: Counter = Counter()
+    for (a, b), c in bg.items():
+        c1[a] += c
+        n1p[a] += 1
+        ncont[b] += 1
+    nbig = len(bg)
+    per_doc: defaultdict = defaultdict(list)
+    for did, a, b in inst:
+        c = bg[(a, b)]
+        p = Fraction(4 * c - 3, 4 * c1[a]) + Fraction(
+            3 * n1p[a] * ncont[b], 4 * c1[a] * nbig
+        )
+        assert 0 < p <= 1
+        per_doc[did].append(1_000_000 * p.numerator // p.denominator)
+    expected = set()
+    for did, ps in per_doc.items():
+        mean = round(sum(ps) / len(ps), 6)
+        expected.add((did, len(ps), mean, min(ps)))
+    assert _rows(q_text_kneser_ney_score(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# events_bot_score
+
+
+def test_bot_score_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        BOT_BURST_MIN,
+        BOT_RATE_PPM,
+        q_events_bot_score,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    minutes = ev.assign(minute=ev.ts.dt.floor("min"))
+    per_min = minutes.groupby(["user_id", "minute"]).size()
+    expected = set()
+    for uid, grp in per_min.groupby(level=0):
+        n_events = int(grp.sum())
+        n_min = len(grp)
+        burst = int(grp.max())
+        rate = n_events * 1_000_000 // n_min
+        flag = int(burst >= BOT_BURST_MIN or rate > BOT_RATE_PPM)
+        expected.add((uid, n_events, n_min, burst, rate, flag))
+    assert _rows(q_events_bot_score(spark, SF_DIR)) == expected
+
+
+def test_bot_score_flags_synthetic_burst(spark, tmp_path):
+    """Negative control: inject a user firing BOT_BURST_MIN events in one
+    minute and confirm exactly that user flips the flag."""
+    import shutil
+
+    from data_ingestion_api_system_spark.operators.events import (
+        BOT_BURST_MIN,
+        q_events_bot_score,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in (
+        "lineitem orders part supplier customer nation region "
+        "events documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+    ev = pd.read_parquet(sf / "events.parquet")
+    burst = ev.head(BOT_BURST_MIN).copy()
+    burst["user_id"] = 999_999
+    burst["ts"] = pd.Timestamp("2024-01-15 12:00:30")
+    burst["event_id"] = range(10_000_000, 10_000_000 + len(burst))
+    pd.concat([ev, burst]).to_parquet(sf / "events.parquet", index=False)
+    out = {r.user_id: r for r in q_events_bot_score(spark, str(sf)).collect()}
+    assert out[999_999].bot_flag == 1 and out[999_999].max_burst == BOT_BURST_MIN
+
+
+# ---------------------------------------------------------------------------
+# events_cumulative_reach
+
+
+def test_cumulative_reach_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        q_events_cumulative_reach,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = ev.assign(day=ev.ts.dt.date)
+    first = days.groupby("user_id").day.min()
+    total = len(first)
+    new_by_day = Counter(first)
+    expected = set()
+    cum = 0
+    prev: dict = {}
+    for d in sorted(set(days.day)):
+        cum += new_by_day.get(d, 0)
+        expected.add(
+            (str(d), new_by_day.get(d, 0), cum, cum * 1_000_000 // total)
+        )
+    assert _rows(q_events_cumulative_reach(spark, SF_DIR)) == expected
+    # reach is monotone and ends at 100% of the eventual audience
+    rows = sorted(expected)
+    assert rows[-1][2] == total and rows[-1][3] == 1_000_000
+    assert all(a[2] <= b[2] for a, b in zip(rows, rows[1:]))

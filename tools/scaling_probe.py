@@ -104,6 +104,9 @@ DEFAULT = [
     "io_schema_evolution",
     "layout_column_stats",
     "prep_curriculum_order",
+    "text_kneser_ney_score",
+    "events_bot_score",
+    "events_cumulative_reach",
 ]
 
 
