@@ -150,6 +150,12 @@ ADDED_R9 = [
     "text_kneser_ney_score",
     "events_bot_score",
     "events_cumulative_reach",
+    # round-9e: cluster-purity eval (broadcast argmax + bounded eval),
+    # WoW growth (bounded lag window), class migration (two global_ntile
+    # range exchanges + 9-cell matrix)
+    "sim_cluster_purity",
+    "events_wow_growth",
+    "orders_class_migration",
 ]
 
 

@@ -424,6 +424,9 @@ _BORN_ROUND = {
     "text_kneser_ney_score": 9,
     "events_bot_score": 9,
     "events_cumulative_reach": 9,
+    "sim_cluster_purity": 9,
+    "events_wow_growth": 9,
+    "orders_class_migration": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -1172,7 +1172,71 @@ CROSS JOIN total t
 """
 
 
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly event/user counts with
+    the WoW delta in exact signed ppm (sign-safe integer division — Spark
+    DIV truncates toward zero while DuckDB // floors, so negative deltas
+    go through sign·(|Δ|·1e6 div prev), the repo's standard construction).
+
+    Scale shape: one (type, week) partial aggregate collapses the fact to
+    calendar-bounded rows; the lag window partitions by event_type over
+    that bounded table — never an un-partitioned window over data. First
+    week per type reports NULL growth (nothing to compare against)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    delta = F.col("n_events") - prev
+    growth = F.when(prev.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.when(delta >= 0, F.expr("1").cast("bigint"))
+        .otherwise(F.lit(-1).cast("bigint"))
+        * F.expr(
+            "CAST(abs(n_events - prev_n) * 1000000 DIV prev_n AS BIGINT)"
+        )
+    )
+    return (
+        weekly.withColumn("prev_n", prev)
+        .select(
+            "event_type",
+            F.col("week").cast("string").alias("week"),
+            "n_events",
+            "n_users",
+            growth.cast("bigint").alias("wow_growth_ppm"),
+        )
+    )
+
+
+_ORACLE_WOW = """
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(*) AS n_events, count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+         AS prev_n
+  FROM weekly
+)
+SELECT event_type,
+       CAST(week AS VARCHAR) AS week,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN prev_n IS NULL THEN NULL
+            ELSE CAST((CASE WHEN n_events >= prev_n THEN 1 ELSE -1 END)
+                      * (abs(n_events - prev_n) * 1000000 // prev_n)
+                      AS BIGINT) END AS wow_growth_ppm
+FROM lagged
+"""
+
+
 QUERIES = {
+    "events_wow_growth": q_events_wow_growth,
     "events_bot_score": q_events_bot_score,
     "events_cumulative_reach": q_events_cumulative_reach,
     "events_survival_hazard": q_events_survival_hazard,
@@ -1193,6 +1257,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_wow_growth": _ORACLE_WOW,
     "events_bot_score": _ORACLE_BOT,
     "events_cumulative_reach": _ORACLE_REACH,
     "events_survival_hazard": _ORACLE_SURVIVAL,

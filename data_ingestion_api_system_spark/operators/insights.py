@@ -940,7 +940,101 @@ _ORACLE_ORPHANS = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Customer value-class migration (the RFM follow-up every CRM runs): tercile
+# customers by revenue independently in two periods, then count the 3×3
+# transition matrix. Classes come from exact global terciles — the
+# `global_ntile` TeraSort recipe per period, never a single-partition ntile.
+MIGRATION_SPLIT = "1998-01-01"  # orders span 1995..2001; split at midpoint
+MIGRATION_TILES = 3
+
+
+def q_orders_class_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 customer revenue-class transition matrix between the two halves
+    of the order history: per period, customers tercile by exact total
+    spend in cents (integer, custkey tiebreak); customers active in BOTH
+    periods land in one matrix cell, with the cell count and its share of
+    migrating customers in exact ppm.
+
+    Scale shape: one (custkey, period) partial aggregate collapses orders
+    to per-customer spend; each period's tercile is one `global_ntile`
+    range exchange over its half; the matrix join keys on custkey and the
+    output is exactly ≤ 9 rows. Class-1→3 cells are the churn-risk /
+    growth cells a retention team reads."""
+    tune(spark)
+    from . import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < MIGRATION_SPLIT, "p1")
+        .otherwise("p2")
+        .alias("period"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).groupBy("o_custkey", "period").agg(F.sum("cents").alias("spend_cents"))
+    spend = pin(spend)
+
+    def classed(period: str, out: str) -> DataFrame:
+        half = spend.filter(F.col("period") == period).select(
+            "o_custkey", "spend_cents"
+        )
+        return global_ntile(
+            half, ["spend_cents", "o_custkey"], MIGRATION_TILES, out
+        ).select("o_custkey", out)
+
+    both = classed("p1", "class_p1").join(classed("p2", "class_p2"), "o_custkey")
+    total = F.broadcast(both.agg(F.count("*").cast("bigint").alias("n_both")))
+    return (
+        both.groupBy("class_p1", "class_p2")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .crossJoin(total)
+        .select(
+            F.col("class_p1").cast("int").alias("class_p1"),
+            F.col("class_p2").cast("int").alias("class_p2"),
+            "n_customers",
+            F.expr("CAST(n_customers * 1000000 DIV n_both AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+_ORACLE_MIGRATION = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < TIMESTAMP '{MIGRATION_SPLIT}' THEN 'p1'
+              ELSE 'p2' END AS period,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS spend_cents
+  FROM orders GROUP BY 1, 2
+),
+c1 AS (
+  SELECT o_custkey,
+         ntile({MIGRATION_TILES})
+           OVER (ORDER BY spend_cents, o_custkey) AS class_p1
+  FROM spend WHERE period = 'p1'
+),
+c2 AS (
+  SELECT o_custkey,
+         ntile({MIGRATION_TILES})
+           OVER (ORDER BY spend_cents, o_custkey) AS class_p2
+  FROM spend WHERE period = 'p2'
+),
+migr AS (SELECT class_p1, class_p2 FROM c1 JOIN c2 USING (o_custkey)),
+total AS (SELECT count(*) AS n_both FROM migr)
+SELECT CAST(class_p1 AS INT) AS class_p1,
+       CAST(class_p2 AS INT) AS class_p2,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) * 1000000 // n_both AS BIGINT) AS share_ppm
+FROM migr CROSS JOIN total
+GROUP BY class_p1, class_p2, n_both
+"""
+
+
 QUERIES = {
+    "orders_class_migration": q_orders_class_migration,
     "dq_referential_orphans": q_dq_referential_orphans,
     "dq_benford_check": q_dq_benford_check,
     "orders_abc_classification": q_orders_abc_classification,
@@ -955,6 +1049,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_class_migration": _ORACLE_MIGRATION,
     "dq_referential_orphans": _ORACLE_ORPHANS,
     "dq_benford_check": _ORACLE_BENFORD,
     "orders_abc_classification": _ORACLE_ABC,

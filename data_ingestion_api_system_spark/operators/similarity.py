@@ -436,6 +436,104 @@ GROUP BY centroid_id
 """
 
 
+def q_sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster-quality evaluation: assign every vector to its
+    nearest seed centroid (the `sim_kmeans_step` assignment) and score
+    each cluster against the ground-truth labels — size, distinct labels,
+    majority label, and purity in exact ppm (the standard supervised
+    clustering metric; NMI needs logs, purity stays integer-exact).
+
+    Plan shape: assignment is the broadcast-centroid argmax (corpus never
+    shuffles for it); the evaluation is one (centroid, label) partial agg
+    — ≤ k·|labels| rows — then a label-count argmax per centroid via a
+    centroid-partitioned window over that bounded table. The eval stage
+    costs nothing at any scale; the assignment is the same narrow pass an
+    IVF build already pays."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("bv")
+        )
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT.replace("av", "v"))
+        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    scored = e.crossJoin(cent).select(
+        "vec_id", "label", "centroid_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    cl = assigned.groupBy("centroid_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    wl = Window.partitionBy("centroid_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        cl.withColumn("lrk", F.row_number().over(wl))
+        .groupBy("centroid_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_assigned"),
+            F.count("*").cast("bigint").alias("n_labels"),
+            F.max(F.when(F.col("lrk") == 1, F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.max(F.when(F.col("lrk") == 1, F.col("n")))
+            .cast("bigint")
+            .alias("majority_n"),
+        )
+        .select(
+            "centroid_id",
+            "n_assigned",
+            "n_labels",
+            "majority_label",
+            "majority_n",
+            F.expr("CAST(majority_n * 1000000 DIV n_assigned AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+    )
+
+
+_ORACLE_CLUSTER_PURITY = f"""
+WITH e AS ({_SQL_EMB}),
+cent AS (SELECT vec_id AS centroid_id, v AS bv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.label, c.centroid_id,
+         ROUND({_sql_cv_dot('v', 'bv')} / ({_sql_norm('v')} * {_sql_norm('bv')}), 6) AS cosine
+  FROM e, cent c
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, centroid_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+),
+cl AS (
+  SELECT centroid_id, label, count(*) AS n FROM assigned GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY centroid_id
+                               ORDER BY n DESC, label ASC) AS lrk
+  FROM cl
+)
+SELECT centroid_id,
+       CAST(sum(n) AS BIGINT) AS n_assigned,
+       CAST(count(*) AS BIGINT) AS n_labels,
+       max(CASE WHEN lrk = 1 THEN label END) AS majority_label,
+       CAST(max(CASE WHEN lrk = 1 THEN n END) AS BIGINT) AS majority_n,
+       CAST(max(CASE WHEN lrk = 1 THEN n END) * 1000000 // sum(n) AS BIGINT)
+         AS purity_ppm
+FROM ranked
+GROUP BY centroid_id
+"""
+
+
 def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the vector
     compression step an ANN index build runs before sharding (4x smaller
@@ -1656,6 +1754,7 @@ QUERIES = {
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
     "sim_kmeans_step": q_sim_kmeans_step,
+    "sim_cluster_purity": q_sim_cluster_purity,
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_pq_codes": q_sim_pq_codes,
     "sim_recall_eval": q_sim_recall_eval,
@@ -1676,6 +1775,7 @@ ORACLE = {
     "sim_lsh_ann": _ORACLE_LSH_ANN,
     "sim_lsh_bucket_stats": _ORACLE_LSH_STATS,
     "sim_kmeans_step": _ORACLE_KMEANS,
+    "sim_cluster_purity": _ORACLE_CLUSTER_PURITY,
     "sim_quantize_int8": _ORACLE_QUANTIZE,
     "sim_pq_codes": _ORACLE_PQ,
     "sim_recall_eval": _ORACLE_RECALL,

@@ -605,3 +605,123 @@ def test_cumulative_reach_matches_pure_python(spark):
     rows = sorted(expected)
     assert rows[-1][2] == total and rows[-1][3] == 1_000_000
     assert all(a[2] <= b[2] for a, b in zip(rows, rows[1:]))
+
+
+# ---------------------------------------------------------------------------
+# sim_cluster_purity
+
+
+def test_cluster_purity_matches_pure_python(spark):
+    import numpy as np
+
+    from data_ingestion_api_system_spark.operators.similarity import (
+        N_CENTROIDS,
+        q_sim_cluster_purity,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=float) for _, r in emb.iterrows()}
+    labels = {int(r.vec_id): int(r.label) for _, r in emb.iterrows()}
+    cents = {cid: vecs[cid] for cid in range(N_CENTROIDS)}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b)) / (float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b)))), 6)
+
+    clusters: defaultdict = defaultdict(list)
+    for vid, v in vecs.items():
+        best = min(
+            ((-cos(v, cv), cid) for cid, cv in cents.items())
+        )[1]
+        clusters[best].append(labels[vid])
+    expected = set()
+    for cid, labs in clusters.items():
+        cnt = Counter(labs)
+        maj_label, maj_n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.add(
+            (
+                cid,
+                len(labs),
+                len(cnt),
+                maj_label,
+                maj_n,
+                maj_n * 1_000_000 // len(labs),
+            )
+        )
+    assert _rows(q_sim_cluster_purity(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# events_wow_growth
+
+
+def test_wow_growth_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        q_events_wow_growth,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    wk = ev.assign(week=ev.ts.dt.to_period("W").dt.start_time.dt.date)
+    g = wk.groupby(["event_type", "week"]).agg(
+        n=("event_id", "size"), u=("user_id", "nunique")
+    )
+    expected = set()
+    for etype, grp in g.groupby(level=0):
+        prev = None
+        for (_, week), row in grp.sort_index().iterrows():
+            n, u = int(row.n), int(row.u)
+            if prev is None:
+                growth = None
+            else:
+                d = n - prev
+                growth = (1 if d >= 0 else -1) * (abs(d) * 1_000_000 // prev)
+            expected.add((etype, str(week), n, u, growth))
+            prev = n
+    assert _rows(q_events_wow_growth(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# orders_class_migration
+
+
+def test_class_migration_matches_pure_python(spark):
+    from datetime import datetime
+
+    from data_ingestion_api_system_spark.operators.insights import (
+        MIGRATION_SPLIT,
+        MIGRATION_TILES,
+        q_orders_class_migration,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    split = datetime.fromisoformat(MIGRATION_SPLIT)
+    spend: defaultdict = defaultdict(lambda: defaultdict(int))
+    for _, r in orders.iterrows():
+        period = "p1" if r.o_orderdate < split else "p2"
+        cents = int(round(r.o_totalprice * 100))
+        spend[period][int(r.o_custkey)] += cents
+
+    def terciles(d):
+        ranked = sorted((v, k) for k, v in d.items())
+        n = len(ranked)
+        q, rem = divmod(n, MIGRATION_TILES)
+        out = {}
+        for i, (_, k) in enumerate(ranked, start=1):
+            boundary = rem * (q + 1)
+            out[k] = (
+                (i - 1) // (q + 1) + 1
+                if i <= boundary
+                else rem + (i - boundary - 1) // q + 1
+            )
+        return out
+
+    c1, c2 = terciles(spend["p1"]), terciles(spend["p2"])
+    matrix = Counter(
+        (c1[k], c2[k]) for k in set(c1) & set(c2)
+    )
+    n_both = sum(matrix.values())
+    expected = {
+        (a, b, n, n * 1_000_000 // n_both) for (a, b), n in matrix.items()
+    }
+    assert _rows(q_orders_class_migration(spark, SF_DIR)) == expected
+    # every customer active in both halves lands in exactly one cell
+    assert n_both == len(set(c1) & set(c2))

@@ -107,6 +107,9 @@ DEFAULT = [
     "text_kneser_ney_score",
     "events_bot_score",
     "events_cumulative_reach",
+    "sim_cluster_purity",
+    "events_wow_growth",
+    "orders_class_migration",
 ]
 
 
