@@ -156,6 +156,11 @@ ADDED_R9 = [
     "sim_cluster_purity",
     "events_wow_growth",
     "orders_class_migration",
+    # round-9f: the ppm power iteration, the inter-order gap histogram,
+    # and the fixed-point dimension-variance ranking
+    "events_markov_stationary",
+    "orders_repeat_purchase",
+    "sim_dim_variance_topk",
 ]
 
 

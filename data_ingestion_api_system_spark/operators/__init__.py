@@ -427,6 +427,9 @@ _BORN_ROUND = {
     "sim_cluster_purity": 9,
     "events_wow_growth": 9,
     "orders_class_migration": 9,
+    "events_markov_stationary": 9,
+    "orders_repeat_purchase": 9,
+    "sim_dim_variance_topk": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -1235,7 +1235,126 @@ FROM lagged
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov stationary distribution by unrolled power iteration over the
+# integer-ppm transition matrix — the "where does the funnel settle" readout
+# on top of `events_markov_transitions`. All probability mass is integer
+# ppm: p_ij = ⌊1e6·c_ij/c_i⌋ and each step computes v'_j = ⌊Σ_i v_i·p_ij /
+# 1e6⌋ with the floor applied ONCE per destination (after the sum), so both
+# engines walk the identical integer trajectory.
+MARKOV_POWER_STEPS = 2
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{MARKOV_POWER_STEPS}-step power iteration from the uniform
+    distribution over the per-user transition matrix: per event type, the
+    ppm mass after one and after two steps plus the signed step delta —
+    the convergence-direction readout a funnel team reads (a production
+    run loops to a tolerance with a convergence scalar, exactly like the
+    CC/PageRank entries).
+
+    Scale shape: the corpus-sized work is the ONE user-keyed lag window
+    that builds pair counts (identical to `events_markov_transitions`);
+    the matrix is ≤ |types|² rows, so every power step is a join +
+    aggregate over broadcast metadata. Integer trajectories make the
+    result partitioning-independent."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = pin(
+        seq.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    p = pin(
+        trans.join(row_tot, "from_type").select(
+            "from_type",
+            "to_type",
+            F.expr("CAST(n * 1000000 DIV row_n AS BIGINT)").alias("p_ppm"),
+        )
+    )
+    types = pin(p.select(F.col("from_type").alias("t")).distinct())
+    ntypes = F.broadcast(types.agg(F.count("*").alias("k")))
+    v = pin(
+        types.crossJoin(ntypes).select(
+            "t", F.expr("CAST(1000000 DIV k AS BIGINT)").alias("mass")
+        )
+    )
+    vs = [v]
+    for _ in range(MARKOV_POWER_STEPS):
+        nxt = pin(
+            vs[-1]
+            .join(p, vs[-1]["t"] == p["from_type"])
+            .groupBy(F.col("to_type").alias("t"))
+            .agg(
+                F.expr("CAST(sum(mass * p_ppm) DIV 1000000 AS BIGINT)").alias(
+                    "mass"
+                )
+            )
+        )
+        vs.append(nxt)
+    out = (
+        vs[0]
+        .select("t", F.col("mass").alias("mass_v0"))
+        .join(vs[1].select("t", F.col("mass").alias("mass_v1")), "t")
+        .join(vs[2].select("t", F.col("mass").alias("mass_v2")), "t")
+    )
+    return out.select(
+        F.col("t").alias("event_type"),
+        "mass_v0",
+        "mass_v1",
+        "mass_v2",
+        (F.col("mass_v2") - F.col("mass_v1")).cast("bigint").alias("step_delta"),
+    )
+
+
+_ORACLE_MARKOV_STATIONARY = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+p AS (
+  SELECT from_type, to_type,
+         CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+           AS p_ppm
+  FROM trans
+),
+types AS (SELECT DISTINCT from_type AS t FROM p),
+k AS (SELECT count(*) AS k FROM types),
+v0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS mass FROM types CROSS JOIN k),
+v1 AS (
+  SELECT p.to_type AS t, CAST(sum(v0.mass * p.p_ppm) // 1000000 AS BIGINT)
+           AS mass
+  FROM v0 JOIN p ON v0.t = p.from_type GROUP BY 1
+),
+v2 AS (
+  SELECT p.to_type AS t, CAST(sum(v1.mass * p.p_ppm) // 1000000 AS BIGINT)
+           AS mass
+  FROM v1 JOIN p ON v1.t = p.from_type GROUP BY 1
+)
+SELECT v0.t AS event_type,
+       v0.mass AS mass_v0,
+       v1.mass AS mass_v1,
+       v2.mass AS mass_v2,
+       CAST(v2.mass - v1.mass AS BIGINT) AS step_delta
+FROM v0 JOIN v1 ON v0.t = v1.t JOIN v2 ON v0.t = v2.t
+"""
+
+
 QUERIES = {
+    "events_markov_stationary": q_events_markov_stationary,
     "events_wow_growth": q_events_wow_growth,
     "events_bot_score": q_events_bot_score,
     "events_cumulative_reach": q_events_cumulative_reach,
@@ -1257,6 +1376,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_markov_stationary": _ORACLE_MARKOV_STATIONARY,
     "events_wow_growth": _ORACLE_WOW,
     "events_bot_score": _ORACLE_BOT,
     "events_cumulative_reach": _ORACLE_REACH,

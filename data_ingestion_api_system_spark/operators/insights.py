@@ -1033,7 +1033,98 @@ GROUP BY class_p1, class_p2, n_both
 """
 
 
+# ---------------------------------------------------------------------------
+# Repeat-purchase cadence: the inter-order gap histogram (the CRM metric
+# behind replenishment campaigns and churn-window sizing).
+_GAP_BUCKETS = (
+    ("01_lt_week", 0, 7),
+    ("02_lt_month", 7, 30),
+    ("03_lt_quarter", 30, 90),
+    ("04_lt_year", 90, 365),
+    ("05_gte_year", 365, None),
+)
+
+
+def q_orders_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of consecutive-order gaps per customer (days between a
+    customer's order and their previous one), bucketed into
+    week/month/quarter/year bands with gap counts, distinct customers per
+    band, and the band's share of all gaps in exact ppm.
+
+    Scale shape: ONE hash exchange on o_custkey for the lag window
+    (sequences are per-customer, no global sort), then the bucket CASE
+    ladder partial-aggregates map-side to exactly 5 rows; the ppm share
+    reads a broadcast 1-row total. The (o_orderdate, o_orderkey) tiebreak
+    makes same-day orders deterministic on both engines."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    bucket = F.col("gap_days")
+    expr = None
+    for name, lo, hi in _GAP_BUCKETS:
+        cond = bucket >= lo if hi is None else (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    staged = gaps.select(expr.alias("gap_bucket"), "o_custkey")
+    total = F.broadcast(gaps.agg(F.count("*").cast("bigint").alias("n_total")))
+    return (
+        staged.groupBy("gap_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+        .crossJoin(total)
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            "n_customers",
+            F.expr("CAST(n_gaps * 1000000 DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def _gap_case_sql() -> str:
+    whens = []
+    for name, lo, hi in _GAP_BUCKETS:
+        cond = (
+            f"gap_days >= {lo}"
+            if hi is None
+            else f"gap_days >= {lo} AND gap_days < {hi}"
+        )
+        whens.append(f"WHEN {cond} THEN '{name}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+_ORACLE_REPEAT = f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE)
+           - lag(CAST(o_orderdate AS DATE))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS gap_days
+  FROM orders
+),
+staged AS (
+  SELECT o_custkey, {_gap_case_sql()} AS gap_bucket
+  FROM gaps WHERE gap_days IS NOT NULL
+),
+total AS (SELECT count(*) AS n_total FROM staged)
+SELECT gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+FROM staged CROSS JOIN total
+GROUP BY gap_bucket, n_total
+"""
+
+
 QUERIES = {
+    "orders_repeat_purchase": q_orders_repeat_purchase,
     "orders_class_migration": q_orders_class_migration,
     "dq_referential_orphans": q_dq_referential_orphans,
     "dq_benford_check": q_dq_benford_check,
@@ -1049,6 +1140,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_repeat_purchase": _ORACLE_REPEAT,
     "orders_class_migration": _ORACLE_MIGRATION,
     "dq_referential_orphans": _ORACLE_ORPHANS,
     "dq_benford_check": _ORACLE_BENFORD,

@@ -436,6 +436,80 @@ GROUP BY centroid_id
 """
 
 
+DIM_VAR_TOP_K = 8
+DIM_VAR_SCALE = 1_000_000  # fixed-point quantization: xi = floor(x * 1e6)
+
+
+def q_sim_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding space — the
+    feature-importance readout behind Matryoshka truncation and PQ
+    subspace allocation (high-variance dims carry the geometry; a
+    truncation that drops them loses recall, cf. `sim_matryoshka_recall`).
+    Emits the top {DIM_VAR_TOP_K} dimensions by population variance.
+
+    Exactness: components are quantized to integers FIRST
+    (xi = floor(x·1e6) — floor on a double is exact in both engines,
+    unlike double→decimal casts whose rounding modes differ), then the
+    variance numerator n·Σxi² − (Σxi)² is exact DECIMAL(38) arithmetic
+    and the reported variance is its integer division by n² (fixed-point,
+    scale 1e12). Ranking ties break on dim.
+
+    Scale shape: one posexplode (bounded |dims|× fan-out) feeds a
+    dim-keyed partial aggregate — |dims| output rows regardless of corpus
+    — and the top-k is TakeOrderedAndProject. This is the single-pass
+    parallel variance (sum/sumsq moments), the textbook distributed
+    formulation."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    comps = e.select(
+        F.posexplode("v").alias("dim", "x")
+    ).select(
+        "dim",
+        F.expr(f"CAST(floor(x * {DIM_VAR_SCALE}) AS BIGINT)").alias("xi"),
+    )
+    moments = comps.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("s2"),
+    )
+    return (
+        moments.select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_vecs",
+            F.expr(
+                "CAST((n_vecs * s2 - s1 * s1)"
+                " DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"
+            ).alias("var_fp12"),
+        )
+        .orderBy(F.desc("var_fp12"), F.asc("dim"))
+        .limit(DIM_VAR_TOP_K)
+    )
+
+
+_ORACLE_DIM_VARIANCE = f"""
+WITH e AS ({_SQL_EMB}),
+comps AS (
+  SELECT CAST(i.range AS INT) - 1 AS dim,
+         CAST(floor(v[CAST(i.range AS INT)] * {DIM_VAR_SCALE}) AS BIGINT)
+           AS xi
+  FROM e, range(1, 65) i
+),
+moments AS (
+  SELECT dim, count(*) AS n_vecs,
+         sum(CAST(xi AS HUGEINT)) AS s1,
+         sum(CAST(xi AS HUGEINT) * xi) AS s2
+  FROM comps GROUP BY dim
+)
+SELECT dim,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST((n_vecs * s2 - s1 * s1) // (CAST(n_vecs AS HUGEINT) * n_vecs)
+            AS BIGINT) AS var_fp12
+FROM moments
+ORDER BY var_fp12 DESC, dim ASC
+LIMIT {DIM_VAR_TOP_K}
+"""
+
+
 def q_sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External cluster-quality evaluation: assign every vector to its
     nearest seed centroid (the `sim_kmeans_step` assignment) and score
@@ -1755,6 +1829,7 @@ QUERIES = {
     "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
     "sim_kmeans_step": q_sim_kmeans_step,
     "sim_cluster_purity": q_sim_cluster_purity,
+    "sim_dim_variance_topk": q_sim_dim_variance_topk,
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_pq_codes": q_sim_pq_codes,
     "sim_recall_eval": q_sim_recall_eval,
@@ -1776,6 +1851,7 @@ ORACLE = {
     "sim_lsh_bucket_stats": _ORACLE_LSH_STATS,
     "sim_kmeans_step": _ORACLE_KMEANS,
     "sim_cluster_purity": _ORACLE_CLUSTER_PURITY,
+    "sim_dim_variance_topk": _ORACLE_DIM_VARIANCE,
     "sim_quantize_int8": _ORACLE_QUANTIZE,
     "sim_pq_codes": _ORACLE_PQ,
     "sim_recall_eval": _ORACLE_RECALL,

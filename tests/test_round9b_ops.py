@@ -725,3 +725,113 @@ def test_class_migration_matches_pure_python(spark):
     assert _rows(q_orders_class_migration(spark, SF_DIR)) == expected
     # every customer active in both halves lands in exactly one cell
     assert n_both == len(set(c1) & set(c2))
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary
+
+
+def test_markov_stationary_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        MARKOV_POWER_STEPS,
+        q_events_markov_stationary,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    trans: Counter = Counter()
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    row_tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    p = {(a, b): n * 1_000_000 // row_tot[a] for (a, b), n in trans.items()}
+    types = sorted(row_tot)
+    k = len(types)
+    v = {t: 1_000_000 // k for t in types}
+    history = [dict(v)]
+    for _ in range(MARKOV_POWER_STEPS):
+        nxt: defaultdict = defaultdict(int)
+        for (a, b), pp in p.items():
+            nxt[b] += v.get(a, 0) * pp
+        v = {t: m // 1_000_000 for t, m in nxt.items()}
+        history.append(dict(v))
+    expected = {
+        (
+            t,
+            history[0][t],
+            history[1].get(t, 0),
+            history[2].get(t, 0),
+            history[2].get(t, 0) - history[1].get(t, 0),
+        )
+        for t in types
+    }
+    assert _rows(q_events_markov_stationary(spark, SF_DIR)) == expected
+    # mass is conserved up to integer-floor leakage (never created)
+    assert sum(history[2].values()) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# orders_repeat_purchase
+
+
+def test_repeat_purchase_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.insights import (
+        _GAP_BUCKETS,
+        q_orders_repeat_purchase,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    counts: Counter = Counter()
+    custs: defaultdict = defaultdict(set)
+    n_total = 0
+    for cust, grp in orders.groupby("o_custkey"):
+        dates = list(grp.o_orderdate)
+        for a, b in zip(dates, dates[1:]):
+            gap = (b.normalize() - a.normalize()).days
+            for name, lo, hi in _GAP_BUCKETS:
+                if gap >= lo and (hi is None or gap < hi):
+                    counts[name] += 1
+                    custs[name].add(cust)
+                    break
+            n_total += 1
+    expected = {
+        (name, counts[name], len(custs[name]), counts[name] * 1_000_000 // n_total)
+        for name in counts
+    }
+    assert _rows(q_orders_repeat_purchase(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# sim_dim_variance_topk
+
+
+def test_dim_variance_matches_pure_python(spark):
+    import math
+
+    from data_ingestion_api_system_spark.operators.similarity import (
+        DIM_VAR_SCALE,
+        DIM_VAR_TOP_K,
+        q_sim_dim_variance_topk,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    dims: defaultdict = defaultdict(list)
+    for e in emb.embedding:
+        for d, x in enumerate(e):
+            dims[d].append(math.floor(float(x) * DIM_VAR_SCALE))
+    scored = []
+    for d, xs in dims.items():
+        n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        var = (n * s2 - s1 * s1) // (n * n)
+        scored.append((-var, d, n))
+    scored.sort()
+    expected = {
+        (d, n, -negvar) for negvar, d, n in scored[:DIM_VAR_TOP_K]
+    }
+    assert _rows(q_sim_dim_variance_topk(spark, SF_DIR)) == expected

@@ -110,6 +110,9 @@ DEFAULT = [
     "sim_cluster_purity",
     "events_wow_growth",
     "orders_class_migration",
+    "events_markov_stationary",
+    "orders_repeat_purchase",
+    "sim_dim_variance_topk",
 ]
 
 
