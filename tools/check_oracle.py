@@ -48,13 +48,28 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --vanilla: build a PLAIN SparkSession (no UTC pin, no AQE confs, no
+    # Arrow settings) the way the DRIVER does, instead of the repo's
+    # session factory — a driver-sim mode that catches any query depending
+    # on get_spark()'s conf instead of calling operators.tune() itself.
+    # Round-9 pre-certification ran the full window AND all newborns this
+    # way (0 failures); keep running it on new cohorts before they meet
+    # the driver.
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from data_ingestion_api_system_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from data_ingestion_api_system_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
