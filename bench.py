@@ -161,6 +161,11 @@ ADDED_R9 = [
     "events_markov_stationary",
     "orders_repeat_purchase",
     "sim_dim_variance_topk",
+    # round-9g: SLO burn accounting, the big-big ship-latency join, and
+    # the broadcast-vocab OOV audit
+    "events_error_budget_burn",
+    "orders_ship_latency",
+    "text_vocab_coverage",
 ]
 
 

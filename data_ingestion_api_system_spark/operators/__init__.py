@@ -430,6 +430,9 @@ _BORN_ROUND = {
     "events_markov_stationary": 9,
     "orders_repeat_purchase": 9,
     "sim_dim_variance_topk": 9,
+    "events_error_budget_burn": 9,
+    "orders_ship_latency": 9,
+    "text_vocab_coverage": 9,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

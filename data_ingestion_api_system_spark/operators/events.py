@@ -1353,7 +1353,107 @@ FROM v0 JOIN v1 ON v0.t = v1.t JOIN v2 ON v0.t = v2.t
 """
 
 
+# ---------------------------------------------------------------------------
+# SRE error-budget accounting (the SLO burn table from the Google SRE
+# workbook): with an SLO of at most SLO_PPM errors per million events, the
+# running budget is cum_events·SLO/1e6 and the burn readout compares the
+# running error count against it — all integer arithmetic.
+SLO_PPM = 10_000  # 1% error SLO
+
+
+def q_events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-budget burn table: per day, events, errors, the daily
+    error rate in exact ppm, the running error count vs the running
+    budget (SLO_PPM of cumulative events), the budget-consumed ratio in
+    ppm, and the breach flag once cumulative errors exceed the budget.
+
+    Scale shape: one (day) partial aggregate collapses the fact to
+    calendar-bounded rows; both running sums are broadcast non-equi
+    self-joins of that bounded table (the same shape as the survival
+    risk set) — no un-partitioned window over data. Everything after the
+    first aggregate is metadata."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = pin(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int")).alias(
+                "n_errors"
+            ),
+        )
+    )
+    cum = (
+        daily.select(F.col("day").alias("d"))
+        .join(
+            F.broadcast(
+                daily.select(
+                    F.col("day").alias("d2"), "n_events", "n_errors"
+                )
+            ),
+            F.col("d2") <= F.col("d"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("cum_events"),
+            F.sum("n_errors").cast("bigint").alias("cum_errors"),
+        )
+    )
+    return (
+        daily.join(cum, daily["day"] == cum["d"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_errors").cast("bigint").alias("n_errors"),
+            F.expr("CAST(n_errors * 1000000 DIV n_events AS BIGINT)").alias(
+                "err_ppm"
+            ),
+            "cum_errors",
+            F.expr(f"CAST(cum_events * {SLO_PPM} DIV 1000000 AS BIGINT)").alias(
+                "cum_budget"
+            ),
+            F.expr(
+                f"CASE WHEN cum_events * {SLO_PPM} DIV 1000000 = 0"
+                " THEN CAST(1000000 AS BIGINT)"
+                " ELSE CAST(cum_errors * 1000000"
+                f" DIV (cum_events * {SLO_PPM} DIV 1000000) AS BIGINT) END"
+            ).alias("budget_used_ppm"),
+            F.expr(
+                f"CAST(cum_errors > cum_events * {SLO_PPM} DIV 1000000 AS INT)"
+            ).alias("breached"),
+        )
+    )
+
+
+_ORACLE_ERROR_BUDGET = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT a.day AS d, sum(b.n_events) AS cum_events,
+         sum(b.n_errors) AS cum_errors
+  FROM daily a JOIN daily b ON b.day <= a.day
+  GROUP BY 1
+)
+SELECT CAST(daily.day AS VARCHAR) AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(n_errors * 1000000 // n_events AS BIGINT) AS err_ppm,
+       CAST(cum_errors AS BIGINT) AS cum_errors,
+       CAST(cum_events * {SLO_PPM} // 1000000 AS BIGINT) AS cum_budget,
+       CASE WHEN cum_events * {SLO_PPM} // 1000000 = 0
+            THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(cum_errors * 1000000
+                      // (cum_events * {SLO_PPM} // 1000000) AS BIGINT) END
+         AS budget_used_ppm,
+       CAST(cum_errors > cum_events * {SLO_PPM} // 1000000 AS INT) AS breached
+FROM daily JOIN cum ON daily.day = cum.d
+"""
+
+
 QUERIES = {
+    "events_error_budget_burn": q_events_error_budget_burn,
     "events_markov_stationary": q_events_markov_stationary,
     "events_wow_growth": q_events_wow_growth,
     "events_bot_score": q_events_bot_score,
@@ -1376,6 +1476,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_error_budget_burn": _ORACLE_ERROR_BUDGET,
     "events_markov_stationary": _ORACLE_MARKOV_STATIONARY,
     "events_wow_growth": _ORACLE_WOW,
     "events_bot_score": _ORACLE_BOT,

@@ -1123,7 +1123,94 @@ GROUP BY gap_bucket, n_total
 """
 
 
+def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: line-item count,
+    min/max lag days, exact mean lag in floor-ppm, and a
+    30/60/90-day-band histogram — the fulfilment-SLA readout a supply
+    chain dashboards.
+
+    Scale shape: the one genuinely big-big join in this module —
+    lineitem ⋈ orders on the order key (both fact-sized, one keyed
+    shuffle each side; on a layout bucketed by orderkey it is
+    exchange-free, the property tests/test_bucketed_join.py proves for
+    this exact pair). The lag arithmetic is an integer datediff and the
+    rollup keys on the ≤5-value priority column — partial aggregation
+    collapses everything map-side before the tiny final exchange."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("o_orderpriority", lag.alias("lag_days"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.min("lag_days").cast("bigint").alias("min_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+        # the synthetic data contains NEGATIVE lags (ship before order —
+        # a real DQ condition, counted below), so the exact mean uses the
+        # sign-safe integer division (Spark DIV truncates toward zero,
+        # DuckDB // floors; they agree only on non-negative operands)
+        F.expr(
+            "CAST((CASE WHEN sum(CAST(lag_days AS BIGINT)) >= 0 THEN 1"
+            " ELSE -1 END)"
+            " * (abs(sum(CAST(lag_days AS BIGINT))) * 1000000"
+            " DIV count(*)) AS BIGINT)"
+        ).alias("mean_days_ppm"),
+        F.sum((F.col("lag_days") < 0).cast("int")).cast("bigint").alias(
+            "n_negative"
+        ),
+        F.sum((F.col("lag_days") <= 30).cast("int")).cast("bigint").alias(
+            "n_le_30"
+        ),
+        F.sum(
+            ((F.col("lag_days") > 30) & (F.col("lag_days") <= 60)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_31_60"),
+        F.sum(
+            ((F.col("lag_days") > 60) & (F.col("lag_days") <= 90)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_61_90"),
+        F.sum((F.col("lag_days") > 90).cast("int")).cast("bigint").alias(
+            "n_gt_90"
+        ),
+    )
+
+
+_ORACLE_SHIP_LATENCY = """
+WITH joined AS (
+  SELECT o_orderpriority,
+         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(min(lag_days) AS BIGINT) AS min_days,
+       CAST(max(lag_days) AS BIGINT) AS max_days,
+       CAST((CASE WHEN sum(CAST(lag_days AS BIGINT)) >= 0 THEN 1 ELSE -1 END)
+            * (abs(sum(CAST(lag_days AS BIGINT))) * 1000000 // count(*))
+            AS BIGINT) AS mean_days_ppm,
+       CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_le_30,
+       CAST(sum(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_31_60,
+       CAST(sum(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_61_90,
+       CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gt_90
+FROM joined
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "orders_ship_latency": q_orders_ship_latency,
     "orders_repeat_purchase": q_orders_repeat_purchase,
     "orders_class_migration": q_orders_class_migration,
     "dq_referential_orphans": q_dq_referential_orphans,
@@ -1140,6 +1227,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_ship_latency": _ORACLE_SHIP_LATENCY,
     "orders_repeat_purchase": _ORACLE_REPEAT,
     "orders_class_migration": _ORACLE_MIGRATION,
     "dq_referential_orphans": _ORACLE_ORPHANS,

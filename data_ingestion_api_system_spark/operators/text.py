@@ -2034,7 +2034,99 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV audit: fix a top-K corpus vocabulary and measure
+# the out-of-vocabulary token rate per (lang, source) slice — the
+# tokenizer-fit readout next to `text_tokenizer_fertility` (fertility asks
+# "how many pieces per word"; coverage asks "how many words the vocabulary
+# misses entirely"). K is 16 here because the synthetic corpus has ~31
+# distinct words; a production run uses the real 32k-256k tokenizer vocab —
+# same plan, bigger broadcast.
+VOCAB_TOP_K = 16
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV audit against the corpus top-{VOCAB_TOP_K} vocabulary: per
+    (lang, source), total tokens, OOV tokens, OOV rate in exact ppm, and
+    the count of docs with ≥1 OOV token.
+
+    Scale shape: the vocabulary is ONE map-side-combinable word count +
+    TakeOrdered top-K (count desc, word asc — total order) that then
+    BROADCASTS; the coverage pass is a narrow per-token membership check
+    against that broadcast (the corpus never shuffles to be scored), and
+    the rollup keys on the tiny (lang, source) domain. At 100 TB the
+    vocab broadcast is a few MB (any real tokenizer vocabulary) and the
+    whole audit is one scan + one bounded aggregate."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lowered = F.transform(tokens("text"), lambda t: F.lower(t))
+    vocab = (
+        docs.select(F.explode(lowered).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(VOCAB_TOP_K)
+        .select("w")
+    )
+    toks = docs.select(
+        "doc_id", "lang", "source", F.explode(lowered).alias("w")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce("in_vocab", F.lit(0)).alias("in_vocab"),
+    )
+    per_doc = flagged.groupBy("doc_id", "lang", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(1 - F.col("in_vocab")).alias("n_oov"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_oov").cast("bigint").alias("n_oov"),
+        F.expr(
+            "CAST(sum(n_oov) * 1000000 DIV sum(n_tokens) AS BIGINT)"
+        ).alias("oov_ppm"),
+        F.sum((F.col("n_oov") > 0).cast("int")).cast("bigint").alias(
+            "n_docs_with_oov"
+        ),
+    )
+
+
+_ORACLE_VOCAB_COVERAGE = f"""
+WITH words AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform({_SQL_TOKS}, t -> lower(t))) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM words GROUP BY w
+  ) ORDER BY c DESC, w ASC LIMIT {VOCAB_TOP_K}
+),
+per_doc AS (
+  SELECT doc_id, lang, source, count(*) AS n_tokens,
+         sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM words LEFT JOIN vocab ON words.w = vocab.w
+  GROUP BY doc_id, lang, source
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       CAST(sum(n_oov) * 1000000 // sum(n_tokens) AS BIGINT) AS oov_ppm,
+       CAST(sum(CASE WHEN n_oov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_oov
+FROM per_doc
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
+    "text_vocab_coverage": q_text_vocab_coverage,
     "text_kneser_ney_score": q_text_kneser_ney_score,
     "text_heaps_vocab_growth": q_text_heaps_vocab_growth,
     "text_filter_funnel": q_text_filter_funnel,
@@ -2065,6 +2157,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "text_kneser_ney_score": _ORACLE_KNESER_NEY,
     "text_heaps_vocab_growth": _ORACLE_HEAPS,
     "text_filter_funnel": _ORACLE_FUNNEL,

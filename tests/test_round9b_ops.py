@@ -835,3 +835,125 @@ def test_dim_variance_matches_pure_python(spark):
         (d, n, -negvar) for negvar, d, n in scored[:DIM_VAR_TOP_K]
     }
     assert _rows(q_sim_dim_variance_topk(spark, SF_DIR)) == expected
+
+
+# ---------------------------------------------------------------------------
+# events_error_budget_burn
+
+
+def test_error_budget_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.events import (
+        SLO_PPM,
+        q_events_error_budget_burn,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    daily = ev.assign(day=ev.ts.dt.date).groupby("day").agg(
+        n=("event_id", "size"),
+        e=("event_type", lambda s: int((s == "error").sum())),
+    )
+    expected = set()
+    cum_n = cum_e = 0
+    for day, row in daily.sort_index().iterrows():
+        n, e = int(row.n), int(row.e)
+        cum_n += n
+        cum_e += e
+        budget = cum_n * SLO_PPM // 1_000_000
+        used = 1_000_000 if budget == 0 else cum_e * 1_000_000 // budget
+        expected.add(
+            (
+                str(day),
+                n,
+                e,
+                e * 1_000_000 // n,
+                cum_e,
+                budget,
+                used,
+                int(cum_e > budget),
+            )
+        )
+    assert _rows(q_events_error_budget_burn(spark, SF_DIR)) == expected
+    # error rate in this corpus (~20%) must breach a 1% SLO immediately
+    assert all(r[7] == 1 for r in expected)
+
+
+# ---------------------------------------------------------------------------
+# orders_ship_latency
+
+
+def test_ship_latency_matches_pandas(spark):
+    from data_ingestion_api_system_spark.operators.insights import (
+        q_orders_ship_latency,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate"]
+    ]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["lag"] = (
+        j.l_shipdate.dt.normalize() - j.o_orderdate.dt.normalize()
+    ).dt.days
+    expected = set()
+    for prio, grp in j.groupby("o_orderpriority"):
+        lags = grp.lag
+        n = len(lags)
+        s = int(lags.sum())
+        mean_ppm = (1 if s >= 0 else -1) * (abs(s) * 1_000_000 // n)
+        expected.add(
+            (
+                prio,
+                n,
+                int(lags.min()),
+                int(lags.max()),
+                mean_ppm,
+                int((lags < 0).sum()),
+                int((lags <= 30).sum()),
+                int(((lags > 30) & (lags <= 60)).sum()),
+                int(((lags > 60) & (lags <= 90)).sum()),
+                int((lags > 90).sum()),
+            )
+        )
+    assert _rows(q_orders_ship_latency(spark, SF_DIR)) == expected
+    # the synthetic data really does contain negative (pre-order) ship
+    # dates — the DQ column must be non-vacuous
+    assert any(r[5] > 0 for r in expected)
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage
+
+
+def test_vocab_coverage_matches_pure_python(spark):
+    from data_ingestion_api_system_spark.operators.text import (
+        VOCAB_TOP_K,
+        q_text_vocab_coverage,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    freq: Counter = Counter()
+    for text in docs.text:
+        freq.update(t.lower() for t in _toks(text))
+    vocab = {
+        w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_TOP_K
+        ]
+    }
+    agg: defaultdict = defaultdict(lambda: [0, 0, 0, 0])
+    for _, row in docs.iterrows():
+        toks = [t.lower() for t in _toks(row.text)]
+        oov = sum(1 for t in toks if t not in vocab)
+        a = agg[(row.lang, row.source)]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += oov
+        a[3] += int(oov > 0)
+    expected = {
+        (lang, src, n, nt, no, no * 1_000_000 // nt, nwo)
+        for (lang, src), (n, nt, no, nwo) in agg.items()
+    }
+    assert _rows(q_text_vocab_coverage(spark, SF_DIR)) == expected
+    # a 16-word vocab over a ~31-word corpus must leave real OOV mass
+    assert any(r[4] > 0 for r in expected)

@@ -113,6 +113,9 @@ DEFAULT = [
     "events_markov_stationary",
     "orders_repeat_purchase",
     "sim_dim_variance_topk",
+    "events_error_budget_burn",
+    "orders_ship_latency",
+    "text_vocab_coverage",
 ]
 
 
