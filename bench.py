@@ -169,6 +169,124 @@ ADDED_R9 = [
 ]
 
 
+# Added round 10 (VERDICT r9 #3): the full-registry backfill — every entry
+# added in rounds 1-6 that was in neither HEADLINE nor a later cohort had
+# no solo bench series, so round-over-round regressions there were
+# invisible. With this cohort the bench covers the ENTIRE registry
+# (206/206); per-entry wall cost is bounded by the same warm_b3_m5
+# methodology, and the per-query checkpoint file (below) means a driver-side
+# timeout truncates the record to a usable prefix instead of losing it.
+ADDED_R10 = [
+    "pipeline_validate",
+    "pipeline_chunk",
+    "pipeline_queue_order",
+    "pipeline_status_counts",
+    "scalar_functions",
+    "tpch_q7_nation_volume",
+    "tpch_q9_product_profit",
+    "asof_join_attribution",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "salted_aggregation",
+    "prep_training_mix",
+    "prep_decontaminate",
+    "prep_temperature_mix",
+    "dedup_containment",
+    "sim_quantize_int8",
+    "sim_pq_codes",
+    "sim_recall_eval",
+    "text_chunk_windows",
+    "text_tfidf_topk",
+    "text_cross_doc_spans",
+    "text_perplexity_ngram",
+    "text_weighted_sample",
+    "multimodal_resize",
+    "streaming_stateful_totals",
+    "events_markov_transitions",
+    "window_time_range_frame",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "join_semi_anti",
+    "set_ops",
+    "agg_rollup",
+    "sketch_histogram_quantiles",
+    "sketch_bloom_membership",
+    "text_bigram_coherence",
+    "events_gap_fill",
+    "sim_kmeans_train",
+    "sql_recursive_backoff",
+    "events_funnel",
+    "events_anomaly",
+    "orders_scd2",
+    "events_variant_shred",
+    "rollup_incremental",
+    "group_median",
+    "graph_pagerank",
+    "dq_constraint_report",
+    "cohort_retention",
+    "train_test_split",
+    "fuzzy_name_match",
+    "text_repetition_score",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "sim_intra_label_stats",
+    "sim_lsh_bucket_stats",
+    "sim_matryoshka_recall",
+    "text_bpe_tokens",
+    "text_word_freq",
+    "text_ngram_profile",
+    "text_sequence_pack",
+    "text_stratified_sample",
+    "multimodal_size_rollup",
+    "join_full_outer_reconcile",
+    "agg_cube",
+    "distinct_agg",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue",
+    "pivot_priority_by_year",
+    "sql_scalar_subquery",
+    "sql_grouping_sets",
+    "approx_distinct_sketch",
+    "date_functions",
+    "tpch_q22_sales_opportunity",
+    "unpivot_measures",
+    "map_columns_roundtrip",
+    "dedup_lsh_verified",
+    "dedup_cluster_cc",
+    "dedup_simhash",
+    "sim_ivf_ann",
+    "sim_lsh_ann",
+    "sim_kmeans_step",
+    "text_quality_score",
+    "text_lang_id",
+    "text_pii_redact",
+    "sketch_count_min",
+    "events_decay_value",
+    "multimodal_frame_sample",
+    "range_join_binned",
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_dedup",
+    "streaming_stream_join",
+    "events_sliding_window",
+    "events_json_extract",
+    "events_type_stats",
+    "window_distribution_funcs",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_moving_avg",
+    "set_ops_bag",
+    "pandas_udf_token_count",
+    "apply_in_pandas_rank",
+    "grouped_agg_udaf",
+    "udtf_chunk_text",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -218,8 +336,21 @@ def main() -> None:
 
     from data_ingestion_api_system_spark.operators import release_pins
 
+    # Per-query checkpoint (VERDICT r9 #3/#6): the full set is now the whole
+    # 206-entry registry, so a driver-side timeout mid-run must leave a
+    # usable prefix record instead of nothing. Untracked sibling; the final
+    # authoritative record is still written once at the end.
+    partial_path = str(
+        Path(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_OUT",
+                str(Path(__file__).resolve().parent / "BENCH_LOCAL.json"),
+            )
+        ).with_suffix(".partial.json")
+    )
+
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10:
         fn = qs[name]
 
         def run_once():
@@ -238,6 +369,11 @@ def main() -> None:
             f"{'best of 3' if reps == 3 else 'median of 5'})",
             file=sys.stderr,
         )
+        with open(partial_path, "w") as fh:
+            json.dump(
+                {"queries": timings, "load_1m_at_start": load_1m_at_start},
+                fh,
+            )
 
     total = round(sum(timings.values()), 3)
     result = json.dumps(
@@ -246,7 +382,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9,
+            "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10,
             "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
             "sf": float(sf),
             # methodology marker so cross-round numbers are

@@ -1257,7 +1257,13 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     that builds pair counts (identical to `events_markov_transitions`);
     the matrix is ≤ |types|² rows, so every power step is a join +
     aggregate over broadcast metadata. Integer trajectories make the
-    result partitioning-independent."""
+    result partitioning-independent.
+
+    Completeness (ADVICE r9): the state universe is from_type ∪ to_type,
+    and the final readout LEFT-joins each power step with coalesce(0) —
+    a sink-only state (no outgoing transitions) or source-only state (no
+    incoming) appears with explicit zero mass instead of vanishing from
+    an inner-join chain."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1279,7 +1285,11 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n * 1000000 DIV row_n AS BIGINT)").alias("p_ppm"),
         )
     )
-    types = pin(p.select(F.col("from_type").alias("t")).distinct())
+    types = pin(
+        p.select(F.col("from_type").alias("t"))
+        .unionAll(p.select(F.col("to_type").alias("t")))
+        .distinct()
+    )
     ntypes = F.broadcast(types.agg(F.count("*").alias("k")))
     v = pin(
         types.crossJoin(ntypes).select(
@@ -1302,15 +1312,17 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         vs[0]
         .select("t", F.col("mass").alias("mass_v0"))
-        .join(vs[1].select("t", F.col("mass").alias("mass_v1")), "t")
-        .join(vs[2].select("t", F.col("mass").alias("mass_v2")), "t")
+        .join(vs[1].select("t", F.col("mass").alias("mass_v1")), "t", "left")
+        .join(vs[2].select("t", F.col("mass").alias("mass_v2")), "t", "left")
     )
     return out.select(
         F.col("t").alias("event_type"),
         "mass_v0",
-        "mass_v1",
-        "mass_v2",
-        (F.col("mass_v2") - F.col("mass_v1")).cast("bigint").alias("step_delta"),
+        F.coalesce("mass_v1", F.lit(0)).cast("bigint").alias("mass_v1"),
+        F.coalesce("mass_v2", F.lit(0)).cast("bigint").alias("mass_v2"),
+        (
+            F.coalesce("mass_v2", F.lit(0)) - F.coalesce("mass_v1", F.lit(0))
+        ).cast("bigint").alias("step_delta"),
     )
 
 
@@ -1331,7 +1343,11 @@ p AS (
            AS p_ppm
   FROM trans
 ),
-types AS (SELECT DISTINCT from_type AS t FROM p),
+types AS (
+  SELECT DISTINCT t FROM (
+    SELECT from_type AS t FROM p UNION ALL SELECT to_type AS t FROM p
+  )
+),
 k AS (SELECT count(*) AS k FROM types),
 v0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS mass FROM types CROSS JOIN k),
 v1 AS (
@@ -1346,10 +1362,11 @@ v2 AS (
 )
 SELECT v0.t AS event_type,
        v0.mass AS mass_v0,
-       v1.mass AS mass_v1,
-       v2.mass AS mass_v2,
-       CAST(v2.mass - v1.mass AS BIGINT) AS step_delta
-FROM v0 JOIN v1 ON v0.t = v1.t JOIN v2 ON v0.t = v2.t
+       CAST(coalesce(v1.mass, 0) AS BIGINT) AS mass_v1,
+       CAST(coalesce(v2.mass, 0) AS BIGINT) AS mass_v2,
+       CAST(coalesce(v2.mass, 0) - coalesce(v1.mass, 0) AS BIGINT)
+         AS step_delta
+FROM v0 LEFT JOIN v1 ON v0.t = v1.t LEFT JOIN v2 ON v0.t = v2.t
 """
 
 

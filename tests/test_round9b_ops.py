@@ -210,7 +210,9 @@ def test_referential_orphans_matches_pandas(spark):
                 name,
                 len(c),
                 int(orphan_mask.sum()),
-                int(c.loc[orphan_mask, fk].nunique()),
+                # dropna=False: both engines count a NULL FK group as one
+                # orphan key (ADVICE r9) — the pandas twin must too
+                int(c.loc[orphan_mask, fk].nunique(dropna=False)),
             )
         )
     assert _rows(q_dq_referential_orphans(spark, SF_DIR)) == expected
@@ -749,7 +751,9 @@ def test_markov_stationary_matches_pure_python(spark):
     for (a, _), n in trans.items():
         row_tot[a] += n
     p = {(a, b): n * 1_000_000 // row_tot[a] for (a, b), n in trans.items()}
-    types = sorted(row_tot)
+    # state universe = from ∪ to (ADVICE r9: sink-only states get zero
+    # mass rows instead of vanishing)
+    types = sorted({a for a, _ in trans} | {b for _, b in trans})
     k = len(types)
     v = {t: 1_000_000 // k for t in types}
     history = [dict(v)]
