@@ -659,18 +659,41 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any engine run, and the oracle asserts literal 1s. The exact twins
     are the eval harness (same pattern as sim_recall_eval's ground-truth
     join): at 100 TB you'd compute them on a sample audit, while the
-    sketches remain the production path."""
+    sketches remain the production path.
+
+    Plan shape (REPLANNED round 10, measured): the original single
+    aggregate mixed two countDistincts with the HLL and quantile buffers,
+    and the multi-distinct Expand plan degraded the imperative buffers to
+    a sort-aggregate path — 275 s at sf0.1 (the two distincts + two HLLs
+    alone cost 58 s; individually each aggregate runs in ≤ 2 s). The fix
+    removes distinct AGGREGATES entirely: HLL estimates depend only on
+    the SET of hashed values, so exact count and approx_count_distinct
+    are both computed from the already-distinct (flag, key) projection —
+    a map-side-combinable distinct shuffle, no Expand — and the two
+    percentile buffers get their own clean ObjectHashAggregate pass.
+    Three 3-row results broadcast-join under one action: 2.1 s at sf0.1,
+    exponent back in the flat band. Same discipline as the
+    layout_column_stats replan (SCALE.md): never co-locate distinct
+    aggregates with imperative-buffer aggregates in one Expand plan."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
+
+    def distinct_counts(col: str, out: str) -> DataFrame:
+        d = li.select("l_returnflag", col).distinct()
+        return d.groupBy("l_returnflag").agg(
+            F.count("*").alias(f"exact_{out}"),
+            F.approx_count_distinct(col, 0.01).alias(f"_a_{out}"),
+        )
+
     qa = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
     qe = F.percentile("l_extendedprice", F.lit([0.5, 0.95, 0.99]))
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
-        qa.alias("_qa"),
-        qe.alias("_qe"),
+    pcts = li.groupBy("l_returnflag").agg(qa.alias("_qa"), qe.alias("_qe"))
+    agg = (
+        distinct_counts("l_orderkey", "orders")
+        .join(F.broadcast(distinct_counts("l_partkey", "parts")), "l_returnflag")
+        .join(F.broadcast(pcts), "l_returnflag")
+        .withColumnRenamed("_a_orders", "_ao")
+        .withColumnRenamed("_a_parts", "_ap")
     )
 
     def ok(approx, exact):
