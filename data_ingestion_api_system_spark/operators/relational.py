@@ -595,7 +595,10 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(DISTINCT) per group — Spark plans this as a two-stage expand +
     aggregate; at scale prefer approx_count_distinct when exactness isn't
-    required (see q_approx_distinct, rows-only)."""
+    required (see q_approx_distinct). Safe shape: the Expand carries only
+    declarative aggregates (count) — never co-locate distinct aggregates
+    with imperative buffers (HLL/percentile) in one agg (measured 130×
+    cliff, SCALE.md round-10 findings)."""
     tune(spark)
     li = _t(spark, sf_dir, "lineitem")
     return (
