@@ -43,6 +43,13 @@ def exact_avg(col: Column | str, scale: int = 4, round_to: int = 6) -> Column:
     engine-identical), then rounded. Matching DuckDB SQL::
 
         ROUND(CAST(SUM(CAST(x AS DECIMAL(25,4))) AS DOUBLE) / COUNT(x), 6)
+
+    Caveat (measured, round-10 sf0.1 gate): when the exact quotient lands
+    ON a .5e-6 half boundary the two engines' round-of-double can diverge
+    by one last-digit unit — prefer :func:`exact_avg_halfup` for scale ≤ 6
+    inputs (it rounds in exact integer arithmetic and has no boundary);
+    this double-division form remains for scale-8 inputs (k-means
+    centroids) where sum·10^6 is not integral.
     """
     c = _col(col)
     return F.round(

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     exact_avg,
+    exact_avg_halfup,
     sql_exact_avg,
+    sql_exact_avg_halfup,
     sql_word_ngrams as _sql_word_ngrams,
     tokens,
     word_ngrams as _word_ngrams,
@@ -880,10 +882,16 @@ def q_text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (bit-identical across engines), but natural log is NOT — a
     measured 56% of ln() outputs differ by 1 ulp between the JVM (fdlibm)
     and DuckDB (libm). Each log-prob is therefore rounded to 6 decimals
-    before the exact-decimal average (`exact_avg` scale=6 keeps the rounded
-    values exact); a 1-ulp input difference then flips the comparison only
-    when ln lands within an ulp of a 0.5e-6 boundary (~2e-10/value). Same
-    residual-risk class as the repo-wide round-of-double convention.
+    before the exact-decimal average; a 1-ulp input difference then flips
+    the comparison only when ln lands within an ulp of a 0.5e-6 boundary
+    (~2e-10/value). The AVERAGE itself uses `exact_avg_halfup` (integer
+    half-away-from-zero rounding of sum·10^6 div n) — the round-10 sf0.1
+    full gate caught plain `exact_avg`'s round-of-double on a doc whose
+    exact mean of 361 six-decimal values lands on a .5e-6 boundary, which
+    the two engines' double rounding resolves differently; the integer
+    construction is boundary-exact by definition. Residual risk is the
+    per-ln rounding above plus exp(-avg)'s 1-ulp at the ppl 4th decimal
+    (~7e-11/row) — the repo-wide documented class.
 
     Plan shape at 100 TB: identical to q_text_bigram_coherence (one explode
     pass, two map-side-partial count aggregations, hash joins back on
@@ -929,7 +937,7 @@ def q_text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(vocab)
         .select("doc_id", "lang", logp.alias("logp"))
     )
-    avg_lp = exact_avg("logp", scale=6, round_to=6)
+    avg_lp = exact_avg_halfup("logp", scale=6)
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         avg_lp.alias("avg_logprob"),
@@ -962,8 +970,8 @@ scored AS (
   FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
 )
 SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-       {sql_exact_avg('logp', scale=6)} AS avg_logprob,
-       ROUND(exp(-({sql_exact_avg('logp', scale=6)})), 4) AS ppl
+       {sql_exact_avg_halfup('logp', scale=6)} AS avg_logprob,
+       ROUND(exp(-({sql_exact_avg_halfup('logp', scale=6)})), 4) AS ppl
 FROM scored GROUP BY doc_id, lang
 """
 
