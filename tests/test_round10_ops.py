@@ -103,3 +103,96 @@ def test_adj_gate_empty_graph(spark):
     deg = adj.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
     out = _adj_for_wedges(adj, deg, cap=CN_DEGREE_CAP)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 3. exact_avg_halfup boundary law (the round-10 sf0.1 gate catch): the
+#    Spark expression, its DuckDB twin, and a Fraction-exact
+#    half-away-from-zero model agree on arbitrary 6-decimal inputs —
+#    INCLUDING means that land exactly on a .5e-6 rounding boundary, where
+#    plain exact_avg's round-of-double diverged between the engines
+#    (text_perplexity_ngram, 2 rows at sf0.1).
+# ---------------------------------------------------------------------------
+
+
+def _halfaway_mean_micros(micros: list[int]) -> float:
+    """Fraction-free exact model: half-away-from-zero(Σ/n) at 1e-6 scale,
+    as pure integers — the same construction both engines implement."""
+    a, n = sum(micros), len(micros)
+    sign = -1 if a < 0 else 1
+    return sign * ((2 * abs(a) + n) // (2 * n)) / 1e6
+
+
+def _engines_halfup_mean(spark, micros: list[int]) -> tuple[float, float]:
+    import duckdb
+    import pandas as pd
+
+    from data_ingestion_api_system_spark.functions import (
+        exact_avg_halfup,
+        sql_exact_avg_halfup,
+    )
+
+    pdf = pd.DataFrame({"v": [m / 1e6 for m in micros]})
+    sdf = spark.createDataFrame(pdf)
+    [srow] = sdf.agg(exact_avg_halfup("v", scale=6).alias("m")).collect()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    [drow] = con.sql(
+        f"SELECT {sql_exact_avg_halfup('v', scale=6)} AS m FROM t"
+    ).fetchall()
+    con.close()
+    return srow.m, drow[0]
+
+
+def test_exact_avg_halfup_exact_boundary_cases(spark):
+    """Constructed exact .5e-6-boundary means: n=2 with odd micro sums sit
+    EXACTLY on the half boundary (the case round-of-double cannot decide
+    portably); both engines must round away from zero, both signs, plus
+    the n=361 shape the sf0.1 gate actually caught."""
+    cases = [
+        [1, 0],            # mean = +0.5e-6 -> +1e-6
+        [-1, 0],           # mean = -0.5e-6 -> -1e-6
+        [3, 0],            # mean = +1.5e-6 -> +2e-6
+        [-3, 0],           # mean = -1.5e-6 -> -2e-6
+        [25, 25, 26],      # non-boundary control
+        # magnitude of the observed sf0.1 flip (avg_logprob ~ -3.39) on a
+        # GENUINE half boundary (even n): mean = -3388329.5e-6 exactly.
+        # NB with odd n (the real doc had 361 bigrams) an integral micro
+        # sum can never land exactly on .5 — the production failure was
+        # plain exact_avg's round-of-double diverging NEAR the boundary
+        # (Spark rounds the shortest decimal repr, DuckDB the full binary
+        # expansion); the integer construction under test here has no
+        # double round at all, which is the point.
+        [-3388329, -3388330],
+        # odd-n control at the same magnitude (exact thirds, no boundary)
+        [-3388329, -3388330, -3388331],
+    ]
+    for micros in cases:
+        s, d = _engines_halfup_mean(spark, micros)
+        m = _halfaway_mean_micros(micros)
+        assert s == d == m, (micros[:3], len(micros), s, d, m)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        micros=st.lists(
+            st.integers(min_value=-10_000_000, max_value=10_000_000),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_exact_avg_halfup_matches_model(spark, micros):
+        """Random 6-decimal inputs: Spark == DuckDB == integer model."""
+        s, d = _engines_halfup_mean(spark, micros)
+        m = _halfaway_mean_micros(micros)
+        assert s == d == m
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
