@@ -6,6 +6,12 @@
 2. The events_markov_stationary zero-mass completeness fix (ADVICE r9):
    source-only / sink-only states appear with explicit zero mass instead
    of silently vanishing from the inner-join chain.
+3. exact_avg_halfup boundary laws (the sf0.1 gate catch): Spark ==
+   DuckDB == integer half-away model, including constructed exact
+   .5e-6-boundary means.
+4. Partition-invariance sample: a cross-family entry sample must produce
+   identical output under 2-vs-64 shuffle partitions and 128MB-vs-4MB
+   scan splits (the suite-resident twin of tools/invariance_check.py).
 """
 
 from __future__ import annotations
@@ -196,3 +202,61 @@ try:
         assert s == d == m
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# ---------------------------------------------------------------------------
+# 4. Partition-invariance sample (the continuous twin of
+#    tools/invariance_check.py, which certified all 206 entries at sf0.01
+#    in round 10): a cross-family sample re-runs per suite execution so a
+#    new order-dependence (float-sum ordering, unordered first/last,
+#    monotonically_increasing_id leakage, range-partitioner boundaries)
+#    cannot land silently. Entries chosen for having the riskiest shapes:
+#    a range-exchange global ntile, an unrolled iterative plan, a window
+#    chain, a grid explode + LOCF window, and a banded-LSH shuffle.
+# ---------------------------------------------------------------------------
+
+_INVARIANCE_SAMPLE = [
+    "prep_curriculum_order",   # global_ntile range exchange + m_i_id ordering
+    "graph_kcore_peel",        # unrolled peel, per-round pins
+    "window_running_sum",      # window frame chain
+    "events_gap_fill",         # grid explode + LOCF last(ignorenulls)
+    "dedup_minhash_lsh",       # banded signature shuffle
+]
+
+
+def test_partition_invariance_sample(spark):
+    import importlib.util
+    from pathlib import Path
+
+    from data_ingestion_api_system_spark.operators import release_pins
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", root / "tools" / "check_oracle.py"
+    )
+    check_oracle = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(check_oracle)
+    spec2 = importlib.util.spec_from_file_location(
+        "entrymod", root / "__spark_entry__.py"
+    )
+    entrymod = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(entrymod)
+    qs = entrymod.queries()
+
+    sf_dir = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in _INVARIANCE_SAMPLE:
+            results = []
+            for shuffle, split in (("2", "134217728"), ("64", "4194304")):
+                release_pins()
+                spark.catalog.clearCache()
+                spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+                results.append(check_oracle.normalize(qs[name](spark, sf_dir).toPandas()))
+            (cols_a, rows_a), (cols_b, rows_b) = results
+            assert cols_a == cols_b, name
+            assert rows_a == rows_b, (name, len(rows_a), len(rows_b))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
