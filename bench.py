@@ -370,8 +370,18 @@ def main() -> None:
             file=sys.stderr,
         )
         with open(partial_path, "w") as fh:
+            # carry the run-identity fields the final record has, so a
+            # recovered prefix can't be mistaken for a different run's
+            # sf / methodology (e.g. a stale sf0.1 partial read as the
+            # truncated record of a later sf0.01 run)
             json.dump(
-                {"queries": timings, "load_1m_at_start": load_1m_at_start},
+                {
+                    "queries": timings,
+                    "sf": float(sf),
+                    "timing": "warm_b3_m5",
+                    "partial": True,
+                    "load_1m_at_start": load_1m_at_start,
+                },
                 fh,
             )
 
@@ -431,6 +441,9 @@ def main() -> None:
         out_path = diverted
     with open(out_path, "w") as fh:
         fh.write(result + "\n")
+    # the run completed and the authoritative record exists — remove the
+    # checkpoint so a stale full partial can't shadow a later aborted run
+    Path(partial_path).unlink(missing_ok=True)
     spark.stop()
 
 

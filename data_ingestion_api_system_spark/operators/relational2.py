@@ -680,8 +680,12 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def distinct_counts(col: str, out: str) -> DataFrame:
         d = li.select("l_returnflag", col).distinct()
+        # count(col), NOT count(*): a NULL key would survive the distinct
+        # projection as a (flag, NULL) row, but both count(DISTINCT col)
+        # (the oracle / the pre-replan code) and approx_count_distinct
+        # skip NULLs — count(*) would diverge by one on NULL-bearing keys
         return d.groupBy("l_returnflag").agg(
-            F.count("*").alias(f"exact_{out}"),
+            F.count(col).alias(f"exact_{out}"),
             F.approx_count_distinct(col, 0.01).alias(f"_a_{out}"),
         )
 

@@ -231,16 +231,20 @@ def test_partition_invariance_sample(spark):
     from data_ingestion_api_system_spark.operators import release_pins
 
     root = Path(__file__).resolve().parent.parent
-    spec = importlib.util.spec_from_file_location(
-        "check_oracle", root / "tools" / "check_oracle.py"
+
+    def load_tool(modname, path):
+        spec = importlib.util.spec_from_file_location(modname, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    check_oracle = load_tool("check_oracle", root / "tools" / "check_oracle.py")
+    # reuse the certification tool's OWN config pairs so this suite-resident
+    # twin cannot drift from what tools/invariance_check.py certifies
+    invariance = load_tool(
+        "invariance_check", root / "tools" / "invariance_check.py"
     )
-    check_oracle = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(check_oracle)
-    spec2 = importlib.util.spec_from_file_location(
-        "entrymod", root / "__spark_entry__.py"
-    )
-    entrymod = importlib.util.module_from_spec(spec2)
-    spec2.loader.exec_module(entrymod)
+    entrymod = load_tool("entrymod", root / "__spark_entry__.py")
     qs = entrymod.queries()
 
     sf_dir = "/root/testdata/sf0.001"
@@ -248,7 +252,7 @@ def test_partition_invariance_sample(spark):
     try:
         for name in _INVARIANCE_SAMPLE:
             results = []
-            for shuffle, split in (("2", "134217728"), ("64", "4194304")):
+            for shuffle, split in invariance.CONFIGS:
                 release_pins()
                 spark.catalog.clearCache()
                 spark.conf.set("spark.sql.shuffle.partitions", shuffle)

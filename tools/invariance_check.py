@@ -28,6 +28,9 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
+# script-mode puts tools/ on sys.path automatically; spec-loading (the
+# suite-resident twin in tests/test_round10_ops.py) does not
+sys.path.insert(0, str(ROOT / "tools"))
 
 from check_oracle import normalize  # noqa: E402  (tools/ sibling)
 
@@ -58,16 +61,34 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or list(qs)
 
+    def make_record(checked: int) -> dict:
+        return {
+            "check": "partition_invariance",
+            "sf_dir": sf_dir,
+            "configs": [
+                {"shuffle_partitions": s, "max_partition_bytes": b}
+                for s, b in CONFIGS
+            ],
+            "checked": checked,
+            "failures": failures,
+        }
+
     failures: dict[str, str] = {}
-    for name in names:
-        fn = qs[name]
+    partial = ROOT / "INVARIANCE.partial.json"
+    for done, name in enumerate(names):
         try:
+            fn = qs[name]  # inside the guard: a bad name must not kill the sweep
             (cols_a, rows_a) = run_once(spark, fn, sf_dir, *CONFIGS[0])
             (cols_b, rows_b) = run_once(spark, fn, sf_dir, *CONFIGS[1])
         except Exception as exc:  # noqa: BLE001 - report, keep sweeping
             failures[name] = f"error: {exc}"
             print(f"ERR  {name}: {exc}", flush=True)
             continue
+        finally:
+            # same rationale as bench.py / scaling_probe.py: a truncated
+            # multi-hour sweep keeps a usable prefix, in the SAME shape as
+            # the final record so downstream readers need no special case
+            partial.write_text(json.dumps(make_record(done + 1)))
         if cols_a != cols_b:
             failures[name] = f"columns differ: {cols_a} vs {cols_b}"
             print(f"FAIL {name}: {failures[name]}", flush=True)
@@ -80,16 +101,9 @@ def main() -> int:
         else:
             print(f"OK   {name}: {len(rows_a)} rows invariant", flush=True)
 
-    record = {
-        "check": "partition_invariance",
-        "sf_dir": sf_dir,
-        "configs": [
-            {"shuffle_partitions": s, "max_partition_bytes": b} for s, b in CONFIGS
-        ],
-        "checked": len(names),
-        "failures": failures,
-    }
+    record = make_record(len(names))
     (ROOT / "INVARIANCE.json").write_text(json.dumps(record, indent=1))
+    partial.unlink(missing_ok=True)
     print(
         f"invariance: {len(names) - len(failures)}/{len(names)} identical "
         f"across {CONFIGS[0]} vs {CONFIGS[1]}"

@@ -40,11 +40,20 @@ def main() -> int:
         # a plan going super-linear shows here first.
         return math.log10(t["sf0.1"] / t["sf0.01"])
 
+    registry_set = set(registry)
     rows = sorted(
-        ((v["exponent"], n, v["t"]) for n, v in probe.items() if n in set(registry)),
+        ((v["exponent"], n, v["t"]) for n, v in probe.items() if n in registry_set),
         reverse=True,
     )
     worst_top = max(rows, key=lambda r: top_decade(r[2]))
+    worst_any = max(rows[0][0], top_decade(worst_top[2]))
+    # derive the audit-threshold claim from the data — a regeneration where
+    # an entry crosses 1.3 must not emit prose contradicting its own table
+    flag_claim = (
+        "≥1.3 would flag hidden super-linear work (none does on either"
+        if worst_any < 1.3
+        else "≥1.3 flags hidden super-linear work (SOME ENTRIES EXCEED IT —"
+    )
     lines = [
         BEGIN,
         "",
@@ -55,7 +64,7 @@ def main() -> int:
         "it is the better 100 TB predictor.",
         "Fixed per-query overhead DEFLATES the full-range exponent,",
         "so ≈0 means overhead-bound, ≈1 means linear data cost dominates, and",
-        "≥1.3 would flag hidden super-linear work (none does on either",
+        flag_claim,
         f"measure; worst exp₁₀ = {top_decade(worst_top[2]):+.3f},"
         f" {worst_top[1]}).",
         "",

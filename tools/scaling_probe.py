@@ -162,7 +162,13 @@ def main() -> int:
               f"exp={exp:+.3f}{flag}", flush=True)
         partial = Path(__file__).resolve().parent.parent / "SCALE_PROBE.partial.json"
         with open(partial, "w") as fh:
-            json.dump(out, fh)
+            # SAME shape as the final SCALE_PROBE.json so a truncated run's
+            # partial can be consumed by tools/scale_map.py directly
+            worst_so_far = max(v["exponent"] for v in out.values())
+            json.dump(
+                {"probe": "scaling", "worst_exponent": worst_so_far, "queries": out},
+                fh,
+            )
     worst = max(out.values(), key=lambda v: v["exponent"])["exponent"]
     record = {"probe": "scaling", "worst_exponent": worst, "queries": out}
     print(json.dumps(record))
