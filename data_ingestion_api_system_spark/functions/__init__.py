@@ -75,6 +75,11 @@ def exact_avg_halfup(col_name: str, scale: int = 4) -> Column:
     ``_halfup_mean_div``). Takes a column NAME (the expression is assembled
     in SQL text). DuckDB twin: :func:`sql_exact_avg_halfup`.
     """
+    if scale > 6:
+        # the ×10^6 multiplier only yields an integral A when the decimal
+        # sum carries ≤ 6 fractional digits; beyond that the DECIMAL(38,0)
+        # cast would silently round and the "exact" guarantee is gone
+        raise ValueError(f"exact_avg_halfup requires scale <= 6, got {scale}")
     s = f"sum(CAST({col_name} AS DECIMAL(25,{scale})))"
     a = f"CAST(abs({s}) * 1000000 AS DECIMAL(38,0))"
     n = f"CAST(count({col_name}) AS DECIMAL(38,0))"
@@ -88,6 +93,8 @@ def sql_exact_avg_halfup(expr: str, scale: int = 4) -> str:
     """DuckDB twin of :func:`exact_avg_halfup` (same sign-safe abs()+sign
     construction; HUGEINT because DuckDB's ``//`` on DECIMAL operands is
     plain division, not integer division)."""
+    if scale > 6:
+        raise ValueError(f"sql_exact_avg_halfup requires scale <= 6, got {scale}")
     s = f"SUM(CAST(({expr}) AS DECIMAL(25,{scale})))"
     a = f"CAST(ABS({s}) * 1000000 AS HUGEINT)"
     return (

@@ -107,6 +107,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A|/|B| ∈ [t, 1/t]) — provably lossless, so the oracle needs no
     matching clause, but it skips the array intersection for pairs that
     cannot clear the threshold.
+
+    Cost law (measured round 11, SCALE.md): this entry is OUTPUT-bound,
+    not plan-bound. At sf0.1, 64,725 of 314,594 in-block pairs (20.6%)
+    clear jaccard ≥ 0.35 — the result set itself grows quadratically in
+    block size (613 → 645 → 64,725 pairs across the three SFs, exactly
+    100× over the top decade), so no lossless candidate prune can push
+    the exponent below the output's own growth; the measured time
+    exponent (+1.18/decade) is already BELOW the output exponent
+    (+2.0/decade). The size-ratio prune keeps 100% of pairs here (a
+    50-char len_band bounds sizes too tightly for the ratio to bite) and
+    prefix filtering generates 40× MORE candidates at t=0.35 — both
+    measured, see SCALE.md. The per-pair cost is minimized instead:
+    |A∪B| is derived arithmetically as n_a + n_b − |A∩B| (exact for
+    distinct arrays) so only ONE array op (the intersection) runs per
+    pair, not two — ~20% faster at sf0.1, value-identical output.
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -122,11 +137,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("n_sh", F.size("shingles"))
     )
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.round(
-        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
-        6,
-    )
     return (
         a.join(
             b,
@@ -141,7 +151,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
-            jac.alias("jaccard"),
+            # one array op per pair: |A∪B| = n_a + n_b − |A∩B| exactly,
+            # because shingles are array_distinct'd on both sides
+            F.size(
+                F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+            ).alias("_inter"),
+            (F.col("a.n_sh") + F.col("b.n_sh")).alias("_sumsz"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            F.round(
+                F.col("_inter") / (F.col("_sumsz") - F.col("_inter")), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -364,11 +387,10 @@ def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = cand.join(sha, "doc_a").join(shb, "doc_b")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
+    # one array op per pair (r11): |A∪B| = |A| + |B| − |A∩B| exactly for
+    # the array_distinct'd shingle sets — skips materializing the union
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
     return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )

@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_ingestion_api_system_spark.operators.relational3 import (
@@ -201,7 +202,13 @@ try:
         m = _halfaway_mean_micros(micros)
         assert s == d == m
 except ImportError:  # pragma: no cover - hypothesis is baked in
-    pass
+    # an explicitly-skipped placeholder (ADVICE r10): if hypothesis ever
+    # disappears, the lost property coverage must show as a SKIP in the
+    # run, not silently vanish. Module-level importorskip would be wrong
+    # here — it would skip this whole file's unrelated tests too.
+    @pytest.mark.skip(reason="hypothesis not installed — property test lost")
+    def test_exact_avg_halfup_matches_model(spark):  # type: ignore[misc]
+        raise AssertionError("unreachable: test is skipped")
 
 
 # ---------------------------------------------------------------------------

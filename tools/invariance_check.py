@@ -83,23 +83,25 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report, keep sweeping
             failures[name] = f"error: {exc}"
             print(f"ERR  {name}: {exc}", flush=True)
-            continue
-        finally:
-            # same rationale as bench.py / scaling_probe.py: a truncated
-            # multi-hour sweep keeps a usable prefix, in the SAME shape as
-            # the final record so downstream readers need no special case
-            partial.write_text(json.dumps(make_record(done + 1)))
-        if cols_a != cols_b:
-            failures[name] = f"columns differ: {cols_a} vs {cols_b}"
-            print(f"FAIL {name}: {failures[name]}", flush=True)
-        elif rows_a != rows_b:
-            diffs = [
-                (a, b) for a, b in zip(rows_a, rows_b) if a != b
-            ][:3] or [(len(rows_a), len(rows_b))]
-            failures[name] = f"{len(rows_a)}/{len(rows_b)} rows; first diffs: {diffs}"
-            print(f"FAIL {name}: {failures[name]}", flush=True)
         else:
-            print(f"OK   {name}: {len(rows_a)} rows invariant", flush=True)
+            if cols_a != cols_b:
+                failures[name] = f"columns differ: {cols_a} vs {cols_b}"
+                print(f"FAIL {name}: {failures[name]}", flush=True)
+            elif rows_a != rows_b:
+                diffs = [
+                    (a, b) for a, b in zip(rows_a, rows_b) if a != b
+                ][:3] or [(len(rows_a), len(rows_b))]
+                failures[name] = f"{len(rows_a)}/{len(rows_b)} rows; first diffs: {diffs}"
+                print(f"FAIL {name}: {failures[name]}", flush=True)
+            else:
+                print(f"OK   {name}: {len(rows_a)} rows invariant", flush=True)
+        # same rationale as bench.py / scaling_probe.py: a truncated
+        # multi-hour sweep keeps a usable prefix, in the SAME shape as
+        # the final record so downstream readers need no special case.
+        # Written AFTER classification (ADVICE r10): the old finally-block
+        # wrote the checkpoint before entry i's cols/rows mismatch was
+        # recorded, so an interrupted sweep could drop its last failure.
+        partial.write_text(json.dumps(make_record(done + 1)))
 
     record = make_record(len(names))
     (ROOT / "INVARIANCE.json").write_text(json.dumps(record, indent=1))

@@ -26,9 +26,17 @@ def main() -> int:
 
     registry = list(collect_queries()[0])
     probe = json.loads((ROOT / "SCALE_PROBE.json").read_text())["queries"]
-    missing = [n for n in registry if n not in probe]
+    # a probe entry is usable only with both decade timings present and
+    # non-zero (ADVICE r10: an older/partial SCALE_PROBE.json used to raise
+    # KeyError/ZeroDivisionError deep in top_decade instead of this message)
+    missing = [
+        n
+        for n in registry
+        if n not in probe
+        or not all(probe[n].get("t", {}).get(k) for k in ("sf0.001", "sf0.01", "sf0.1"))
+    ]
     if missing:
-        print(f"probe record missing {len(missing)} entries: {missing[:10]}")
+        print(f"probe record missing/malformed for {len(missing)} entries: {missing[:10]}")
         return 1
 
     import math

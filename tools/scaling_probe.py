@@ -169,12 +169,22 @@ def main() -> int:
                 {"probe": "scaling", "worst_exponent": worst_so_far, "queries": out},
                 fh,
             )
-    worst = max(out.values(), key=lambda v: v["exponent"])["exponent"]
-    record = {"probe": "scaling", "worst_exponent": worst, "queries": out}
-    print(json.dumps(record))
     # persist (same rationale as bench.py): the JSON line on stdout is
-    # scrape-fragile; the file is what tools/scale_map.py reads
+    # scrape-fragile; the file is what tools/scale_map.py reads. A
+    # targeted (non --all) run MERGES into the existing record instead of
+    # replacing it — re-probing one replanned entry must not strip the
+    # other 200 measurements and break scale_map's totality check.
     out_path = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
+    merged = dict(out)
+    if not (args and args[0] == "--all"):
+        try:
+            merged = {**json.loads(out_path.read_text())["queries"], **out}
+        except (OSError, ValueError, KeyError):
+            pass  # no prior record — the targeted run stands alone
+    worst = max(merged.values(), key=lambda v: v["exponent"])["exponent"]
+    record = {"probe": "scaling", "worst_exponent": worst, "queries": merged}
+    print(json.dumps({"probe": "scaling", "worst_exponent": worst,
+                      "probed_now": sorted(out), "queries": out}))
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1)
     spark.stop()
