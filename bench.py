@@ -286,6 +286,16 @@ ADDED_R10 = [
     "udtf_chunk_text",
 ]
 
+# Added round 11: the four partsupp-only TPC-H queries over the derived
+# deterministic partsupp (operators/tpch_ps.py) — keeps the bench total
+# over the whole registry.
+ADDED_R11 = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_promotion_stock",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -350,7 +360,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11:
         fn = qs[name]
 
         def run_once():
@@ -392,7 +402,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10,
+            "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11,
             "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
             "sf": float(sf),
             # methodology marker so cross-round numbers are

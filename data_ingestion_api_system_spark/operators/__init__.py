@@ -433,6 +433,14 @@ _BORN_ROUND = {
     "events_error_budget_burn": 9,
     "orders_ship_latency": 9,
     "text_vocab_coverage": 9,
+    # round-11 additions: the four partsupp-only TPC-H queries over the
+    # deterministic derived partsupp (operators/tpch_ps.py) — growth held
+    # to 4 ≤ 5 per VERDICT r10 #7; they wait one round, then claim window
+    # priority in round 12
+    "tpch_q2_min_cost_supplier": 11,
+    "tpch_q11_important_stock": 11,
+    "tpch_q16_supplier_variety": 11,
+    "tpch_q20_promotion_stock": 11,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 
@@ -486,6 +494,7 @@ _ALL_QUERY_MODULES = (
     "operators.relational",
     "operators.relational2",
     "operators.relational3",
+    "operators.tpch_ps",
     "operators.insights",
     "operators.layout",
     "operators.io",

@@ -502,7 +502,14 @@ FROM red
 
 
 CM_DEPTH = 4  # independent hash rows
-CM_WIDTH = 64  # buckets per row
+# Width 8, not the original 64 (round-11 all-zero sweep): the generated
+# corpus has a 31-word vocabulary, so a 4×64 grid was 8× LARGER than exact
+# counting and every top-10 probe came back with overestimate = 0 at every
+# SF — the sketch's one-sided error guarantee was never exercised by data.
+# At width 8 the load factor is ~4 words/bucket, collisions are structural
+# (as they are for any real vocabulary at 100 TB), and the overestimate
+# column carries live nonzero values that the oracle must match exactly.
+CM_WIDTH = 8  # buckets per row
 
 
 def _cm_bucket_spark(word_expr: str, j: int) -> str:

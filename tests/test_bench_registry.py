@@ -20,6 +20,7 @@ def _all_benched() -> list[str]:
         + bench.ADDED_R8
         + bench.ADDED_R9
         + bench.ADDED_R10
+        + bench.ADDED_R11
     )
 
 
