@@ -396,26 +396,25 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    result = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11,
-            "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
-            "sf": float(sf),
-            # methodology marker so cross-round numbers are
-            # self-describing: r1 was single-run ("single"), r2-r5
-            # best-of-three including the cold run ("best_of_3"), r6
-            # one untimed warmup then best-of-three ("warm_best_of_3"),
-            # r7+ warm best-of-3 for >=1 s queries and warm
-            # median-of-5 for sub-second ones ("warm_b3_m5") — compare
-            # "comparable_value" (the r6 query set) across rounds.
-            "timing": "warm_b3_m5",
-            "load_1m_at_start": load_1m_at_start,
-        }
-    )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11,
+        "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
+        "sf": float(sf),
+        # methodology marker so cross-round numbers are
+        # self-describing: r1 was single-run ("single"), r2-r5
+        # best-of-three including the cold run ("best_of_3"), r6
+        # one untimed warmup then best-of-three ("warm_best_of_3"),
+        # r7+ warm best-of-3 for >=1 s queries and warm
+        # median-of-5 for sub-second ones ("warm_b3_m5") — compare
+        # "comparable_value" (the r6 query set) across rounds.
+        "timing": "warm_b3_m5",
+        "load_1m_at_start": load_1m_at_start,
+    }
+    result = json.dumps(record)
     print(result)
     # Also persist to a file (VERDICT r7 #2): the committed BENCH_r07.json
     # was a truncated stderr/stdout scrape that lost 12 of 16 headline
@@ -463,18 +462,21 @@ def main() -> None:
     # compact per-round summary — no per-query dict, well under any tail
     # window — as the FINAL stdout line. The full record (with per-query
     # timings) stays in the line above and in BENCH_LOCAL.json.
+    # derived from `record` by key subset — never a second hand-built dict,
+    # so the summary cannot drift from the full record
+    summary_keys = (
+        "metric",
+        "value",
+        "unit",
+        "comparable_value",
+        "sf",
+        "timing",
+        "load_1m_at_start",
+    )
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "comparable_value": round(
-                    sum(timings[n] for n in HEADLINE), 3
-                ),
-                "sf": float(sf),
-                "timing": "warm_b3_m5",
-                "load_1m_at_start": load_1m_at_start,
+                **{k: record[k] for k in summary_keys},
                 "n_queries": len(timings),
                 "summary_of": "full record on preceding line + BENCH_LOCAL.json",
             }

@@ -24,13 +24,16 @@ from . import pin, tune
 # ---------------------------------------------------------------------------
 
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share of ASIA-region revenue supplied by NATION_7's suppliers per
+    """Share of ASIA-region revenue supplied by NATION_12's suppliers per
     order year: conditional decimal sum over a 6-way star join, then an
-    engine-identical double division. NATION_7 is one of the generator's
-    ASIA nations (n_regionkey = n_nationkey mod 5) — the original 'CHINA'
-    constant matched no generated nation name, which made the conditional
-    sum vacuously zero in BOTH engines (hash-matching but exercising
-    nothing); fixed round 11 so the share is non-trivial."""
+    engine-identical double division. NATION_12 is the ONE ASIA nation
+    (n_regionkey = n_nationkey mod 5) that has suppliers at ALL THREE
+    generated SFs (measured: sf0.001's supplier nations are
+    {3,8,12,13,15,18,19,20,21,24}) — the original 'CHINA' constant
+    matched no generated nation name, which made the conditional sum
+    vacuously zero in BOTH engines (hash-matching but exercising
+    nothing), and the first fix (NATION_7) was still vacuous at
+    sf0.001."""
     tune(spark)
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -40,7 +43,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     rev = revenue_dec()
-    focus_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+    focus_rev = F.when(F.col("supp_nation") == "NATION_12", rev).otherwise(
         F.lit(0).cast("decimal(18,4)")
     )
     return (
@@ -80,9 +83,9 @@ WITH base AS (
   WHERE r_name = 'ASIA'
 )
 SELECT CAST(o_year AS INT) AS o_year,
-       {sql_exact_sum_dec(f"CASE WHEN supp_nation = 'NATION_7' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")} AS focus_revenue,
+       {sql_exact_sum_dec(f"CASE WHEN supp_nation = 'NATION_12' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")} AS focus_revenue,
        {sql_exact_sum_dec(SQL_REVENUE_DEC)} AS total_revenue,
-       ROUND({sql_exact_sum_dec(f"CASE WHEN supp_nation = 'NATION_7' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")}
+       ROUND({sql_exact_sum_dec(f"CASE WHEN supp_nation = 'NATION_12' THEN {SQL_REVENUE_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END")}
              / {sql_exact_sum_dec(SQL_REVENUE_DEC)}, 6) AS market_share
 FROM base
 GROUP BY o_year

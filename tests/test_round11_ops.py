@@ -270,6 +270,40 @@ def test_tpch_q2_is_regional_minimum(spark):
         assert r.supplycost == round(int(mins[r.p_partkey]) / 100.0, 2)
 
 
+def test_tpch_q16_variety_matches_pure_python(spark):
+    """q16's grouped COUNT(DISTINCT) after brand/size filter + supplier
+    anti-join, re-derived per-group in Python sets."""
+    import pandas as pd
+
+    from data_ingestion_api_system_spark.operators.tpch_ps import (
+        Q16_EXCL_BRAND,
+        Q16_SIZES,
+        q_tpch_q16,
+    )
+
+    ps = _pandas_partsupp(SF_DIR)
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    bad = set(supp.loc[supp.s_acctbal < 0, "s_suppkey"])
+    keep = part[
+        (part.p_brand != Q16_EXCL_BRAND) & part.p_size.isin(Q16_SIZES)
+    ]
+    merged = ps[~ps.ps_suppkey.isin(bad)].merge(
+        keep, left_on="ps_partkey", right_on="p_partkey"
+    )
+    want = {
+        (b, t, int(s), int(n))
+        for (b, t, s), n in merged.groupby(
+            ["p_brand", "p_type", "p_size"]
+        ).ps_suppkey.nunique().items()
+    }
+    got = {
+        (r.p_brand, r.p_type, r.p_size, r.supplier_cnt)
+        for r in q_tpch_q16(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_tpch_q20_excess_stock_semantics(spark):
     """q20 membership re-derived: a supplier appears iff it holds some
     'small…' part with 2*availqty > its 1996 shipped quantity, and is in
@@ -297,19 +331,25 @@ def test_tpch_q20_excess_stock_semantics(spark):
         li.l_partkey.isin(small)
         & (li.l_shipdate >= Q20_YEAR[0])
         & (li.l_shipdate < Q20_YEAR[1])
-    ]
-    shipped = li.groupby(["l_partkey", "l_suppkey"]).l_quantity.sum()
+    ].copy()
+    # exact third derivation: both engines sum CAST(l_quantity AS
+    # DECIMAL(18,2)), so the Python twin must sum exact integer
+    # centi-units, not float64 — a float sum can land a hair under an
+    # exact 2*availqty tie and flip the strict-> verdict
+    li["qty_c"] = (li.l_quantity * 100).round().astype("int64")
+    shipped = li.groupby(["l_partkey", "l_suppkey"]).qty_c.sum()
     rk = region.loc[region.r_name == Q20_REGION, "r_regionkey"].iloc[0]
     nk = set(nation.loc[nation.n_regionkey == rk, "n_nationkey"])
     sk = set(supp.loc[supp.s_nationkey.isin(nk), "s_suppkey"])
     want = set()
-    for (pk, skey), qty in shipped.items():
+    for (pk, skey), qty_c in shipped.items():
         if skey in sk:
             avail = ps.loc[
                 (ps.ps_partkey == pk) & (ps.ps_suppkey == skey),
                 "ps_availqty",
             ]
-            if len(avail) and 2 * int(avail.iloc[0]) > qty:
+            # compare in centi-units: 2*avail > qty  <=>  200*avail > qty_c
+            if len(avail) and 200 * int(avail.iloc[0]) > int(qty_c):
                 want.add(skey)
     got = {r.s_suppkey for r in q_tpch_q20(spark, SF_DIR).collect()}
     assert got == want

@@ -181,6 +181,11 @@ def main() -> int:
             merged = {**json.loads(out_path.read_text())["queries"], **out}
         except (OSError, ValueError, KeyError):
             pass  # no prior record — the targeted run stands alone
+    # prune ghosts: entries probed in a past run but since removed/renamed
+    # out of the registry must not survive the merge — worst_exponent and
+    # the exit code below are computed over `merged`, so a stale ≥1.3
+    # measurement for a dead query would fail the probe forever
+    merged = {n: v for n, v in merged.items() if n in qs}
     worst = max(merged.values(), key=lambda v: v["exponent"])["exponent"]
     record = {"probe": "scaling", "worst_exponent": worst, "queries": merged}
     print(json.dumps({"probe": "scaling", "worst_exponent": worst,
