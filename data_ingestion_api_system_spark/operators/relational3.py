@@ -595,18 +595,40 @@ CROSS JOIN tot
 """
 
 
+# Edge rule for ALL graph entries: the TOP_EDGES strongest co-occurrence
+# pairs, ordered by (support DESC, a, b) — deterministic total order, so
+# both engines select the identical edge set. Round 11 replaced the
+# absolute support cut after measuring that it saturates the 25-brand
+# graph to the COMPLETE K25 at every SF (all 300 pairs pass n ≥ 10: min
+# support 8/196/2862 at sf0.001/0.01/0.1), which made every topology
+# output structurally forced — degree ≡ 24, triangles ≡ C(24,2),
+# clustering ≡ 1.0, one label-prop community — oracle-exact but
+# topologically vacuous. The mean-relative cut (kcore's old 1.1×mean
+# rule) fails the OTHER way: pair supports concentrate around the mean
+# as data grows, so it kept 109/81/4 edges across the three SFs — a
+# 4-edge graph at the benchmark scale. The support-top-K rule is the
+# scale-stable selection (always TOP_EDGES edges, measured degree range
+# 1-23 with σ≈6 at every SF), and it is cheap at any data size: the pair
+# table is bounded by |brands|² rows regardless of corpus size, so the
+# ORDER BY + LIMIT is a TakeOrderedAndProject over ≤ 625 rows.
+TOP_EDGES = 120
+
+
 def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinned brand co-occurrence edge list (a < b, support >=
-    MIN_PAIR_ORDERS) — the ONE graph construction shared by the triangle,
-    label-propagation, and link-prediction entries (extracted so a
-    threshold or shape change cannot silently diverge between them)."""
+    """Pinned brand co-occurrence edge list: the TOP_EDGES pairs by
+    (support DESC, a, b) — the ONE graph construction shared by the
+    triangle, label-propagation, link-prediction, Katz, and k-core
+    entries (extracted so a threshold or shape change cannot silently
+    diverge between them). See the TOP_EDGES comment for why top-K is
+    the only scale-stable rule here."""
     return pin(
         _brand_baskets(spark, sf_dir)
         .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= MIN_PAIR_ORDERS)
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(TOP_EDGES)
         .select("a", "b")
     )
 
@@ -620,8 +642,8 @@ def _brand_adj(edges: DataFrame) -> DataFrame:
 
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counting + local clustering coefficient over the
-    brand co-occurrence graph (edge = brand pair in ≥ MIN_PAIR_ORDERS
-    baskets) — the canonical distributed graph-analytics kernel after
+    brand co-occurrence graph (edge = one of the TOP_EDGES strongest
+    co-occurring brand pairs) — the canonical distributed graph-analytics kernel after
     PageRank/connected-components (both elsewhere in the registry).
 
     Orientation method: edges are stored once as a<b, wedges come from
@@ -679,7 +701,7 @@ edges AS (
     FROM items ua JOIN items ub
       ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
     GROUP BY 1, 2
-  ) WHERE n >= {MIN_PAIR_ORDERS}
+  ) ORDER BY n DESC, a, b LIMIT {TOP_EDGES}
 ),
 tri AS (
   SELECT e1.a, e1.b, e2.b AS c
@@ -908,7 +930,7 @@ edges AS (
     FROM items ua JOIN items ub
       ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
     GROUP BY 1, 2
-  ) WHERE n >= {MIN_PAIR_ORDERS}
+  ) ORDER BY n DESC, a, b LIMIT {TOP_EDGES}
 )"""
 
 
@@ -918,34 +940,21 @@ edges AS (
 # degree < k and the edges touching them. The loop is UNROLLED to a fixed
 # round count so the whole computation is one declarative plan with an
 # exactly-mirrored SQL twin (the same fixed-unroll discipline as Katz and
-# label propagation). The edge set uses a RELATIVE support cut (pair count
-# > 1.1× the mean pair count, integer cross-multiplied) so the graph keeps
-# degree variance at every scale factor — an absolute cut saturates to the
-# complete brand graph at high SF and to the empty graph at low SF.
+# label propagation). Round 11 moved the edge set onto the shared
+# support-top-K rule (_brand_edges): its former RELATIVE cut (pair count
+# > 1.1× mean) was measured to degenerate at scale — pair supports
+# concentrate around the mean as data grows, leaving 109/81/4 edges at
+# sf0.001/0.01/0.1, i.e. a 4-edge graph at the benchmark SF where the
+# 3-core is empty. Top-K keeps a fixed-size, degree-varied graph at
+# every SF (see the TOP_EDGES comment).
 KCORE_K = 3
 KCORE_ROUNDS = 3
 
 
 def _kcore_strong_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized adjacency of the above-average brand co-occurrence
-    graph (10·n·|pairs| > 11·Σn, exact integer arithmetic)."""
-    pc = (
-        _brand_baskets(spark, sf_dir)
-        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
-    )
-    tot = F.broadcast(
-        pc.agg(
-            F.sum("n").cast("bigint").alias("tn"),
-            F.count("*").cast("bigint").alias("np"),
-        )
-    )
-    edges = pc.crossJoin(tot).filter(
-        10 * F.col("n") * F.col("np") > 11 * F.col("tn")
-    )
-    return pin(_brand_adj(edges.select("a", "b")))
+    """Symmetrized adjacency of the shared top-K brand co-occurrence
+    graph (same `_brand_edges` rule as every other graph entry)."""
+    return pin(_brand_adj(_brand_edges(spark, sf_dir)))
 
 
 def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,8 +970,8 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (convergence at web scale takes O(max degree) rounds in theory but
     a handful in practice — Montresor et al. report <60 rounds on
     billion-edge graphs; a production run sizes the unroll or loops with
-    a convergence scalar exactly like the CC entry). The relative edge
-    cut keeps every engine-side count integer-exact."""
+    a convergence scalar exactly like the CC entry). The top-K edge
+    rule keeps every engine-side count integer-exact."""
     tune(spark)
     adj = _kcore_strong_adj(spark, sf_dir)
     deg0 = adj.groupBy("src").agg(F.count("*").alias("deg0"))
@@ -1025,8 +1034,7 @@ pc AS (
     ON ua.l_orderkey = ub.l_orderkey AND ua.brand < ub.brand
   GROUP BY 1, 2
 ),
-tot AS (SELECT sum(n) AS tn, count(*) AS np FROM pc),
-edges AS (SELECT a, b FROM pc, tot WHERE 10 * n * np > 11 * tn),
+edges AS (SELECT a, b FROM pc ORDER BY n DESC, a, b LIMIT {TOP_EDGES}),
 adj0 AS (
   SELECT a AS src, b AS dst FROM edges
   UNION ALL SELECT b AS src, a AS dst FROM edges

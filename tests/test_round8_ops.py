@@ -32,7 +32,7 @@ from data_ingestion_api_system_spark.operators.relational2 import (
 )
 from data_ingestion_api_system_spark.operators.relational3 import (
     LABEL_PROP_ROUNDS,
-    MIN_PAIR_ORDERS,
+    TOP_EDGES,
     q_graph_label_prop,
     q_orders_pareto_frontier,
 )
@@ -121,6 +121,15 @@ def test_pareto_frontier_matches_naive_dominance(spark):
 # graph_label_prop
 # ---------------------------------------------------------------------------
 
+def _topk_edges(pairs):
+    """Round-11 shared edge rule re-derived: top-K (a,b) by
+    (support DESC, a, b) over (a, b, n) tuples."""
+    return [
+        (a, b)
+        for a, b, _n in sorted(pairs, key=lambda t: (-t[2], t[0], t[1]))[:TOP_EDGES]
+    ]
+
+
 def test_label_prop_matches_pure_python(spark):
     out = {r.node: (r.community, r.community_size)
            for r in q_graph_label_prop(spark, SF_DIR).collect()}
@@ -138,10 +147,9 @@ def test_label_prop_matches_pure_python(spark):
         """
     ).fetchall()
     adj: dict[str, list[str]] = defaultdict(list)
-    for a, b, n in pairs:
-        if n >= MIN_PAIR_ORDERS:
-            adj[a].append(b)
-            adj[b].append(a)
+    for a, b in _topk_edges(pairs):
+        adj[a].append(b)
+        adj[b].append(a)
     labels = {v: v for v in adj}
     for _ in range(LABEL_PROP_ROUNDS):
         nxt = {}
@@ -399,11 +407,10 @@ def test_common_neighbors_match_pure_python(spark):
     ).fetchall()
     nbrs: dict[str, set] = defaultdict(set)
     edge_list = []
-    for a, b, n in pairs:
-        if n >= MIN_PAIR_ORDERS:
-            nbrs[a].add(b)
-            nbrs[b].add(a)
-            edge_list.append((a, b))
+    for a, b in _topk_edges(pairs):
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+        edge_list.append((a, b))
     assert {(r.brand_a, r.brand_b) for r in rows} == set(edge_list)
     for r in rows:
         a, b = r.brand_a, r.brand_b

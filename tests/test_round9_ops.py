@@ -307,8 +307,9 @@ def test_pmi_matches_pure_python(spark):
 
 def _brand_graph_adj(sf_dir):
     """Brand co-occurrence adjacency from first principles: distinct
-    brands per order (lineitem x part), undirected edge when a pair
-    shares >= 10 baskets."""
+    brands per order (lineitem x part), undirected edge for the
+    TOP_EDGES strongest pairs by (support DESC, a, b) — the round-11
+    scale-stable rule shared by every graph entry."""
     from collections import Counter, defaultdict
     from itertools import combinations
 
@@ -321,11 +322,15 @@ def _brand_graph_adj(sf_dir):
     for _, brands in m.groupby("l_orderkey")["p_brand"]:
         for a, b in combinations(sorted(set(brands)), 2):
             pair_counts[(a, b)] += 1
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        TOP_EDGES,
+    )
+
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_EDGES]
     adj = defaultdict(set)
-    for (a, b), n in pair_counts.items():
-        if n >= 10:
-            adj[a].add(b)
-            adj[b].add(a)
+    for (a, b), _n in top:
+        adj[a].add(b)
+        adj[b].add(a)
     return adj
 
 

@@ -292,8 +292,13 @@ def _strong_edges_pandas():
         for i in range(len(brands)):
             for j in range(i + 1, len(brands)):
                 pc[(brands[i], brands[j])] += 1
-    tn, npairs = sum(pc.values()), len(pc)
-    return [ab for ab, n in pc.items() if 10 * n * npairs > 11 * tn]
+    from data_ingestion_api_system_spark.operators.relational3 import (
+        TOP_EDGES,
+    )
+
+    # round-11 shared rule: top-K pairs by (support DESC, a, b)
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_EDGES]
+    return [ab for ab, _n in top]
 
 
 def test_kcore_peel_matches_pure_python(spark):
