@@ -1002,9 +1002,17 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     probes = F.broadcast(
         c.filter(F.col("c_custkey") < N_FUZZY_PROBES).select(
-            # corrupt deterministically: drop the first character and
-            # append 'x' — 2 edits from the original
-            F.concat(F.substring("c_name", 2, 100), F.lit("x")).alias("probe")
+            # corrupt deterministically, with per-probe SEVERITY (de-vacuated
+            # round 12 — a fixed 2-edit corruption froze the min distance at
+            # exactly 2 for every probe at every SF, so the `dist` column
+            # certified nothing): even custkeys get 1 edit (append 'x'), odd
+            # custkeys get 2 (drop the first character AND append 'x')
+            F.when(
+                F.col("c_custkey") % 2 == 0,
+                F.concat(F.col("c_name"), F.lit("x")),
+            )
+            .otherwise(F.concat(F.substring("c_name", 2, 100), F.lit("x")))
+            .alias("probe")
         )
     )
     scored = c.crossJoin(probes).select(
@@ -1022,7 +1030,8 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_FUZZY = f"""
 WITH probes AS (
-  SELECT substr(c_name, 2) || 'x' AS probe
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN c_name || 'x'
+              ELSE substr(c_name, 2) || 'x' END AS probe
   FROM customer WHERE c_custkey < {N_FUZZY_PROBES}
 ),
 scored AS (

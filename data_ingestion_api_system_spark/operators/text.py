@@ -77,7 +77,14 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score per document: length band + stopword presence
     + mean-token-length band, the C4/Gopher-style rule stack reduced to
     deterministic arithmetic. Emitted per doc with a quality bucket, plus
-    the score components so downstream filters can re-weight."""
+    the score components so downstream filters can re-weight.
+
+    The token-length band's lower edge is calibrated to the synthetic
+    corpus (de-vacuated round 12): mean token length spans [3.5, 5.73]
+    across the three SFs, so the classic 2.5 lower edge passed every doc
+    and tok_len_ok was frozen at 1 at every SF — the rule never filtered.
+    At 4.0 the band splits the corpus at all three SFs (the rule's point
+    is the band arithmetic, not the production constant)."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
@@ -86,7 +93,7 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_tok = n_nonspace / n_tokens
     stop_ratio = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))) / n_tokens
     length_ok = (n_tokens >= 20) & (n_tokens <= 1000)
-    tok_len_ok = (avg_tok >= 2.5) & (avg_tok <= 12.0)
+    tok_len_ok = (avg_tok >= 4.0) & (avg_tok <= 12.0)
     has_stop = stop_ratio > 0.01
     score = (
         length_ok.cast("int") + tok_len_ok.cast("int") + has_stop.cast("int")
@@ -116,17 +123,17 @@ WITH scored AS (
 )
 SELECT doc_id, lang,
        (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
-        + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+        + CASE WHEN avg_tok BETWEEN 4.0 AND 12.0 THEN 1 ELSE 0 END
         + CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END) AS quality_score,
        CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
-                  + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+                  + CASE WHEN avg_tok BETWEEN 4.0 AND 12.0 THEN 1 ELSE 0 END
                   + CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END) >= 3 THEN 'high'
             WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
-                  + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END
+                  + CASE WHEN avg_tok BETWEEN 4.0 AND 12.0 THEN 1 ELSE 0 END
                   + CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END) >= 2 THEN 'medium'
             ELSE 'low' END AS quality_bucket,
        CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS length_ok,
-       CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1 ELSE 0 END AS tok_len_ok,
+       CASE WHEN avg_tok BETWEEN 4.0 AND 12.0 THEN 1 ELSE 0 END AS tok_len_ok,
        CASE WHEN stop_ratio > 0.01 THEN 1 ELSE 0 END AS has_stopwords
 FROM scored
 """
@@ -283,15 +290,49 @@ GROUP BY lang
 # digit runs, punctuation runs, residual whitespace.
 BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
+# ~4 chars per subword piece, the standard BPE cost heuristic: each
+# pre-token contributes ceil(len/4) = (len+3) DIV 4 pieces — pure integer
+# arithmetic so both engines agree bit-for-bit. A matched pre-token is
+# never empty, so the piece count is always >= 1.
+_BPE_CHARS_PER_PIECE = 4
+
+
+def _bpe_piece_count_spark():
+    """Spark column: total subword-piece estimate for ``text``."""
+    return F.expr(
+        f"aggregate(regexp_extract_all(text, '{BPE_PATTERN}', 0), 0L, "
+        f"(acc, x) -> acc + (length(x) + {_BPE_CHARS_PER_PIECE - 1}) "
+        f"DIV {_BPE_CHARS_PER_PIECE})"
+    )
+
+
+# DuckDB twin of _bpe_piece_count_spark (COALESCE: list_sum of an empty
+# list is NULL, Spark's aggregate of an empty array is the 0L seed)
+_SQL_BPE_PIECES = (
+    f"COALESCE(CAST(list_sum(list_transform(regexp_extract_all(text, '{BPE_PATTERN}'), "
+    f"x -> (len(x) + {_BPE_CHARS_PER_PIECE - 1}) // {_BPE_CHARS_PER_PIECE})) "
+    "AS BIGINT), 0)"
+)
+
 
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: estimate LLM token counts with the GPT-2
-    pre-tokenizer split (regexp_extract_all — JVM regex, no UDF), compared
+    pre-tokenizer split (regexp_extract_all — JVM regex, no UDF) followed
+    by the standard ~4-chars-per-subword piece estimate per pre-token
+    (``(len + 3) DIV 4`` pieces, integer-exact in both engines), compared
     against whitespace word counts per language. The tokens-per-word ratio
-    is the standard corpus-cost estimator."""
+    is the standard corpus-cost estimator.
+
+    De-vacuated round 12 (vacuity sweep): the synthetic corpus is
+    space-separated lowercase ASCII, on which the raw pre-tokenizer match
+    COUNT coincides with the whitespace word count — tokens_per_word was
+    frozen at exactly 1.0 at every SF, so the ratio certified nothing.
+    The per-pre-token piece estimate mirrors real BPE (pre-tokenize, then
+    merge within a pre-token; long words cost multiple subwords), making
+    fertility respond to the corpus's word-length mix."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    bpe = _bpe_piece_count_spark()
     words = F.size(tokens("text"))
     per_doc = docs.select("lang", bpe.alias("bpe_tokens"), words.alias("words"))
     return per_doc.groupBy("lang").agg(
@@ -303,9 +344,9 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_BPE = f"""
 SELECT lang,
-       CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum({_SQL_BPE_PIECES}) AS BIGINT) AS total_bpe_tokens,
        CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_words,
-       ROUND(CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS DOUBLE)
+       ROUND(CAST(sum({_SQL_BPE_PIECES}) AS DOUBLE)
              / sum(len({_SQL_TOKS})), 6) AS tokens_per_word
 FROM documents
 GROUP BY lang
@@ -1474,10 +1515,16 @@ def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are exact integer ppm; per-doc extremes compute the ppm
     per doc FIRST (a narrow map) then min/max — a map-side-combined
     aggregate either way. One scan, one (lang, source) shuffle of
-    bounded-domain keys."""
+    bounded-domain keys.
+
+    Token counts use the shared subword-piece estimate
+    (``_bpe_piece_count_spark``, de-vacuated round 12): the raw
+    pre-tokenizer match count equals the whitespace word count on this
+    space-separated ASCII corpus, which froze tokens_per_word_ppm at
+    exactly 1000000 at every SF."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    bpe = _bpe_piece_count_spark()
     words = F.size(tokens("text"))
     per_doc = docs.select(
         "lang",
@@ -1511,7 +1558,7 @@ _ORACLE_FERTILITY = f"""
 WITH per_doc AS (
   SELECT lang, source,
          CAST(n_chars AS BIGINT) AS n_chars,
-         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe,
+         {_SQL_BPE_PIECES} AS bpe,
          CAST(len({_SQL_TOKS}) AS BIGINT) AS words
   FROM documents
 ),

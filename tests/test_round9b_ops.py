@@ -882,8 +882,10 @@ def test_error_budget_matches_pure_python(spark):
             )
         )
     assert _rows(q_events_error_budget_burn(spark, SF_DIR)) == expected
-    # error rate in this corpus (~20%) must breach a 1% SLO immediately
-    assert all(r[7] == 1 for r in expected)
+    # vacuity pin (round 12): the SLO is calibrated inside the stream's
+    # cumulative error-rate band at every SF, so BOTH flag states occur —
+    # the old 1% SLO made `breached` a frozen constant 1
+    assert {r[7] for r in expected} == {0, 1}
 
 
 # ---------------------------------------------------------------------------
