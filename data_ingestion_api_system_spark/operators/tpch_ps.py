@@ -50,8 +50,21 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic partsupp: (ps_partkey, ps_suppkey, ps_availqty,
     ps_supplycost_cents). See module docstring for the generation rule."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
+    # Guard the derivation's two preconditions (ADVICE r11): with
+    # s_total < 4 the stride `s_total div 4` is 0 and all four offsets
+    # collapse onto one suppkey (duplicate rows double-counting q11);
+    # non-dense or 1-based s_suppkey would make derived keys silently
+    # vanish from every join IDENTICALLY in both engines, which the
+    # oracle hash can never catch. Fail loudly instead; the companion
+    # test pins that every derived ps_suppkey exists in supplier.
     s_total = load_table(spark, sf_dir, "supplier").agg(
         F.count("*").alias("s_total")
+    ).select(
+        F.expr(
+            f"CASE WHEN s_total >= {PS_PER_PART} THEN s_total "
+            "ELSE raise_error('derived_partsupp requires supplier count >= 4') "
+            "END"
+        ).alias("s_total")
     )
     base = (
         part.crossJoin(F.broadcast(s_total))  # one-row broadcast, not a blowup
@@ -87,7 +100,10 @@ ps0 AS (
   SELECT p_partkey AS ps_partkey,
          (p_partkey + i.i * (st.s_total // 4)) % st.s_total AS ps_suppkey
   FROM part,
-       (SELECT count(*) AS s_total FROM supplier) st,
+       -- same >= 4 precondition guard as the Spark derivation (ADVICE r11)
+       (SELECT CASE WHEN count(*) >= {PS_PER_PART} THEN count(*)
+               ELSE error('derived partsupp requires supplier count >= 4')
+               END AS s_total FROM supplier) st,
        (SELECT unnest(range(0, {PS_PER_PART})) AS i) i
 ),
 partsupp AS (
@@ -283,6 +299,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_comment, so the 'Customer Complaints' exclusion becomes the
     equivalent deterministic predicate s_acctbal < 0 (the same anti-join
     shape against a key list).
+
+    Selectivity note (ADVICE r11): s_acctbal < 0 matches 0 of the 10
+    suppliers at sf0.001 — the anti-join is vacuous at the smallest SF
+    only. It is live at sf0.01 (6/100) and sf0.1 (81/1000), pinned by
+    tests/test_round12_ops.py::test_q16_supplier_exclusion_is_live.
 
     Scale: the supplier exclusion list is a broadcast anti-join;
     COUNT(DISTINCT ps_suppkey) per group is Spark's two-phase distinct

@@ -13,6 +13,7 @@ vocabulary is closed at 31 words).
 from __future__ import annotations
 
 import duckdb
+from pyspark.sql import functions as F
 
 from data_ingestion_api_system_spark.operators.events import (
     q_events_error_budget_burn,
@@ -80,6 +81,76 @@ def test_bpe_piece_estimate_splits_long_words(spark):
     # fertility must sit strictly above 1 token/word on this corpus
     assert all(r.tokens_per_word > 1.0 for r in rows)
     assert all(r.total_bpe_tokens > r.total_words for r in rows)
+
+
+def test_partsupp_suppkeys_all_exist_in_supplier(spark):
+    """ADVICE r11: a 1-based or sparse s_suppkey domain would make derived
+    ps_suppkey rows silently vanish from every join IDENTICALLY in both
+    engines — invisible to the oracle hash. Pin the containment here."""
+    from data_ingestion_api_system_spark.operators.tpch_ps import (
+        derived_partsupp,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        sf_dir = f"/root/testdata/{sf}"
+        ps = derived_partsupp(spark, sf_dir)
+        supp = {
+            r.s_suppkey
+            for r in spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey")
+            .collect()
+        }
+        keys = {r.ps_suppkey for r in ps.select("ps_suppkey").distinct().collect()}
+        assert keys <= supp
+        # and each part carries exactly 4 DISTINCT suppliers (stride rule)
+        counts = (
+            ps.groupBy("ps_partkey")
+            .agg(F.countDistinct("ps_suppkey").alias("k"))
+            .select("k")
+            .distinct()
+            .collect()
+        )
+        assert {r.k for r in counts} == {4}
+
+
+def test_derived_partsupp_raises_below_four_suppliers(spark, tmp_path):
+    """The s_total >= 4 guard (ADVICE r11): with S < 4 the stride
+    collapses all four offsets onto one suppkey — both the Spark
+    derivation and the SQL prefix must fail loudly instead."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from data_ingestion_api_system_spark.operators.tpch_ps import (
+        _SQL_PARTSUPP,
+        derived_partsupp,
+    )
+
+    pd.DataFrame({"p_partkey": [0, 1, 2]}).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame({"s_suppkey": [0, 1]}).to_parquet(tmp_path / "supplier.parquet")
+    with pytest.raises(SparkRuntimeException, match="supplier count >= 4"):
+        derived_partsupp(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    for t in ("part", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    with pytest.raises(duckdb.InvalidInputException, match="supplier count >= 4"):
+        con.execute(f"WITH {_SQL_PARTSUPP} SELECT * FROM partsupp").fetchall()
+
+
+def test_q16_supplier_exclusion_is_live():
+    """ADVICE r11: the s_acctbal < 0 exclusion matches no supplier at
+    sf0.001 (documented in the docstring); pin that it removes >0
+    suppliers at sf0.01+, so the anti-join under test is exercised."""
+    for sf, expect_live in (("sf0.001", False), ("sf0.01", True), ("sf0.1", True)):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/supplier.parquet') "
+            f"WHERE s_acctbal < 0"
+        ).fetchone()[0]
+        assert (n > 0) == expect_live, (sf, n)
 
 
 def test_heaps_bucket_rule_grows_on_open_vocab():

@@ -29,14 +29,25 @@ def main() -> int:
     # a probe entry is usable only with both decade timings present and
     # non-zero (ADVICE r10: an older/partial SCALE_PROBE.json used to raise
     # KeyError/ZeroDivisionError deep in top_decade instead of this message)
-    missing = [
-        n
-        for n in registry
-        if n not in probe
-        or not all(probe[n].get("t", {}).get(k) for k in ("sf0.001", "sf0.01", "sf0.1"))
-    ]
+    def _defect(n: str) -> str | None:
+        # distinguish a PARTIAL probe (key absent) from a CORRUPTED one
+        # (recorded timing <= 0, which would break the log-ratio) so the
+        # failure message names which case occurred (ADVICE r11)
+        if n not in probe:
+            return "entry absent"
+        t = probe[n].get("t", {})
+        for k in ("sf0.001", "sf0.01", "sf0.1"):
+            if k not in t:
+                return f"timing {k} absent (partial probe)"
+            if not t[k] or t[k] <= 0:
+                return f"timing {k} = {t[k]!r} (corrupted record)"
+        return None
+
+    missing = [(n, d) for n in registry if (d := _defect(n))]
     if missing:
-        print(f"probe record missing/malformed for {len(missing)} entries: {missing[:10]}")
+        print(f"probe record missing/malformed for {len(missing)} entries:")
+        for n, d in missing[:10]:
+            print(f"  {n}: {d}")
         return 1
 
     import math
