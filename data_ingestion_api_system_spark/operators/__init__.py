@@ -441,6 +441,13 @@ _BORN_ROUND = {
     "tpch_q11_important_stock": 11,
     "tpch_q16_supplier_variety": 11,
     "tpch_q20_promotion_stock": 11,
+    # round-12 additions: growth held to 3 ≤ 5 per VERDICT r11 #5 — a
+    # statistical-law fit (Zipf OLS), a hybrid-retrieval merge (RRF), and
+    # an inequality measure (per-type Gini via the group-generalized
+    # TeraSort rank); they wait one round, then claim window priority
+    "text_zipf_fit": 12,
+    "sim_rank_fusion": 12,
+    "events_gini_concentration": 12,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -364,6 +364,131 @@ FROM scored
 """
 
 
+def q_events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value-concentration profile: exact Gini coefficient
+    over the per-user value totals, plus the top-user share — the whale
+    metric every monetization / abuse dashboard carries (a Gini near 1
+    means a handful of users carry the type's whole value; near 0 means
+    uniform spend). Uses the rank form of the Gini estimator,
+    G = (2·Σ i·vᵢ − (n+1)·Σvᵢ) / (n·Σvᵢ) with vᵢ ascending.
+
+    Scale shape: the rank is the hot spot — ``event_type`` has single-digit
+    cardinality, so a ``row_number() OVER (PARTITION BY event_type)`` would
+    funnel each type's full |users| rollup through ONE sort task (the exact
+    low-cardinality-partition trap the registry bans for global windows).
+    Instead the per-type rank reuses :func:`operators.global_ntile`'s
+    TeraSort recipe, generalized to groups: one range exchange on
+    (event_type, total_value, user_id) — type-first, so each partition owns
+    a contiguous slice of one-or-more types — then
+    ``monotonically_increasing_id`` gives (partition, local rank) with no
+    window at all, and per-(partition, type) metadata (≤ partitions×|types|
+    rows, broadcast) converts local ranks to in-type ranks via min-rank
+    rebasing + cross-partition prefix offsets. The Gini fold itself is one
+    map-side-combinable aggregate per type in exact DECIMAL (rank·value
+    products are integer×2dp-decimal, order-independent), cast to DOUBLE
+    only inside the final single-row-per-type expression; the oracle stays
+    the plain windowed SQL."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        exact_sum("value", scale=4, round_to=2).alias("total_value")
+    )
+    parts = spark.sparkContext.defaultParallelism
+    order = [
+        F.col("event_type").asc(),
+        F.col("total_value").asc(),
+        F.col("user_id").asc(),
+    ]
+    ranked = pin(
+        per_user.repartitionByRange(parts, *order).sortWithinPartitions(*order)
+    )
+    body = ranked.select(
+        "*", F.monotonically_increasing_id().alias("__g_mid")
+    ).select(
+        "*",
+        F.shiftrightunsigned("__g_mid", 33).cast("bigint").alias("__g_pid"),
+        (F.col("__g_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)).alias(
+            "__g_lrank"
+        ),
+    )
+    # per-(partition, type) metadata: row count and minimum local rank —
+    # bounded by partitions × |event types|, so both joins broadcast
+    meta = body.groupBy("__g_pid", "event_type").agg(
+        F.count("*").alias("__g_cnt"), F.min("__g_lrank").alias("__g_base")
+    )
+    m2 = meta.select(
+        F.col("__g_pid").alias("__g_pid2"),
+        F.col("event_type").alias("__g_et2"),
+        F.col("__g_cnt").alias("__g_cnt2"),
+    )
+    offsets = (
+        meta.join(
+            F.broadcast(m2),
+            (F.col("__g_et2") == F.col("event_type"))
+            & (F.col("__g_pid2") < F.col("__g_pid")),
+            "left",
+        )
+        .groupBy("__g_pid", "event_type", "__g_base")
+        .agg(F.coalesce(F.sum("__g_cnt2"), F.lit(0)).alias("__g_off"))
+    )
+    tv_dec = F.col("total_value").cast("decimal(18,2)")
+    rnk = F.col("__g_off") + (F.col("__g_lrank") - F.col("__g_base") + F.lit(1))
+    folded = (
+        body.join(F.broadcast(offsets), ["__g_pid", "event_type"])
+        .select("event_type", tv_dec.alias("__g_tv"), rnk.alias("__g_rnk"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("__g_tv").alias("__g_sv"),
+            F.sum(F.col("__g_rnk") * F.col("__g_tv")).alias("__g_siv"),
+            F.max("__g_tv").alias("__g_maxv"),
+        )
+    )
+    sv_d = F.col("__g_sv").cast("double")
+    siv_d = F.col("__g_siv").cast("double")
+    n = F.col("n_users")
+    return folded.select(
+        "event_type",
+        "n_users",
+        sv_d.alias("total_value"),
+        F.round(
+            (F.lit(2.0) * siv_d - (n + F.lit(1)) * sv_d) / (n * sv_d), 6
+        ).alias("gini"),
+        F.round(F.col("__g_maxv").cast("double") / sv_d, 6).alias(
+            "top_user_share"
+        ),
+    )
+
+
+_ORACLE_GINI = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         {sql_exact_sum('value', scale=4, round_to=2)} AS total_value
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, CAST(total_value AS DECIMAL(18,2)) AS tv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value ASC, user_id ASC) AS rnk
+  FROM per_user
+),
+folded AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         sum(tv) AS sv,
+         sum(rnk * tv) AS siv,
+         max(tv) AS maxv
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_users,
+       CAST(sv AS DOUBLE) AS total_value,
+       ROUND((2.0 * CAST(siv AS DOUBLE) - (n_users + 1) * CAST(sv AS DOUBLE))
+             / (n_users * CAST(sv AS DOUBLE)), 6) AS gini,
+       ROUND(CAST(maxv AS DOUBLE) / CAST(sv AS DOUBLE), 6) AS top_user_share
+FROM folded
+"""
+
+
 def q_events_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event time-series feature extraction — the feature-engineering
     pass a training pipeline runs to turn a raw event log into model rows:
@@ -1497,6 +1622,7 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
     "events_markov_transitions": q_events_markov_transitions,
     "events_rfm_segmentation": q_events_rfm_segmentation,
+    "events_gini_concentration": q_events_gini_concentration,
 }
 
 ORACLE = {
@@ -1520,4 +1646,5 @@ ORACLE = {
     "events_type_stats": _ORACLE_TYPE_STATS,
     "events_markov_transitions": _ORACLE_MARKOV,
     "events_rfm_segmentation": _ORACLE_RFM,
+    "events_gini_concentration": _ORACLE_GINI,
 }

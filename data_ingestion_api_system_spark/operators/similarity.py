@@ -1179,6 +1179,152 @@ LEFT JOIN hits USING (query_id)
 """
 
 
+FUSION_POOL = 20  # per-ranker candidate list depth fed into the fusion
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+FUSED_TOPK = 10  # fused results returned per query
+
+
+def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public paper) of two
+    retrieval rankings — the full-dimension exact cosine and the
+    {MATRYOSHKA_PREFIX}-dim truncated cosine (the cheap Matryoshka index) —
+    the hybrid-retrieval merge every production search stack runs when it
+    combines a dense ranker with a cheaper (or lexical) one. Per query,
+    each ranker contributes its top-{FUSION_POOL}; a candidate's fused
+    score is Σ 1/({RRF_K}+rank) over the lists it appears in, and the
+    fused top-{FUSED_TOPK} is returned with both source ranks (0 = not in
+    that ranker's pool) so downstream evals can attribute wins.
+
+    Determinism: both cosines use the module's sequential-fold + 6-decimal
+    rounding + vec_id tiebreak discipline, so the source rankings are
+    engine-identical; each RRF term is a single IEEE division of exact
+    integers, the two-term sum is evaluated in a fixed order, and the
+    fused ordering carries its own vec_id tiebreak.
+
+    Plan shape: identical single-scored-pass bones as
+    ``sim_matryoshka_recall`` — the {RECALL_QUERIES}-row query batch
+    broadcasts (BNLJ is the right plan for a tiny no-equi-key side), both
+    cosines compute in one projection so the corpus is scanned once, and
+    all three rankings are per-query WindowGroupLimit windows (rank-filter
+    pushed into the window sort). Nothing global: every window partitions
+    by query_id."""
+    tune(spark)
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("bv")
+        )
+    )
+    cand = e.filter(F.col("vec_id") >= RECALL_QUERIES).select(
+        "vec_id", F.col("v").alias("av")
+    )
+    cos_full = F.round(
+        F.expr(_SPARK_DOT)
+        / (F.expr(_SPARK_NORM.format("av")) * F.expr(_SPARK_NORM.format("bv"))),
+        6,
+    )
+    p = MATRYOSHKA_PREFIX
+    pav, pbv = f"slice(av, 1, {p})", f"slice(bv, 1, {p})"
+    cos_trunc = F.round(
+        F.expr(_SPARK_DOT.replace("av", pav).replace("bv", pbv))
+        / (F.expr(_SPARK_NORM.format(pav)) * F.expr(_SPARK_NORM.format(pbv))),
+        6,
+    )
+    scored = cand.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cos_full.alias("cosine"),
+        cos_trunc.alias("t_cosine"),
+    )
+    from pyspark.sql import Window
+
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("t_cosine"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("__rf"),
+        F.row_number().over(w_trunc).alias("__rt"),
+    ).filter(
+        (F.col("__rf") <= FUSION_POOL) | (F.col("__rt") <= FUSION_POOL)
+    )
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c) <= FUSION_POOL, F.lit(1.0) / (F.lit(RRF_K) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    fused = ranked.select(
+        "query_id",
+        "vec_id",
+        F.when(F.col("__rf") <= FUSION_POOL, F.col("__rf"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("r_full"),
+        F.when(F.col("__rt") <= FUSION_POOL, F.col("__rt"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("r_trunc"),
+        F.round(term("__rf") + term("__rt"), 9).alias("rrf_score"),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    return (
+        fused.select(
+            "*", F.row_number().over(w_fused).cast("int").alias("fused_rank")
+        )
+        .filter(F.col("fused_rank") <= FUSED_TOPK)
+        .select(
+            "query_id", "vec_id", "r_full", "r_trunc", "rrf_score", "fused_rank"
+        )
+    )
+
+
+_ORACLE_RANK_FUSION = f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT vec_id AS query_id, v AS bv FROM e WHERE vec_id < {RECALL_QUERIES}),
+cand AS (SELECT vec_id, v AS av FROM e WHERE vec_id >= {RECALL_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')}), 6) AS cosine,
+         ROUND({_sql_prefix_dot(MATRYOSHKA_PREFIX)}
+               / ({_sql_prefix_norm('av', MATRYOSHKA_PREFIX)}
+                  * {_sql_prefix_norm('bv', MATRYOSHKA_PREFIX)}), 6) AS t_cosine
+  FROM cand, q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY t_cosine DESC, vec_id ASC) AS rt
+  FROM scored
+),
+fused AS (
+  SELECT query_id, vec_id,
+         CAST(CASE WHEN rf <= {FUSION_POOL} THEN rf ELSE 0 END AS INT) AS r_full,
+         CAST(CASE WHEN rt <= {FUSION_POOL} THEN rt ELSE 0 END AS INT) AS r_trunc,
+         ROUND((CASE WHEN rf <= {FUSION_POOL}
+                     THEN CAST(1 AS DOUBLE) / ({RRF_K} + rf)
+                     ELSE CAST(0 AS DOUBLE) END)
+               + (CASE WHEN rt <= {FUSION_POOL}
+                       THEN CAST(1 AS DOUBLE) / ({RRF_K} + rt)
+                       ELSE CAST(0 AS DOUBLE) END), 9) AS rrf_score
+  FROM ranked
+  WHERE rf <= {FUSION_POOL} OR rt <= {FUSION_POOL}
+)
+SELECT query_id, vec_id, r_full, r_trunc, rrf_score,
+       CAST(fused_rank AS INT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, vec_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {FUSED_TOPK}
+"""
+
+
 def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding drift monitor: per label, compare the centroid of two
     corpus snapshots (even vs odd ``vec_id`` — standing in for
@@ -1834,6 +1980,7 @@ QUERIES = {
     "sim_pq_codes": q_sim_pq_codes,
     "sim_recall_eval": q_sim_recall_eval,
     "sim_matryoshka_recall": q_sim_matryoshka_recall,
+    "sim_rank_fusion": q_sim_rank_fusion,
     "sim_ndcg_eval": q_sim_ndcg_eval,
     "sim_centroid_drift": q_sim_centroid_drift,
     "sim_pq_adc_search": q_sim_pq_adc_search,
@@ -1856,6 +2003,7 @@ ORACLE = {
     "sim_pq_codes": _ORACLE_PQ,
     "sim_recall_eval": _ORACLE_RECALL,
     "sim_matryoshka_recall": _ORACLE_MATRYOSHKA,
+    "sim_rank_fusion": _ORACLE_RANK_FUSION,
     "sim_ndcg_eval": _ORACLE_NDCG,
     "sim_centroid_drift": _ORACLE_DRIFT,
     "sim_pq_adc_search": _ORACLE_PQ_ADC,

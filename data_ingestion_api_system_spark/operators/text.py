@@ -223,6 +223,105 @@ LIMIT 50
 """
 
 
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope/intercept of log-frequency
+    against log-rank over the word-frequency table — the corpus-health
+    diagnostic that pairs with ``text_heaps_vocab_growth`` (Heaps = vocab
+    vs corpus size, Zipf = frequency vs rank). A natural corpus fits a
+    slope near −1; machine-generated or template-heavy text bends the
+    curve, so drift in the slope per source/language is a cheap
+    contamination alarm on ingest (Zipf 1949; public law, standard OLS).
+
+    Determinism: the module's ln discipline — each ln runs on an exact
+    input (integer rank / integer frequency cast to double), is rounded to
+    6 decimals (JVM-vs-libm 1-ulp tolerance), and lands in DECIMAL(18,6);
+    all four OLS sums (Σx, Σy, Σxy, Σx²) then fold exactly in decimal and
+    only the final closed-form slope/intercept divisions run in double,
+    with the identical expression tree on both engines.
+
+    Scale shape: the only corpus-sized stage is the token explode, which
+    partial-aggregates map-side to the (lang, word) table — bounded by
+    VOCABULARY, which grows sublinearly in corpus size (that is Heaps'
+    law, measured by its sibling entry). The per-lang rank window and the
+    OLS fold run on that vocabulary table, so the window input is ~|vocab|
+    rows per language, constant-ish in data volume — the documented
+    bounded-input window posture (cf. sketch_histogram_quantiles)."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freqs = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .select("lang", F.lower("word").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("word"))
+    xy = freqs.select(
+        "lang",
+        "freq",
+        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    folded = xy.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+    )
+    n = F.col("n_vocab").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    det = n * sxx - sx * sx
+    return folded.select(
+        "lang",
+        "n_vocab",
+        "total_tokens",
+        F.round((n * sxy - sx * sy) / det, 6).alias("zipf_slope"),
+        F.round((sxx * sy - sx * sxy) / det, 6).alias("zipf_intercept"),
+    )
+
+
+_ORACLE_ZIPF = f"""
+WITH freqs AS (
+  SELECT lang, lower(word) AS word, count(*) AS freq
+  FROM (SELECT lang, unnest({_SQL_TOKS}) AS word FROM documents)
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT lang, freq,
+         CAST(ROUND(ln(CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY freq DESC, word ASC) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM freqs
+),
+folded AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(freq) AS BIGINT) AS total_tokens,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_vocab, total_tokens,
+       ROUND((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       ROUND((CAST(sxx AS DOUBLE) * CAST(sy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_intercept
+FROM folded
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the normalized text (lowercase,
     whitespace collapsed) plus a sorted-token 'bag fingerprint' that is
@@ -2204,6 +2303,7 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
     "text_word_freq": q_text_word_freq,
+    "text_zipf_fit": q_text_zipf_fit,
     "text_fingerprint": q_text_fingerprint,
     "text_ngram_profile": q_text_ngram_profile,
     "text_sequence_pack": q_text_sequence_pack,
@@ -2235,6 +2335,7 @@ ORACLE = {
     "text_quality_score": _ORACLE_QUALITY,
     "text_lang_id": _ORACLE_LANG_ID,
     "text_word_freq": _ORACLE_WORD_FREQ,
+    "text_zipf_fit": _ORACLE_ZIPF,
     "text_fingerprint": _ORACLE_FINGERPRINT,
     "text_ngram_profile": _ORACLE_NGRAM,
     "text_sequence_pack": _ORACLE_SEQUENCE_PACK,

@@ -172,6 +172,14 @@ ALLOWED_CONSTANT: dict[tuple[str, str], str] = {
         "saturates; sub-saturation growth is pinned on synthetic data by "
         "tests/test_round12_ops.py::test_heaps_bucket_rule_grows_on_open_vocab"
     ),
+    ("text_zipf_fit", "n_vocab"): (
+        "same closed 31-word generator vocabulary as "
+        "text_heaps_vocab_growth: every language saturates the full vocab "
+        "at every SF, so the OLS point count is fixed; the fit itself "
+        "(slope/intercept) varies per language and SF, and the regression "
+        "arithmetic is re-derived in pure Python by "
+        "tests/test_round12b_ops.py::test_zipf_fit_matches_pure_python"
+    ),
 }
 
 
