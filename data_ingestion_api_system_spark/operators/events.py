@@ -1038,12 +1038,21 @@ GROUP BY user_id
 # (a multiplicative survival estimate would need float products; the
 # cumulative HAZARD is a plain integer sum and carries the same
 # information).
-SURVIVAL_CENSOR_DAYS = 7  # quiet for > 7 days at corpus end → churned
+# Quiet for > 12 HOURS at corpus end → churned. Hour-based because the
+# generator keeps every user active to within ≤ 2 days of the corpus end:
+# the original 7-DAY censor churned NOBODY at any SF, leaving the whole
+# survival computation identically zero in both engines — caught by the
+# round-12 cross-SF scalar extension of tools/vacuity_check.py. The
+# measured last-seen-gap distribution is rich at hour granularity
+# (sf0.001: 5/15 users beyond 12 h; sf0.01: 39/150; sf0.1: ~600/1500), so
+# both the churned and censored states occur at every SF — pinned by
+# tests/test_round9b_ops.py.
+SURVIVAL_CENSOR_HOURS = 12
 
 
 def q_events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tenure-week survival table over user lifetimes: users quiet for
-    more than {SURVIVAL_CENSOR_DAYS} days before the corpus end count as
+    more than {SURVIVAL_CENSOR_HOURS} hours before the corpus end count as
     churned at their last-seen week, the rest are right-censored. Emits
     the Kaplan–Meier risk-set counts and the Nelson–Aalen cumulative
     hazard (both hazards in exact floor-ppm).
@@ -1058,18 +1067,21 @@ def q_events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-partitioned window over data-sized input."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
+        "user_id", F.to_date("ts").alias("day"), "ts"
     )
     per_user = ev.groupBy("user_id").agg(
-        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.max("ts").alias("last_ts"),
     )
-    horizon = F.broadcast(per_user.agg(F.max("last_day").alias("max_day")))
+    horizon = F.broadcast(per_user.agg(F.max("last_ts").alias("max_ts")))
     lives = per_user.crossJoin(horizon).select(
         F.expr("CAST(datediff(last_day, first_day) DIV 7 AS BIGINT)").alias(
             "tenure_week"
         ),
         (
-            F.col("last_day") < F.date_sub(F.col("max_day"), SURVIVAL_CENSOR_DAYS)
+            F.col("last_ts")
+            < F.col("max_ts") - F.expr(f"INTERVAL {SURVIVAL_CENSOR_HOURS} HOURS")
         )
         .cast("int")
         .alias("churned"),
@@ -1120,13 +1132,14 @@ def q_events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SURVIVAL = f"""
-WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-pu AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM ev GROUP BY 1),
-mx AS (SELECT max(ld) AS max_day FROM pu),
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts FROM events),
+pu AS (SELECT user_id, min(day) AS fd, max(day) AS ld, max(ts) AS lt
+       FROM ev GROUP BY 1),
+mx AS (SELECT max(lt) AS max_ts FROM pu),
 lives AS (
   SELECT CAST((ld - fd) // 7 AS BIGINT) AS tenure_week,
-         CASE WHEN ld < max_day - {SURVIVAL_CENSOR_DAYS} THEN 1 ELSE 0 END
-           AS churned
+         CASE WHEN lt < max_ts - INTERVAL {SURVIVAL_CENSOR_HOURS} HOUR
+              THEN 1 ELSE 0 END AS churned
   FROM pu CROSS JOIN mx
 ),
 g AS (

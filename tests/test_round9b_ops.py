@@ -250,20 +250,28 @@ def test_referential_orphans_detects_injected_orphan(spark, tmp_path):
 
 def test_survival_hazard_matches_pure_python(spark):
     from data_ingestion_api_system_spark.operators.events import (
-        SURVIVAL_CENSOR_DAYS,
+        SURVIVAL_CENSOR_HOURS,
         q_events_survival_hazard,
     )
 
     ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
     days = ev.assign(day=ev.ts.dt.date).groupby("user_id").day
     first, last = days.min(), days.max()
-    max_day = last.max()
+    last_ts = ev.groupby("user_id").ts.max()
+    max_ts = last_ts.max()
     weeks: defaultdict = defaultdict(lambda: [0, 0])
     for u in first.index:
         tw = (last[u] - first[u]).days // 7
-        churned = (max_day - last[u]).days > SURVIVAL_CENSOR_DAYS
+        churned = (max_ts - last_ts[u]) > pd.Timedelta(
+            hours=SURVIVAL_CENSOR_HOURS
+        )
         weeks[tw][0] += 1
         weeks[tw][1] += int(churned)
+    # vacuity pin (round 12): the hour censor must leave BOTH states live
+    # on the generated data — churned users exist AND censored users exist
+    n_churned_total = sum(c for _, c in weeks.values())
+    n_users_total = sum(n for n, _ in weeks.values())
+    assert 0 < n_churned_total < n_users_total
     expected = set()
     cum = 0
     at_risk_total = sum(n for n, _ in weeks.values())

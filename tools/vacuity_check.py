@@ -223,6 +223,10 @@ def main() -> int:
                         "n_distinct": len(uniq),
                         "single": uniq[0] if len(uniq) == 1 else None,
                         "any_nonzero": bool((vals != 0).any()),
+                        # kept only for the sub-signal (<3 rows) columns:
+                        # lets the cross-SF pooled test below classify
+                        # scalar outputs the per-SF test cannot see
+                        "vals_small": tuple(vals) if len(vals) < 3 else None,
                     }
                 )
         con.close()
@@ -230,12 +234,45 @@ def main() -> int:
     zero_flags: list[str] = []
     const_flags: list[str] = []
     pending: list[str] = []
+    scalar_ok = 0
     allowed_zero_hits = 0
     allowed_const_hits = 0
     for (name, c), per_sf in sorted(stats.items()):
         has_signal = any(s["n"] >= 3 for s in per_sf)
         if not has_signal:
-            pending.append(f"{name}.{c}")
+            # Cross-SF pooled test for scalar/tiny outputs (round 12,
+            # ADVICE r11 follow-through): a column that never reaches 3
+            # rows per SF still has a signal ACROSS scale factors — a
+            # per-SF-single value that never moves between sf0.001 and
+            # sf0.1 is frozen exactly like the in-SF constant class (a
+            # revenue scalar must respond to 100x the data; an echoed
+            # parameter belongs in ALLOWED_CONSTANT). Columns with data
+            # at fewer than 2 SFs stay honestly unclassified.
+            pooled: set = set()
+            sfs_with_data = 0
+            for s in per_sf:
+                if s["vals_small"]:
+                    sfs_with_data += 1
+                    pooled.update(s["vals_small"])
+            if sfs_with_data >= 2 and len(pooled) >= 2:
+                scalar_ok += 1
+            elif sfs_with_data >= 2:
+                if not any(v != 0 for v in pooled):
+                    if (name, c) in ALLOWED_ZERO:
+                        allowed_zero_hits += 1
+                    else:
+                        zero_flags.append(
+                            f"{name}.{c}: zero at every checked SF (scalar)"
+                        )
+                elif (name, c) in ALLOWED_CONSTANT:
+                    allowed_const_hits += 1
+                else:
+                    const_flags.append(
+                        f"{name}.{c}: scalar frozen at {pooled.pop()!r} "
+                        "across every checked SF"
+                    )
+            else:
+                pending.append(f"{name}.{c}")
             continue
         if not any(s["any_nonzero"] for s in per_sf):
             if (name, c) in ALLOWED_ZERO:
@@ -265,14 +302,15 @@ def main() -> int:
         print(f"DEGENERATE {f}")
     if pending:
         print(
-            "unclassified (too few rows at every SF, <3 non-null): "
+            "unclassified (non-null rows at fewer than 2 SFs): "
             + ", ".join(pending)
         )
     print(
         f"vacuity: {len(zero_flags)} flagged zero, {len(const_flags)} "
         f"flagged frozen-constant, {allowed_zero_hits} allowlisted "
         f"always-zero + {allowed_const_hits} allowlisted constant "
-        f"(documented), {len(pending)} unclassified, sfs={len(sf_dirs)}, "
+        f"(documented), {scalar_ok} scalar-varies-across-SF, "
+        f"{len(pending)} unclassified, sfs={len(sf_dirs)}, "
         f"errors={len(errors)}"
     )
     return 1 if zero_flags or const_flags or errors else 0
