@@ -227,6 +227,79 @@ def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> Data
     )
 
 
+def grouped_global_rank(
+    df: DataFrame, group_col: str, order_cols: list, out_name: str
+) -> DataFrame:
+    """Exact ``row_number() OVER (PARTITION BY group_col ORDER BY
+    order_cols ASC)`` for LOW-cardinality groups, without a WindowExec.
+
+    A partitioned window is the right plan only when the partition key has
+    enough cardinality to spread: with a handful of groups (event types,
+    priority levels, status codes) each group's whole rollup funnels
+    through ONE sort task — the same non-scalable shape as the
+    un-partitioned window the registry bans, just sharded |groups| ways.
+    This is :func:`global_ntile`'s TeraSort recipe generalized to groups:
+
+    1. ONE range exchange on (group_col, *order_cols) — group-first, so
+       every output partition owns a contiguous slice of one-or-more
+       groups and a group may SPAN partitions (that is the point: a hot
+       group spreads over many tasks).
+    2. ``monotonically_increasing_id`` over the pinned sorted layout →
+       (partition id, partition-local rank), zero further shuffle.
+    3. Per-(partition, group) metadata — row count and min local rank,
+       ≤ partitions×|groups| rows, broadcast — rebase the local rank to
+       the group's start within the partition and add the group's
+       cross-partition prefix offset.
+
+    ``order_cols`` plus ``group_col`` must form a total order (unique
+    tiebreak last) so the rank is engine-identical. The range-partitioned
+    input is pin()ned for the same reason as global_ntile: boundaries are
+    sampled per materialization, so the metadata branch and the rank
+    branch must read one materialization."""
+    from pyspark.sql import functions as F
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(group_col).asc()] + [F.col(c).asc() for c in order_cols]
+    ranked = pin(
+        df.repartitionByRange(parts, *order).sortWithinPartitions(*order)
+    )
+    body = ranked.select(
+        "*", F.monotonically_increasing_id().alias("__gr_mid")
+    ).select(
+        "*",
+        F.shiftrightunsigned("__gr_mid", _MID_BITS).cast("bigint").alias("__gr_pid"),
+        (
+            F.col("__gr_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)) + F.lit(1)
+        ).alias("__gr_lrank"),
+    )
+    meta = body.groupBy("__gr_pid", group_col).agg(
+        F.count("*").alias("__gr_cnt"), F.min("__gr_lrank").alias("__gr_base")
+    )
+    m2 = meta.select(
+        F.col("__gr_pid").alias("__gr_pid2"),
+        F.col(group_col).alias("__gr_g2"),
+        F.col("__gr_cnt").alias("__gr_cnt2"),
+    )
+    offsets = (
+        meta.join(
+            F.broadcast(m2),
+            (F.col("__gr_g2") == F.col(group_col))
+            & (F.col("__gr_pid2") < F.col("__gr_pid")),
+            "left",
+        )
+        .groupBy("__gr_pid", group_col, "__gr_base")
+        .agg(F.coalesce(F.sum("__gr_cnt2"), F.lit(0)).alias("__gr_off"))
+    )
+    return (
+        body.join(F.broadcast(offsets), ["__gr_pid", group_col])
+        .withColumn(
+            out_name,
+            F.col("__gr_off") + (F.col("__gr_lrank") - F.col("__gr_base") + F.lit(1)),
+        )
+        .drop("__gr_mid", "__gr_pid", "__gr_lrank", "__gr_base", "__gr_off")
+    )
+
+
 # The driver's CORRECTNESS gate evaluates the registry in iteration order and
 # only certifies a bounded prefix (observed: first 50 entries in every round
 # so far). Registry order is therefore a per-round certification budget. The

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, exact_avg_halfup, exact_sum, sql_exact_avg, sql_exact_avg_halfup, sql_exact_sum
 from ..tables import load_table
-from . import global_ntile, pin, spread_by, tune
+from . import global_ntile, grouped_global_rank, pin, spread_by, tune
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -376,15 +376,13 @@ def q_events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, so a ``row_number() OVER (PARTITION BY event_type)`` would
     funnel each type's full |users| rollup through ONE sort task (the exact
     low-cardinality-partition trap the registry bans for global windows).
-    Instead the per-type rank reuses :func:`operators.global_ntile`'s
-    TeraSort recipe, generalized to groups: one range exchange on
-    (event_type, total_value, user_id) — type-first, so each partition owns
-    a contiguous slice of one-or-more types — then
-    ``monotonically_increasing_id`` gives (partition, local rank) with no
-    window at all, and per-(partition, type) metadata (≤ partitions×|types|
-    rows, broadcast) converts local ranks to in-type ranks via min-rank
-    rebasing + cross-partition prefix offsets. The Gini fold itself is one
-    map-side-combinable aggregate per type in exact DECIMAL (rank·value
+    Instead the per-type rank runs through
+    :func:`operators.grouped_global_rank` — global_ntile's TeraSort recipe
+    generalized to groups (range exchange, monotonic ids, broadcast
+    per-(partition, group) rebasing/offsets; property-pinned against the
+    window form in tests/test_round12b_ops.py) — so a hot type spreads over
+    many tasks and no window appears in the plan. The Gini fold itself is
+    one map-side-combinable aggregate per type in exact DECIMAL (rank·value
     products are integer×2dp-decimal, order-independent), cast to DOUBLE
     only inside the final single-row-per-type expression; the oracle stays
     the plain windowed SQL."""
@@ -393,49 +391,12 @@ def q_events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("event_type", "user_id").agg(
         exact_sum("value", scale=4, round_to=2).alias("total_value")
     )
-    parts = spark.sparkContext.defaultParallelism
-    order = [
-        F.col("event_type").asc(),
-        F.col("total_value").asc(),
-        F.col("user_id").asc(),
-    ]
-    ranked = pin(
-        per_user.repartitionByRange(parts, *order).sortWithinPartitions(*order)
-    )
-    body = ranked.select(
-        "*", F.monotonically_increasing_id().alias("__g_mid")
-    ).select(
-        "*",
-        F.shiftrightunsigned("__g_mid", 33).cast("bigint").alias("__g_pid"),
-        (F.col("__g_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)).alias(
-            "__g_lrank"
-        ),
-    )
-    # per-(partition, type) metadata: row count and minimum local rank —
-    # bounded by partitions × |event types|, so both joins broadcast
-    meta = body.groupBy("__g_pid", "event_type").agg(
-        F.count("*").alias("__g_cnt"), F.min("__g_lrank").alias("__g_base")
-    )
-    m2 = meta.select(
-        F.col("__g_pid").alias("__g_pid2"),
-        F.col("event_type").alias("__g_et2"),
-        F.col("__g_cnt").alias("__g_cnt2"),
-    )
-    offsets = (
-        meta.join(
-            F.broadcast(m2),
-            (F.col("__g_et2") == F.col("event_type"))
-            & (F.col("__g_pid2") < F.col("__g_pid")),
-            "left",
-        )
-        .groupBy("__g_pid", "event_type", "__g_base")
-        .agg(F.coalesce(F.sum("__g_cnt2"), F.lit(0)).alias("__g_off"))
+    ranked = grouped_global_rank(
+        per_user, "event_type", ["total_value", "user_id"], "__g_rnk"
     )
     tv_dec = F.col("total_value").cast("decimal(18,2)")
-    rnk = F.col("__g_off") + (F.col("__g_lrank") - F.col("__g_base") + F.lit(1))
     folded = (
-        body.join(F.broadcast(offsets), ["__g_pid", "event_type"])
-        .select("event_type", tv_dec.alias("__g_tv"), rnk.alias("__g_rnk"))
+        ranked.select("event_type", tv_dec.alias("__g_tv"), "__g_rnk")
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_users"),

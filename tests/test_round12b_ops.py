@@ -109,6 +109,35 @@ def test_gini_matches_pure_python(spark):
         assert 0.0 <= r.gini < 1.0
 
 
+def test_grouped_global_rank_matches_window_form(spark):
+    """The TeraSort per-group rank must equal row_number() OVER
+    (PARTITION BY g ORDER BY v, id) on skewed synthetic data — one hot
+    group spanning many partitions, one singleton group, duplicate order
+    values broken by the id tiebreak — and plan NO window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_spark.operators import (
+        grouped_global_rank,
+        release_pins,
+    )
+    from data_ingestion_api_system_spark.plans import formatted_plan
+
+    rows = (
+        [("hot", (i * 37) % 11, i) for i in range(500)]
+        + [("mid", i % 5, i) for i in range(40)]
+        + [("one", 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v int, id int").repartition(8)
+    got = grouped_global_rank(df, "g", ["v", "id"], "rnk")
+    assert "windowspecdefinition" not in formatted_plan(got)
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = df.select("g", "v", "id", F.row_number().over(w).alias("rnk"))
+    assert sorted(map(tuple, got.select("g", "v", "id", "rnk").collect())) == \
+        sorted(map(tuple, want.collect()))
+    release_pins()
+
+
 def _seq_dot(a: list[float], b: list[float]) -> float:
     acc = 0.0
     for x, y in zip(a, b):
