@@ -42,10 +42,14 @@ def q_prep_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
        the running token total stays within TOKEN_BUDGET.
 
     Plan shape at 100 TB: stages 1-3 are narrow per-row expressions plus
-    two hash shuffles (fingerprint, simhash) with map-side partial mins;
-    stage 4 is one shuffle on lang. The running-sum window partitions by
-    language — bounded cardinality, so no single-partition collapse; with
-    heavy skew toward one language the admission scan itself stays a
+    two hash shuffles (fingerprint, simhash) with map-side partial mins.
+    Stage 4's running budget total is the trap: ``lang`` has single-digit
+    cardinality, so a ``SUM OVER (PARTITION BY lang)`` window would funnel
+    each language's whole surviving corpus through ONE sort task — since
+    round 12 it runs through :func:`operators.grouped_global_cumsum`
+    (range exchange on (lang, quality DESC via negation, doc_id) +
+    broadcast per-(partition, lang) prefix offsets), so a hot language
+    spreads over many partitions; the admission order itself stays the
     sequential prefix by construction (same property the reference's
     priority queue A6 ordering relies on, src/app.js:36-42)."""
     tune(spark)
@@ -79,13 +83,15 @@ def q_prep_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("canon_sh", F.min("doc_id").over(Window.partitionBy("simhash")))
         .filter(F.col("doc_id") == F.col("canon_sh"))
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    from . import grouped_global_cumsum
+
+    # admission order is (quality DESC, doc_id ASC); the helper range-
+    # partitions ascending, so quality enters negated as a derived column
+    ordered = near.withColumn("__negq", -F.col("quality_score"))
     return (
-        near.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        grouped_global_cumsum(
+            ordered, "lang", ["__negq", "doc_id"], "n_tokens", "cum_tokens"
+        )
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
     )

@@ -462,22 +462,27 @@ def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset crosses a budget boundary opens the next bin (streaming
     concat-and-cut semantics; exact first-fit is inherently sequential).
 
-    Scale: packing runs PER SOURCE SHARD (window partitioned by source,
-    ordered by doc_id) — global order is irrelevant to packing density, so
-    at 100 TB each shard packs independently, keeping the window
-    partition-local instead of a single-partition global sort. Emits
-    per-bin packing stats."""
+    Scale: packing runs PER SOURCE SHARD ordered by doc_id — global order
+    is irrelevant to packing density, so each shard packs independently.
+    ``source`` is a SINGLE-DIGIT-cardinality key, though, so the obvious
+    ``SUM OVER (PARTITION BY source)`` window would funnel each source's
+    whole corpus through one sort task — since round 12 the running offset
+    comes from :func:`operators.grouped_global_cumsum` (the TeraSort
+    range-exchange + broadcast-prefix-offset recipe, property-pinned
+    against the window form in tests/test_round12b_ops.py), which spreads
+    a hot source over many partitions. Emits per-bin packing stats."""
     tune(spark)
-    from pyspark.sql import Window
+    from . import grouped_global_cumsum
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     per_doc = docs.select(
         "source", "doc_id", F.size(tokens("text")).alias("n_tokens")
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    binned = per_doc.withColumn(
+    binned = grouped_global_cumsum(
+        per_doc, "source", ["doc_id"], "n_tokens", "__cum"
+    ).withColumn(
         "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
+        F.floor((F.col("__cum") - F.col("n_tokens")) / PACK_BUDGET).cast(
             "bigint"
         ),
     )

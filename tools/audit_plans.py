@@ -88,9 +88,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin"],
     ),
     "text_sequence_pack": (
-        # per-source window (shard-local), then partial-agg rollup
-        [r"Window", r"partial_sum|partial_count"],
-        [r"CartesianProduct"],
+        # grouped TeraSort cumsum since round 12: one RANGE exchange, the
+        # running sum windowed by derived partition id (well-spread),
+        # broadcast prefix offsets; then the per-bin partial-agg rollup
+        [r"Window", r"rangepartitioning", r"partial_sum|partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin"],
     ),
     "text_stratified_sample": (
         # narrow hash gate + one partial agg; no join at all
@@ -116,10 +118,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct"],
     ),
     "prep_training_mix": (
-        # three window stages (fingerprint min, simhash min, budget running
-        # sum) — keyed shuffles only, never a join or cartesian
-        [r"Window"],
-        [r"Join", r"CartesianProduct"],
+        # fingerprint/simhash min windows are keyed; the budget running
+        # sum is the grouped TeraSort cumsum since round 12 — one RANGE
+        # exchange plus broadcast prefix-offset joins (metadata-sized, so
+        # broadcast is the only acceptable join strategy here)
+        [r"Window", r"rangepartitioning", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
     ),
     "text_bigram_coherence": (
         # corpus count tables joined back on (w1,w2)/(w1): hash/SM joins
