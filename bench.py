@@ -296,6 +296,13 @@ ADDED_R11 = [
     "tpch_q20_promotion_stock",
 ]
 
+# Added round 12: Zipf OLS fit, RRF hybrid-retrieval fusion, per-type Gini.
+ADDED_R12 = [
+    "text_zipf_fit",
+    "sim_rank_fusion",
+    "events_gini_concentration",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -360,7 +367,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12:
         fn = qs[name]
 
         def run_once():
@@ -401,7 +408,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11,
+        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12,
         "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
         "sf": float(sf),
         # methodology marker so cross-round numbers are

@@ -21,6 +21,7 @@ def _all_benched() -> list[str]:
         + bench.ADDED_R9
         + bench.ADDED_R10
         + bench.ADDED_R11
+        + bench.ADDED_R12
     )
 
 
