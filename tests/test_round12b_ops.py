@@ -138,6 +138,36 @@ def test_grouped_global_rank_matches_window_form(spark):
     release_pins()
 
 
+def test_grouped_global_cumsum_matches_window_form(spark):
+    """The TeraSort per-group running sum must equal SUM() OVER
+    (PARTITION BY g ORDER BY id ROWS UNBOUNDED PRECEDING) on the same
+    skewed shape (hot group spanning partitions, singleton group)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_spark.operators import (
+        grouped_global_cumsum,
+        release_pins,
+    )
+
+    rows = (
+        [("hot", i, (i * 13) % 7 + 1) for i in range(500)]
+        + [("mid", i, i % 3 + 1) for i in range(40)]
+        + [("one", 0, 5)]
+    )
+    df = spark.createDataFrame(rows, "g string, id int, v int").repartition(8)
+    got = grouped_global_cumsum(df, "g", ["id"], "v", "cum")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.select("g", "id", "v", F.sum("v").over(w).alias("cum"))
+    assert sorted(map(tuple, got.select("g", "id", "v", "cum").collect())) == \
+        sorted(map(tuple, want.collect()))
+    release_pins()
+
+
 def _seq_dot(a: list[float], b: list[float]) -> float:
     acc = 0.0
     for x, y in zip(a, b):
