@@ -154,6 +154,53 @@ def release_pins() -> None:
 _MID_BITS = 33  # monotonically_increasing_id: partition id << 33 | row number
 
 
+def _terasort_layout(df: DataFrame, order):
+    """The shared prologue of every distributed-rank recipe here
+    (global_ntile / grouped_global_rank / grouped_global_cumsum): ONE
+    range exchange over ``order`` (list of Columns with direction) + an
+    in-partition sort, pin()ned because range boundaries are sampled per
+    materialization, then ``monotonically_increasing_id`` decoded into
+    (``__ts_pid``, ``__ts_lrank``) — partition id and 1-based
+    partition-local rank — with zero further shuffle."""
+    from pyspark.sql import functions as F
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranked = pin(df.repartitionByRange(parts, *order).sortWithinPartitions(*order))
+    return ranked.select(
+        "*", F.monotonically_increasing_id().alias("__ts_mid")
+    ).select(
+        "*",
+        F.shiftrightunsigned("__ts_mid", _MID_BITS).cast("bigint").alias("__ts_pid"),
+        (
+            F.col("__ts_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)) + F.lit(1)
+        ).alias("__ts_lrank"),
+    ).drop("__ts_mid")
+
+
+def _prefix_offsets(meta: DataFrame, group_cols: list, val_col: str, zero):
+    """Per-(``__ts_pid``[, group]) EXCLUSIVE prefix totals of ``val_col``
+    over ascending partition id within the same group — the broadcast
+    metadata self-join every TeraSort recipe uses to turn partition-local
+    figures into global ones. ``meta`` is ≤ partitions×|groups| rows, so
+    both the join side and the result broadcast."""
+    from pyspark.sql import functions as F
+
+    renames = {g: f"__po_{g}" for g in group_cols}
+    m2 = meta.select(
+        F.col("__ts_pid").alias("__po_pid"),
+        *[F.col(g).alias(renames[g]) for g in group_cols],
+        F.col(val_col).alias("__po_val"),
+    )
+    cond = F.col("__po_pid") < F.col("__ts_pid")
+    for g in group_cols:
+        cond = cond & (F.col(renames[g]) == F.col(g))
+    return (
+        meta.join(F.broadcast(m2), cond, "left")
+        .groupBy("__ts_pid", *group_cols)
+        .agg(F.coalesce(F.sum("__po_val"), zero).alias("__ts_off"))
+    )
+
+
 def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY order_cols ASC)`` WITHOUT the
     single-partition WindowExec Spark plans for an un-partitioned window —
@@ -186,32 +233,14 @@ def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> Data
     and the only all-to-all movement is the single range exchange."""
     from pyspark.sql import functions as F
 
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    ranked = pin(
-        df.repartitionByRange(parts, *[F.col(c).asc() for c in order_cols])
-        .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
-    )
-    body = ranked.select("*", F.monotonically_increasing_id().alias("__gn_mid")).select(
-        "*",
-        F.shiftrightunsigned("__gn_mid", _MID_BITS).cast("bigint").alias("__gn_pid"),
-        (
-            F.col("__gn_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)) + F.lit(1)
-        ).alias("__gn_lrank"),
-    )
-    counts = body.groupBy("__gn_pid").agg(F.count("*").alias("__gn_cnt"))
-    c2 = counts.select(
-        F.col("__gn_pid").alias("__gn_pid2"), F.col("__gn_cnt").alias("__gn_cnt2")
-    )
-    offsets = (
-        counts.join(F.broadcast(c2), F.col("__gn_pid2") < F.col("__gn_pid"), "left")
-        .groupBy("__gn_pid")
-        .agg(F.coalesce(F.sum("__gn_cnt2"), F.lit(0)).alias("__gn_off"))
-    )
+    body = _terasort_layout(df, [F.col(c).asc() for c in order_cols])
+    counts = body.groupBy("__ts_pid").agg(F.count("*").alias("__gn_cnt"))
+    offsets = _prefix_offsets(counts, [], "__gn_cnt", F.lit(0))
     total = counts.agg(F.sum("__gn_cnt").cast("bigint").alias("__gn_n"))
     return (
-        body.join(F.broadcast(offsets), "__gn_pid")
+        body.join(F.broadcast(offsets), "__ts_pid")
         .crossJoin(F.broadcast(total))
-        .withColumn("__gn_rank", F.col("__gn_off") + F.col("__gn_lrank"))
+        .withColumn("__gn_rank", F.col("__ts_off") + F.col("__ts_lrank"))
         .withColumn(
             out_name,
             F.expr(
@@ -221,9 +250,7 @@ def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> Data
                 f"/ CAST(__gn_n DIV {n} AS DOUBLE)) END AS INT)"
             ),
         )
-        .drop(
-            "__gn_mid", "__gn_pid", "__gn_lrank", "__gn_off", "__gn_n", "__gn_rank"
-        )
+        .drop("__ts_pid", "__ts_lrank", "__ts_off", "__gn_n", "__gn_rank")
     )
 
 
@@ -258,45 +285,22 @@ def grouped_global_rank(
     branch must read one materialization."""
     from pyspark.sql import functions as F
 
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    order = [F.col(group_col).asc()] + [F.col(c).asc() for c in order_cols]
-    ranked = pin(
-        df.repartitionByRange(parts, *order).sortWithinPartitions(*order)
+    body = _terasort_layout(
+        df, [F.col(group_col).asc()] + [F.col(c).asc() for c in order_cols]
     )
-    body = ranked.select(
-        "*", F.monotonically_increasing_id().alias("__gr_mid")
-    ).select(
-        "*",
-        F.shiftrightunsigned("__gr_mid", _MID_BITS).cast("bigint").alias("__gr_pid"),
-        (
-            F.col("__gr_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)) + F.lit(1)
-        ).alias("__gr_lrank"),
+    meta = body.groupBy("__ts_pid", group_col).agg(
+        F.count("*").alias("__gr_cnt"), F.min("__ts_lrank").alias("__gr_base")
     )
-    meta = body.groupBy("__gr_pid", group_col).agg(
-        F.count("*").alias("__gr_cnt"), F.min("__gr_lrank").alias("__gr_base")
-    )
-    m2 = meta.select(
-        F.col("__gr_pid").alias("__gr_pid2"),
-        F.col(group_col).alias("__gr_g2"),
-        F.col("__gr_cnt").alias("__gr_cnt2"),
-    )
-    offsets = (
-        meta.join(
-            F.broadcast(m2),
-            (F.col("__gr_g2") == F.col(group_col))
-            & (F.col("__gr_pid2") < F.col("__gr_pid")),
-            "left",
-        )
-        .groupBy("__gr_pid", group_col, "__gr_base")
-        .agg(F.coalesce(F.sum("__gr_cnt2"), F.lit(0)).alias("__gr_off"))
+    off_base = _prefix_offsets(meta, [group_col], "__gr_cnt", F.lit(0)).join(
+        meta.select("__ts_pid", group_col, "__gr_base"), ["__ts_pid", group_col]
     )
     return (
-        body.join(F.broadcast(offsets), ["__gr_pid", group_col])
+        body.join(F.broadcast(off_base), ["__ts_pid", group_col])
         .withColumn(
             out_name,
-            F.col("__gr_off") + (F.col("__gr_lrank") - F.col("__gr_base") + F.lit(1)),
+            F.col("__ts_off") + (F.col("__ts_lrank") - F.col("__gr_base") + F.lit(1)),
         )
-        .drop("__gr_mid", "__gr_pid", "__gr_lrank", "__gr_base", "__gr_off")
+        .drop("__ts_pid", "__ts_lrank", "__ts_off", "__gr_base")
     )
 
 
@@ -320,45 +324,24 @@ def grouped_global_cumsum(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    order = [F.col(group_col).asc()] + [F.col(c).asc() for c in order_cols]
-    ranked = pin(
-        df.repartitionByRange(parts, *order).sortWithinPartitions(*order)
-    )
-    body = ranked.select(
-        "*", F.monotonically_increasing_id().alias("__gc_mid")
-    ).select(
-        "*", F.shiftrightunsigned("__gc_mid", _MID_BITS).cast("bigint").alias("__gc_pid")
+    body = _terasort_layout(
+        df, [F.col(group_col).asc()] + [F.col(c).asc() for c in order_cols]
     )
     wrun = (
-        Window.partitionBy("__gc_pid", group_col)
+        Window.partitionBy("__ts_pid", group_col)
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     run = body.withColumn("__gc_run", F.sum(sum_col).over(wrun))
-    ptot = run.groupBy("__gc_pid", group_col).agg(
+    ptot = run.groupBy("__ts_pid", group_col).agg(
         F.sum(sum_col).alias("__gc_psum")
     )
     zero = F.lit(0).cast(ptot.schema["__gc_psum"].dataType)
-    p2 = ptot.select(
-        F.col("__gc_pid").alias("__gc_pid2"),
-        F.col(group_col).alias("__gc_g2"),
-        F.col("__gc_psum").alias("__gc_psum2"),
-    )
-    offsets = (
-        ptot.join(
-            F.broadcast(p2),
-            (F.col("__gc_g2") == F.col(group_col))
-            & (F.col("__gc_pid2") < F.col("__gc_pid")),
-            "left",
-        )
-        .groupBy("__gc_pid", group_col)
-        .agg(F.coalesce(F.sum("__gc_psum2"), zero).alias("__gc_off"))
-    )
+    offsets = _prefix_offsets(ptot, [group_col], "__gc_psum", zero)
     return (
-        run.join(F.broadcast(offsets), ["__gc_pid", group_col])
-        .withColumn(out_name, F.col("__gc_off") + F.col("__gc_run"))
-        .drop("__gc_mid", "__gc_pid", "__gc_run", "__gc_off")
+        run.join(F.broadcast(offsets), ["__ts_pid", group_col])
+        .withColumn(out_name, F.col("__ts_off") + F.col("__gc_run"))
+        .drop("__ts_pid", "__ts_lrank", "__gc_run", "__ts_off")
     )
 
 

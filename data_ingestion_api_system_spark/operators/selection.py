@@ -86,8 +86,13 @@ def q_prep_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import grouped_global_cumsum
 
     # admission order is (quality DESC, doc_id ASC); the helper range-
-    # partitions ascending, so quality enters negated as a derived column
-    ordered = near.withColumn("__negq", -F.col("quality_score"))
+    # partitions ascending, so quality enters negated as a derived column.
+    # Project FIRST: the helper pin()s its range-partitioned input, so the
+    # persisted payload must be the four output columns, not the corpus
+    # text + dedup scaffolding (same rule global_ntile's docstring states)
+    ordered = near.select(
+        "doc_id", "lang", "quality_score", "n_tokens"
+    ).withColumn("__negq", -F.col("quality_score"))
     return (
         grouped_global_cumsum(
             ordered, "lang", ["__negq", "doc_id"], "n_tokens", "cum_tokens"

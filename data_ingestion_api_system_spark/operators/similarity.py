@@ -1201,13 +1201,21 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, the two-term sum is evaluated in a fixed order, and the
     fused ordering carries its own vec_id tiebreak.
 
-    Plan shape: identical single-scored-pass bones as
-    ``sim_matryoshka_recall`` — the {RECALL_QUERIES}-row query batch
-    broadcasts (BNLJ is the right plan for a tiny no-equi-key side), both
-    cosines compute in one projection so the corpus is scanned once, and
-    all three rankings are per-query WindowGroupLimit windows (rank-filter
-    pushed into the window sort). Nothing global: every window partitions
-    by query_id."""
+    Plan shape: each ranking is its OWN scored branch — the
+    {RECALL_QUERIES}-row query batch broadcasts (BNLJ is the right plan
+    for a tiny no-equi-key side) and each branch carries a CONJUNCTIVE
+    ``rank <= {FUSION_POOL}`` filter, which is what lets Catalyst plan
+    WindowGroupLimit with a map-side Partial pass: every task keeps only
+    its local top-{FUSION_POOL} per query BEFORE the query_id exchange,
+    so shuffled bytes are ~pool×queries×tasks, never corpus×queries. (A
+    single both-ranks pass with a DISJUNCTIVE pool filter cannot use
+    WindowGroupLimit — InferWindowGroupLimit only extracts conjunctive
+    rank predicates — and would full-sort the corpus per query; measured
+    and rejected in round 12's review.) The two top-pool lists merge by a
+    (query_id, vec_id) FULL-OUTER join — full outer cannot broadcast, but
+    both sides are ≤ pool×queries rows by construction, so the sort-merge
+    join is metadata-scale — and the fused ranking is a third
+    WindowGroupLimit window over ≤2·pool rows per query."""
     tune(spark)
     e = _emb(spark, sf_dir)
     q = F.broadcast(
@@ -1230,12 +1238,6 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.expr(_SPARK_NORM.format(pav)) * F.expr(_SPARK_NORM.format(pbv))),
         6,
     )
-    scored = cand.crossJoin(q).select(
-        "query_id",
-        "vec_id",
-        cos_full.alias("cosine"),
-        cos_trunc.alias("t_cosine"),
-    )
     from pyspark.sql import Window
 
     w_full = Window.partitionBy("query_id").orderBy(
@@ -1244,28 +1246,31 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_trunc = Window.partitionBy("query_id").orderBy(
         F.desc("t_cosine"), F.asc("vec_id")
     )
-    ranked = scored.select(
-        "query_id",
-        "vec_id",
-        F.row_number().over(w_full).alias("__rf"),
-        F.row_number().over(w_trunc).alias("__rt"),
-    ).filter(
-        (F.col("__rf") <= FUSION_POOL) | (F.col("__rt") <= FUSION_POOL)
+    full_top = (
+        cand.crossJoin(q)
+        .select("query_id", "vec_id", cos_full.alias("cosine"))
+        .select(
+            "query_id", "vec_id", F.row_number().over(w_full).alias("__rf")
+        )
+        .filter(F.col("__rf") <= FUSION_POOL)
     )
+    trunc_top = (
+        cand.crossJoin(q)
+        .select("query_id", "vec_id", cos_trunc.alias("t_cosine"))
+        .select(
+            "query_id", "vec_id", F.row_number().over(w_trunc).alias("__rt")
+        )
+        .filter(F.col("__rt") <= FUSION_POOL)
+    )
+    merged = full_top.join(trunc_top, ["query_id", "vec_id"], "full_outer")
     term = lambda c: F.when(  # noqa: E731
-        F.col(c) <= FUSION_POOL, F.lit(1.0) / (F.lit(RRF_K) + F.col(c))
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(RRF_K) + F.col(c))
     ).otherwise(F.lit(0.0))
-    fused = ranked.select(
+    fused = merged.select(
         "query_id",
         "vec_id",
-        F.when(F.col("__rf") <= FUSION_POOL, F.col("__rf"))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("r_full"),
-        F.when(F.col("__rt") <= FUSION_POOL, F.col("__rt"))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("r_trunc"),
+        F.coalesce(F.col("__rf"), F.lit(0)).cast("int").alias("r_full"),
+        F.coalesce(F.col("__rt"), F.lit(0)).cast("int").alias("r_trunc"),
         F.round(term("__rf") + term("__rt"), 9).alias("rrf_score"),
     )
     w_fused = Window.partitionBy("query_id").orderBy(

@@ -50,6 +50,9 @@ Arguments: [f(b#2)], [out#9], 200
 
 (10) Window
 Arguments: [rank(b#2) windowspecdefinition(a#1L, b#2 ASC NULLS FIRST, ...)]
+
+(11) WindowGroupLimit
+Arguments: [a#1L], [b#2 ASC NULLS FIRST], row_number(), 20, Partial
 """
 
 
@@ -64,6 +67,7 @@ def test_count_plan_synthetic():
     assert c["python_eval"] == 1
     assert c["sort"] == 1
     assert c["window"] == 1
+    assert c["wgl"] == 1  # WindowGroupLimit is context (an optimization)
     assert c["scan"] == 1
     assert c["cartesian"] == 0
 

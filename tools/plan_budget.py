@@ -10,8 +10,8 @@ windows, cartesians — and diffs them against the committed budget
 (``PLAN_BUDGET.json``). Any increase in a cost counter is a plan
 regression and fails the gate, so a broadcast join silently flipping to
 sort-merge, an extra Exchange sneaking into a rewrite, or a Python eval
-landing in a hot path is caught on the whole 210-entry registry without
-anyone having written a regex for that entry.
+landing in a hot path is caught on the whole registry without anyone
+having written a regex for that entry.
 
 Counters and gating:
 
@@ -21,8 +21,10 @@ Counters and gating:
   improvement — reported, exit 0, with a prompt to re-record.
 - **context counters** (recorded, not gated): ``bhj``,
   ``broadcast_exchange``, ``reused_exchange``, ``generate``,
-  ``takeordered``, ``scan``. These move legitimately when a cost counter
-  improves (SMJ → BHJ adds a BroadcastExchange).
+  ``takeordered``, ``scan``, ``wgl``. These move legitimately when a cost
+  counter improves (SMJ → BHJ adds a BroadcastExchange; a rank filter
+  becoming conjunctive adds WindowGroupLimit nodes — map-side top-k
+  pruning, strictly beneficial, so WGL is context, not cost).
 
 Counts come from the *detail section* of ``explain("formatted")`` (one
 ``(N) NodeName`` header per physical node, subquery sections included), so
@@ -59,7 +61,7 @@ COST_KEYS = (
     "bnlj smj shj python_eval sort window"
 ).split()
 CONTEXT_KEYS = (
-    "bhj broadcast_exchange reused_exchange generate takeordered scan"
+    "bhj broadcast_exchange reused_exchange generate takeordered scan wgl"
 ).split()
 
 _PY_NODES = {
@@ -109,8 +111,10 @@ def count_plan(plan: str) -> dict[str, int]:
             c["bhj"] += 1
         elif name == "Sort":
             c["sort"] += 1
-        elif name in ("Window", "WindowGroupLimit"):
+        elif name == "Window":
             c["window"] += 1
+        elif name == "WindowGroupLimit":
+            c["wgl"] += 1
         elif name == "Generate":
             c["generate"] += 1
         elif name == "TakeOrderedAndProject":

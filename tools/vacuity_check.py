@@ -240,24 +240,28 @@ def main() -> int:
     for (name, c), per_sf in sorted(stats.items()):
         has_signal = any(s["n"] >= 3 for s in per_sf)
         if not has_signal:
-            # Cross-SF pooled test for scalar/tiny outputs (round 12,
-            # ADVICE r11 follow-through): a column that never reaches 3
-            # rows per SF still has a signal ACROSS scale factors — a
-            # per-SF-single value that never moves between sf0.001 and
-            # sf0.1 is frozen exactly like the in-SF constant class (a
+            # Cross-SF test for scalar/tiny outputs (round 12, ADVICE r11
+            # follow-through): a column that never reaches 3 rows per SF
+            # still has a signal ACROSS scale factors — if the column's
+            # whole per-SF value multiset never moves between sf0.001 and
+            # sf0.1 it is frozen exactly like the in-SF constant class (a
             # revenue scalar must respond to 100x the data; an echoed
-            # parameter belongs in ALLOWED_CONSTANT). Columns with data
-            # at fewer than 2 SFs stay honestly unclassified.
-            pooled: set = set()
-            sfs_with_data = 0
-            for s in per_sf:
-                if s["vals_small"]:
-                    sfs_with_data += 1
-                    pooled.update(s["vals_small"])
-            if sfs_with_data >= 2 and len(pooled) >= 2:
+            # parameter belongs in ALLOWED_CONSTANT). The comparison is
+            # between SORTED per-SF tuples, not the pooled union — a
+            # 2-row output emitting the identical (a, b) pair at every SF
+            # has a 2-element union yet is still frozen (review catch).
+            # Columns with data at fewer than 2 SFs stay unclassified.
+            sigs = {
+                tuple(sorted(s["vals_small"]))
+                for s in per_sf
+                if s["vals_small"]
+            }
+            sfs_with_data = sum(1 for s in per_sf if s["vals_small"])
+            if sfs_with_data >= 2 and len(sigs) >= 2:
                 scalar_ok += 1
             elif sfs_with_data >= 2:
-                if not any(v != 0 for v in pooled):
+                frozen_vals = next(iter(sigs))
+                if not any(v != 0 for v in frozen_vals):
                     if (name, c) in ALLOWED_ZERO:
                         allowed_zero_hits += 1
                     else:
@@ -268,8 +272,8 @@ def main() -> int:
                     allowed_const_hits += 1
                 else:
                     const_flags.append(
-                        f"{name}.{c}: scalar frozen at {pooled.pop()!r} "
-                        "across every checked SF"
+                        f"{name}.{c}: per-SF values frozen at "
+                        f"{frozen_vals!r} across every checked SF"
                     )
             else:
                 pending.append(f"{name}.{c}")
