@@ -662,6 +662,28 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashJoin|SortMergeJoin", r"partial_sum|partial_count"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
     ),
+    # ---- round 12 ----
+    "text_zipf_fit": (
+        # token explode partial-aggregates to the vocab table; the rank
+        # window runs on that bounded input; the OLS fold is one agg —
+        # no join anywhere in the plan
+        [r"Window", r"partial_count"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    "sim_rank_fusion": (
+        # the whole point of the round-12 review fix: both source
+        # rankings carry conjunctive rank filters so WindowGroupLimit
+        # plans map-side Partial pruning; the pool merge is the full-outer
+        # SMJ (full outer cannot broadcast; both sides pool-sized)
+        [r"WindowGroupLimit", r"SortMergeJoin FullOuter"],
+        [r"CartesianProduct"],
+    ),
+    "events_gini_concentration": (
+        # grouped TeraSort rank: one RANGE exchange, broadcast metadata
+        # rebasing joins, map-side-combinable decimal fold — NO window
+        [r"rangepartitioning", r"BroadcastHashJoin", r"partial_count|partial_sum"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
+    ),
     "sim_mmr_diversify": (
         # pool construction is a top-k (TakeOrderedAndProject); the
         # selection unroll is a Union of bounded top-1 steps over the
