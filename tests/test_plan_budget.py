@@ -11,7 +11,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from plan_budget import COST_KEYS, count_plan  # noqa: E402
+from plan_budget import CONTEXT_KEYS, COST_KEYS, count_plan  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -93,6 +93,27 @@ def test_count_plan_real_join(spark):
     assert c["shuffle_hash"] >= 1
     assert c["cartesian"] == 0 and c["python_eval"] == 0
     assert c["scan"] == 3
+
+
+def test_committed_budget_covers_registry():
+    """PLAN_BUDGET.json must name exactly the registry's entries — a new
+    operator landing without a --record leaves it unguarded, and a stale
+    name means the record predates a rename. (Counter VALUES are checked
+    by the round-end `plan_budget.py` compare, which builds real plans;
+    this pin is the cheap structural half that runs in every suite.)"""
+    import json
+
+    from data_ingestion_api_system_spark.operators import collect_queries
+
+    budget = json.loads(
+        (Path(__file__).resolve().parent.parent / "PLAN_BUDGET.json").read_text()
+    )
+    meta = budget.pop("_meta")
+    registry = set(collect_queries()[0])
+    assert set(budget) == registry
+    assert meta["n"] == len(registry)
+    for counters in budget.values():
+        assert set(counters) == set(COST_KEYS) | set(CONTEXT_KEYS)
 
 
 def test_cost_keys_cover_all_join_shuffle_kinds():
