@@ -193,12 +193,40 @@ def _prefix_offsets(meta: DataFrame, group_cols: list, val_col: str, zero):
     )
     cond = F.col("__po_pid") < F.col("__ts_pid")
     for g in group_cols:
-        cond = cond & (F.col(renames[g]) == F.col(g))
+        # eqNullSafe: a NULL group key is its own partition in the window
+        # semantics these recipes replace (ADVICE r12) — plain == would
+        # drop its offsets and then the inner rejoin would drop its rows.
+        cond = cond & (F.col(renames[g]).eqNullSafe(F.col(g)))
     return (
         meta.join(F.broadcast(m2), cond, "left")
         .groupBy("__ts_pid", *group_cols)
         .agg(F.coalesce(F.sum("__po_val"), zero).alias("__ts_off"))
     )
+
+
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, keys: list, broadcast_right: bool = True
+) -> DataFrame:
+    """Inner join on ``keys`` with NULL-safe key equality, dropping the
+    right side's key copies. ``left.join(right, keys)`` uses plain ``=``,
+    which silently DROPS rows whose key is NULL — but the window semantics
+    the TeraSort recipes replace (``PARTITION BY group_col``) treat NULL as
+    its own partition (ADVICE r12). Right side must be metadata-small (it
+    is broadcast by default)."""
+    from pyspark.sql import functions as F
+
+    renames = {k: f"__nj_{k}" for k in keys}
+    r2 = right.select(
+        *[F.col(k).alias(renames[k]) for k in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    if broadcast_right:
+        r2 = F.broadcast(r2)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(renames[k]))
+        cond = c if cond is None else cond & c
+    return left.join(r2, cond, "inner").drop(*renames.values())
 
 
 def global_ntile(df: DataFrame, order_cols: list, n: int, out_name: str) -> DataFrame:
@@ -291,11 +319,14 @@ def grouped_global_rank(
     meta = body.groupBy("__ts_pid", group_col).agg(
         F.count("*").alias("__gr_cnt"), F.min("__ts_lrank").alias("__gr_base")
     )
-    off_base = _prefix_offsets(meta, [group_col], "__gr_cnt", F.lit(0)).join(
-        meta.select("__ts_pid", group_col, "__gr_base"), ["__ts_pid", group_col]
+    off_base = _join_null_safe(
+        _prefix_offsets(meta, [group_col], "__gr_cnt", F.lit(0)),
+        meta.select("__ts_pid", group_col, "__gr_base"),
+        ["__ts_pid", group_col],
+        broadcast_right=False,
     )
     return (
-        body.join(F.broadcast(off_base), ["__ts_pid", group_col])
+        _join_null_safe(body, off_base, ["__ts_pid", group_col])
         .withColumn(
             out_name,
             F.col("__ts_off") + (F.col("__ts_lrank") - F.col("__gr_base") + F.lit(1)),
@@ -339,7 +370,7 @@ def grouped_global_cumsum(
     zero = F.lit(0).cast(ptot.schema["__gc_psum"].dataType)
     offsets = _prefix_offsets(ptot, [group_col], "__gc_psum", zero)
     return (
-        run.join(F.broadcast(offsets), ["__ts_pid", group_col])
+        _join_null_safe(run, offsets, ["__ts_pid", group_col])
         .withColumn(out_name, F.col("__ts_off") + F.col("__gc_run"))
         .drop("__ts_pid", "__ts_lrank", "__gc_run", "__ts_off")
     )

@@ -24,7 +24,7 @@ from ..functions import (
     word_ngrams as _word_ngrams,
 )
 from ..tables import load_table
-from . import pin, spread, tune
+from . import grouped_global_rank, pin, spread, tune
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -240,12 +240,17 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the identical expression tree on both engines.
 
     Scale shape: the only corpus-sized stage is the token explode, which
-    partial-aggregates map-side to the (lang, word) table — bounded by
-    VOCABULARY, which grows sublinearly in corpus size (that is Heaps'
-    law, measured by its sibling entry). The per-lang rank window and the
-    OLS fold run on that vocabulary table, so the window input is ~|vocab|
-    rows per language, constant-ish in data volume — the documented
-    bounded-input window posture (cf. sketch_histogram_quantiles)."""
+    partial-aggregates map-side to the (lang, word) table. That table is
+    bounded by VOCABULARY (sublinear in corpus size by Heaps' law), but at
+    100 TB Heaps still gives ~10^7-10^8 vocab rows per language — too much
+    for a ``row_number() OVER (PARTITION BY lang)`` whose single-digit
+    lang cardinality would funnel each language's whole vocabulary through
+    ONE sort task (ADVICE r12). The per-lang frequency rank therefore runs
+    through :func:`operators.grouped_global_rank` (the TeraSort recipe:
+    one range exchange spreads a hot language over many tasks; DESC
+    frequency via a negated column, same pattern as
+    ``events_gini_concentration``), and the OLS fold is a map-side
+    combinable aggregate — no window in the plan."""
     tune(spark)
     docs = spread(load_table(spark, sf_dir, "documents"))
     freqs = (
@@ -254,11 +259,16 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("word"))
-    xy = freqs.select(
+    ranked = grouped_global_rank(
+        freqs.withColumn("__negf", -F.col("freq")),
+        "lang",
+        ["__negf", "word"],
+        "__z_rnk",
+    )
+    xy = ranked.select(
         "lang",
         "freq",
-        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        F.round(F.log(F.col("__z_rnk").cast("double")), 6)
         .cast("decimal(18,6)")
         .alias("x"),
         F.round(F.log(F.col("freq").cast("double")), 6)

@@ -127,14 +127,18 @@ def test_grouped_global_rank_matches_window_form(spark):
         [("hot", (i * 37) % 11, i) for i in range(500)]
         + [("mid", i % 5, i) for i in range(40)]
         + [("one", 0, 0)]
+        # NULL group: its own partition in window semantics (ADVICE r12) —
+        # the recipe must keep and rank these rows, not drop them.
+        + [(None, i % 3, i) for i in range(25)]
     )
     df = spark.createDataFrame(rows, "g string, v int, id int").repartition(8)
     got = grouped_global_rank(df, "g", ["v", "id"], "rnk")
     assert "windowspecdefinition" not in formatted_plan(got)
     w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
     want = df.select("g", "v", "id", F.row_number().over(w).alias("rnk"))
-    assert sorted(map(tuple, got.select("g", "v", "id", "rnk").collect())) == \
-        sorted(map(tuple, want.collect()))
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, got.select("g", "v", "id", "rnk").collect()), key=key) == \
+        sorted(map(tuple, want.collect()), key=key)
     release_pins()
 
 
@@ -154,6 +158,7 @@ def test_grouped_global_cumsum_matches_window_form(spark):
         [("hot", i, (i * 13) % 7 + 1) for i in range(500)]
         + [("mid", i, i % 3 + 1) for i in range(40)]
         + [("one", 0, 5)]
+        + [(None, i, i % 4 + 1) for i in range(25)]  # NULL group kept (ADVICE r12)
     )
     df = spark.createDataFrame(rows, "g string, id int, v int").repartition(8)
     got = grouped_global_cumsum(df, "g", ["id"], "v", "cum")
@@ -163,8 +168,9 @@ def test_grouped_global_cumsum_matches_window_form(spark):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     want = df.select("g", "id", "v", F.sum("v").over(w).alias("cum"))
-    assert sorted(map(tuple, got.select("g", "id", "v", "cum").collect())) == \
-        sorted(map(tuple, want.collect()))
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, got.select("g", "id", "v", "cum").collect()), key=key) == \
+        sorted(map(tuple, want.collect()), key=key)
     release_pins()
 
 

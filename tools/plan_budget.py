@@ -25,6 +25,9 @@ Counters and gating:
   counter improves (SMJ → BHJ adds a BroadcastExchange; a rank filter
   becoming conjunctive adds WindowGroupLimit nodes — map-side top-k
   pruning, strictly beneficial, so WGL is context, not cost).
+- **unbaselined entries** (in the registry but not the committed budget)
+  also FAIL compare mode (ADVICE r12): a new operator must enter the
+  ledger via ``--record`` the round it is born.
 
 Counts come from the *detail section* of ``explain("formatted")`` (one
 ``(N) NodeName`` header per physical node, subquery sections included), so
@@ -191,7 +194,10 @@ def main() -> int:
     for i in improvements:
         print(f"improved   {i}")
     if new_entries:
-        print(f"new entries (no baseline, re-record to adopt): {new_entries}")
+        # Unbaselined entries FAIL the gate (ADVICE r12): a brand-new
+        # expensive operator must enter the ledger the round it is born,
+        # not ride ungated until someone remembers --record.
+        print(f"UNBASELINED new entries (run --record to adopt): {new_entries}")
     if gone_entries:
         print(f"removed entries still in budget: {gone_entries}")
     print(
@@ -201,7 +207,7 @@ def main() -> int:
     )
     if improvements and not regressions:
         print("improvements only — re-record the budget to lock them in")
-    return 1 if regressions else 0
+    return 1 if (regressions or new_entries) else 0
 
 
 if __name__ == "__main__":
