@@ -534,80 +534,106 @@ WHERE p.jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public algorithm): for every node
+    v, connect each strictly-LARGER neighbor u to m = min(Γ(v) ∪ {v}).
+    Input/output are canonical directed edges (src > dst); the symmetric
+    neighbor view is built internally. Output stays canonical because
+    m ≤ v < u for every emitted (u, m). Plan shape: one groupBy(src) +
+    one equi-join on src (same key — the exchange is reused) + a distinct;
+    every stage is keyed on node, no window, no cartesian."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("__cc_m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__cc_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (same paper): edges directed large→small are
+    grouped at the larger endpoint v; with m = min(N(v)) (all neighbors
+    are < v in this orientation, so m = min(N(v) ∪ {v}) too), connect v
+    and every other smaller neighbor to m. Output is canonical (src > dst)
+    by construction: part one emits (u, m) with u > m (the u = m row is
+    filtered), part two emits (v, m) with v > m."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("__cc_m"))
+    joined = edges.join(mins, "src")
+    to_min = joined.filter(F.col("dst") != F.col("__cc_m")).select(
+        F.col("dst").alias("src"), F.col("__cc_m").alias("dst")
+    )
+    center = joined.select("src", F.col("__cc_m").alias("dst"))
+    return to_min.unionByName(center).distinct()
+
+
 def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components over an undirected edge list (``doc_a``,
-    ``doc_b``) via iterative min-label propagation: labels start as self;
-    each round joins labels to the bidirected edges, takes min(own,
-    neighbor labels), and stops when no label changed. Returns (node,
-    label) with label = the component's minimum node id.
+    ``doc_b``) via alternating large-star/small-star rounds (Kiveris et
+    al. 2014). Returns (node, label) with label = the component's minimum
+    node id.
 
-    Each round combines the neighbor-min step with a POINTER-JUMPING step
-    (label ← label's current label): labels are always node ids, so
-    resolving one level of indirection per round halves the remaining
-    path, giving O(log diameter) rounds instead of O(diameter) — at sf0.1
-    the verified-duplicate graph has diameter 17 (length-band chains),
-    measured 17 rounds → 6 with the jump at ~equal per-round cost. Each
-    round is two equi-joins + a groupBy (all keyed on node), and
-    localCheckpoint truncates the lineage so plans stay flat; the change
-    flag rides the same checkpointed pass (a label only ever decreases).
-    At 100 TB the same loop runs with node-bucketed tables (the classic
-    large-star/small-star refinement shares this plan shape)."""
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    Why stars instead of min-label propagation: propagation (even with
+    pointer jumping) needs a number of rounds that depends on the GRAPH —
+    O(log diameter) — so a pathological long-chain duplicate graph can
+    exhaust any fixed round budget (the r12 implementation raised after
+    ``max_rounds`` for exactly that reason). Star rounds rewrite the EDGE
+    SET itself toward a union of single-level stars and converge in
+    O(log² n) alternating rounds regardless of diameter, with each round's
+    intermediate size bounded by the input edge count — the 100 TB-safe
+    shape. Each round is two groupBy+join pairs keyed on node (exchange
+    reuse per phase), localCheckpoint truncates lineage so plans stay
+    flat.
+
+    Convergence detection is EXACT, not a checksum: the canonical edge
+    set (src > dst) is a fixpoint of both phases iff every component is a
+    single star centered at its minimum, so the round loop stops when
+    ``new ⊆ old ∧ |new| = |old|`` (one left-anti probe + two counts of
+    checkpointed tables — driver scalars, same footprint as the old
+    change-flag collect). Labels then read directly off the star edges:
+    every non-root node has exactly one edge to its root; roots label
+    themselves."""
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    n_edges = edges.count()
     for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        stepped = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = stepped.count()
+        unchanged = (
+            n_new == n_edges
+            and stepped.join(edges, ["src", "dst"], "left_anti").limit(1).count()
+            == 0
         )
-        stepped = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias(
-                "mid_label"
-            ),
-            F.col("label").alias("old_label"),
+        edges, n_edges = stepped, n_new
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"large-star/small-star rounds (theoretical bound is "
+            f"O(log^2 n); raise max_rounds)"
         )
-        # pointer jump: mid_label is itself a node id, so resolve one level
-        # of indirection through the CURRENT label table — halves the
-        # remaining path to the component minimum every round
-        ptr = labels.select(
-            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
-        )
-        new_labels = (
-            stepped.join(ptr, stepped.mid_label == ptr.pj_node, "left")
-            .select(
-                "node",
-                F.least(
-                    "mid_label", F.coalesce("pj_label", F.col("mid_label"))
-                ).alias("label"),
-                (
-                    F.least(
-                        "mid_label", F.coalesce("pj_label", F.col("mid_label"))
-                    )
-                    < F.col("old_label")
-                )
-                .cast("int")
-                .alias("chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
-        labels = new_labels.drop("chg")
-        if not changed:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds "
-        f"(graph diameter exceeds the bound); raise max_rounds or switch "
-        f"to large-star/small-star rounds for long-chain graphs"
+    leaves = edges.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    roots = (
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    return leaves.unionByName(roots).groupBy("node").agg(
+        F.min("label").alias("label")
     )
 
 

@@ -38,6 +38,14 @@ GRAPHS = {
         + [(4, 10)]
         + [(20, 21), (21, 22)]
     ),
+    # adversarial high-diameter graph: a 400-node chain whose node ids are
+    # deterministically permuted along the path (id = (i*173) % 400, 173
+    # coprime to 400), so min-label propagation would need ~diameter rounds
+    # and even pointer jumping ~log2(400). Star rounds must converge well
+    # inside the tight max_rounds below regardless of diameter.
+    "permuted_long_chain": [
+        ((i * 173) % 400, ((i + 1) * 173) % 400) for i in range(399)
+    ],
 }
 
 
@@ -45,5 +53,8 @@ GRAPHS = {
 def test_matches_union_find(spark, name):
     edges = GRAPHS[name]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r.node: r.label for r in connected_components(df).collect()}
+    # max_rounds=12 is far below the 400-node chain's diameter: passing
+    # proves round count does not scale with diameter (the star-rounds
+    # guarantee; the r12 propagation loop raised here).
+    got = {r.node: r.label for r in connected_components(df, max_rounds=12).collect()}
     assert got == _union_find(edges)
