@@ -303,6 +303,14 @@ ADDED_R12 = [
     "events_gini_concentration",
 ]
 
+# Added round 13 (curation cohort): passage-level exact-substring dedup,
+# URL canonicalization + per-domain caps, quality-threshold calibration.
+ADDED_R13 = [
+    "dedup_exact_substr",
+    "prep_domain_caps",
+    "text_quality_calibration",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -367,7 +375,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12 + ADDED_R13:
         fn = qs[name]
 
         def run_once():
@@ -408,7 +416,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12,
+        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12 + ADDED_R13,
         "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
         "sf": float(sf),
         # methodology marker so cross-round numbers are

@@ -597,6 +597,9 @@ _BORN_ROUND = {
     "text_zipf_fit": 12,
     "sim_rank_fusion": 12,
     "events_gini_concentration": 12,
+    "dedup_exact_substr": 13,
+    "prep_domain_caps": 13,
+    "text_quality_calibration": 13,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 
@@ -638,6 +641,7 @@ def staleness_fill(tail_names, history=None) -> list[str]:
 _ALL_QUERY_MODULES = (
     "operators.pipeline",
     "operators.prep",
+    "operators.curation",
     "operators.selection",
     "operators.dedup",
     "operators.similarity",

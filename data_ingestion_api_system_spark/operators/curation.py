@@ -1,0 +1,467 @@
+"""Corpus-curation operators the reference lacks but a CommonCrawl-scale
+pretraining pipeline hits first (round-13 cohort, VERDICT r12 #5):
+paragraph-level exact-substring dedup, URL/domain canonicalization with
+per-domain mixing caps, and the quality-classifier calibration sweep that
+is the eval side of ``text_quality_score``.
+
+All three are JVM-side expression/aggregate compositions — zero Python
+UDFs — with exact DuckDB oracles. Reference parity: the reference
+(`/root/reference/src/app.js`, 244 lines) has no curation surface at all;
+these extend SURVEY.md §2 Part C's LLM-pipeline families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..tables import load_table
+from . import pin, spread, tune
+
+# --- paragraph-level exact-substring dedup ---------------------------------
+
+PASSAGE_W = 10  # tokens per non-overlapping passage
+
+
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at passage level — the document-level exact
+    family's complement (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", public): a doc that is globally unique
+    can still carry boilerplate passages repeated across the corpus, and
+    removing those repeats is the single highest-leverage cleanup on web
+    text. The suffix-array formulation doesn't distribute; the standard
+    large-scale form is fixed-width passage fingerprinting: split each doc
+    into non-overlapping {W}-token passages, fingerprint each, and mark
+    every instance that is not its fingerprint's canonical first owner
+    (lexicographically smallest (doc_id, position)) as removable.
+
+    Output: one row per doc with ≥1 full passage — passage count,
+    removable-passage count, removable chars, and the removable ratio.
+
+    Plan shape at 100 TB: passage enumeration is a narrow Generate; the
+    fingerprint table group-by is the one corpus-sized shuffle (inherent —
+    exact substring dedup must co-locate identical passages) and both its
+    aggregates (count, min owner key) partial map-side, so the exchange
+    carries one row per *distinct* passage plus partials; the instance →
+    owner probe is an equi-join keyed on the same fingerprint (exchange
+    reuse), and the final per-doc rollup partials again. Owner key packs
+    (doc_id, position) into one BIGINT (positions are < 2^20: docs are
+    size-bounded) so min() stays a primitive aggregate on both engines."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "lang", tokens("text").alias("t")).filter(
+        F.size("t") >= PASSAGE_W
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), (F.size("t") / PASSAGE_W).cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * PASSAGE_W + 1, PASSAGE_W), " "),
+    )
+    # pin: the instance table feeds both the owner aggregation and the
+    # probe side of the owner join — one materialization of the
+    # tokenize+explode+md5 work instead of two (recompute-saver posture)
+    inst = pin(
+        base.select(
+            "doc_id",
+            "lang",
+            F.posexplode(passages).alias("pos", "passage"),
+        ).select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.length("passage").alias("p_chars"),
+            F.md5(F.lower("passage")).alias("fp"),
+            (F.col("doc_id") * F.lit(1 << 20) + F.col("pos")).alias("inst_key"),
+        )
+    )
+    owners = inst.groupBy("fp").agg(
+        F.min("inst_key").alias("owner_key"),
+        F.count("*").alias("n_copies"),
+    )
+    flagged = inst.join(owners, "fp").withColumn(
+        "is_dup", (F.col("inst_key") != F.col("owner_key")).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum("is_dup").cast("bigint").alias("n_removable"),
+            F.sum(F.col("is_dup") * F.col("p_chars"))
+            .cast("bigint")
+            .alias("removable_chars"),
+        )
+        .withColumn(
+            "removable_ratio",
+            F.round(F.col("n_removable") / F.col("n_passages"), 6),
+        )
+    )
+
+
+_SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+
+_ORACLE_EXACT_SUBSTR = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS t
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= {PASSAGE_W}
+),
+inst AS (
+  SELECT doc_id, lang, ci AS pos,
+         length(array_to_string(t[ci*{PASSAGE_W}+1 : ci*{PASSAGE_W}+{PASSAGE_W}], ' ')) AS p_chars,
+         md5(lower(array_to_string(t[ci*{PASSAGE_W}+1 : ci*{PASSAGE_W}+{PASSAGE_W}], ' '))) AS fp,
+         doc_id * {1 << 20} + ci AS inst_key
+  FROM (SELECT doc_id, lang, t,
+               unnest(range(0, len(t) // {PASSAGE_W})) AS ci
+        FROM base)
+),
+owners AS (
+  SELECT fp, min(inst_key) AS owner_key FROM inst GROUP BY fp
+)
+SELECT i.doc_id, i.lang,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN i.inst_key <> o.owner_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removable,
+       CAST(sum(CASE WHEN i.inst_key <> o.owner_key THEN i.p_chars ELSE 0 END) AS BIGINT)
+         AS removable_chars,
+       ROUND(CAST(sum(CASE WHEN i.inst_key <> o.owner_key THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS removable_ratio
+FROM inst i JOIN owners o USING (fp)
+GROUP BY i.doc_id, i.lang
+"""
+
+
+# --- URL/domain canonicalization + per-domain caps -------------------------
+
+DOMAIN_CAP = 8  # max docs kept per registered domain (fires at all 3 SFs:
+# the (source,lang) domain groups run 1-16 docs at sf0.001/0.01, 24-112 at
+# sf0.1 — measured, so n_dropped is live at every scale the gates run)
+
+
+def _noisy_url() -> F.Column:
+    """Deterministic noisy URL per document, standing in for the ``url``
+    column a crawl corpus carries (the harness tables have none — same
+    substitution posture as the multimodal family's synthetic binaries).
+    Registered domain is ``{source}-{lang}.com`` (~100 domains per SF);
+    noise is keyed on doc_id so every canonicalization rule fires on a
+    deterministic subset: mixed-case scheme/host, optional ``www.``/``m.``
+    subdomain, explicit default port, tracking params in both positions,
+    fragment."""
+    d = F.col("doc_id")
+    host_case = F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source"))
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 2 == 0, F.lit("www."))
+        .when(d % 11 == 0, F.lit("m."))
+        .otherwise(F.lit("")),
+        host_case,
+        F.lit("-"),
+        F.col("lang"),
+        F.lit(".COM:443/page-"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), d.cast("string")))
+        .when(d % 5 == 0, F.concat(F.lit("?id="), d.cast("string"), F.lit("&utm_campaign=x")))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_prep_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain mixing caps — CommonCrawl
+    curation's first two operators (public recipe: RefinedWeb/Penedo et
+    al. 2023 §3.1 canonicalize-then-cap; C4's per-host dedup). A crawl
+    corpus is dominated by a handful of hosts unless each registered
+    domain is capped, and caps are only meaningful after canonicalization
+    (``HTTPS://WWW.X.Example.COM:443/p?utm_source=a`` and
+    ``https://x.example.com/p`` are the same page).
+
+    Canonicalization (all JVM regex/string expressions): lowercase scheme
+    + host, strip ``www.``, strip the default :443/:80 port, drop utm_*
+    tracking params (keeping the rest and re-normalizing separators),
+    drop the fragment. Registered domain = last two host labels. Cap
+    selection keeps the {CAP} longest docs per domain (n_chars DESC,
+    doc_id ASC tiebreak).
+
+    Output: one row per registered domain with total/kept/dropped counts
+    and kept-char mass — the mixing report a curation run logs.
+
+    Plan shape at 100 TB: canonicalization is narrow; the keep-set rank
+    is ``row_number ≤ cap`` which Spark plans as WindowGroupLimit — each
+    map task pre-prunes to {CAP} rows per domain before the exchange, so
+    the shuffle carries ≤ {CAP}·tasks rows per domain no matter how hot
+    the domain (the registry's accepted rank-filter posture, cf.
+    sim_rank_fusion); the totals branch is an ordinary partial-agg
+    groupBy, and the two per-domain tables join broadcast-small."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    url = _noisy_url()
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                # lowercase scheme+host (authority part only), strip www.
+                F.concat(
+                    F.lower(F.regexp_extract(url, r"^([^/]+//[^/]+)", 1)),
+                    F.regexp_extract(url, r"^[^/]+//[^/]+(.*)$", 1),
+                ),
+                r"^(https?://)www\.",
+                "$1",
+            ),
+            r"^(https?://[^/:]+):(443|80)(/|$)",
+            "$1$3",
+        ),
+        r"#.*$",
+        "",
+    )
+    # drop utm_* params wherever they sit, then normalize dangling ?/&
+    canon = F.regexp_replace(canon, r"utm_[a-z]+=[^&#]*&?", "")
+    canon = F.regexp_replace(canon, r"[?&]$", "")
+    canon = F.regexp_replace(canon, r"\?&", "?")
+    host = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    enriched = docs.select(
+        "doc_id",
+        "n_chars",
+        canon.alias("canonical_url"),
+        reg_domain.alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        enriched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= DOMAIN_CAP)
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.min("doc_id").cast("bigint").alias("first_kept_doc"),
+        )
+    )
+    totals = enriched.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        totals.join(kept, "domain")
+        .select(
+            "domain",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+            "total_chars",
+            "kept_chars",
+            F.round(F.col("kept_chars") / F.col("total_chars"), 6).alias(
+                "kept_char_share"
+            ),
+            "first_kept_doc",
+        )
+    )
+
+
+_SQL_URL = f"""
+concat('HTTPS://',
+       CASE WHEN doc_id % 2 = 0 THEN 'www.'
+            WHEN doc_id % 11 = 0 THEN 'm.' ELSE '' END,
+       CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+       '-', lang, '.COM:443/page-', CAST(doc_id AS VARCHAR),
+       CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+            ELSE '' END,
+       CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+
+_ORACLE_DOMAIN_CAPS = f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, {_SQL_URL} AS url FROM documents
+),
+canon0 AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               lower(regexp_extract(url, '^([^/]+//[^/]+)', 1))
+                 || regexp_extract(url, '^[^/]+//[^/]+(.*)$', 1),
+               '^(https?://)www\\.', '\\1'),
+             '^(https?://[^/:]+):(443|80)(/|$)', '\\1\\3'),
+           '#.*$', '') AS c0
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(c0, 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+             '[?&]$', ''),
+           '\\?&', '?') AS canonical_url
+  FROM canon0
+),
+enriched AS (
+  SELECT doc_id, n_chars, canonical_url,
+         regexp_extract(regexp_extract(canonical_url, '^https?://([^/]+)', 1),
+                        '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM canon
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM enriched
+),
+kept AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+         CAST(min(doc_id) AS BIGINT) AS first_kept_doc
+  FROM ranked WHERE rn <= {DOMAIN_CAP} GROUP BY domain
+),
+totals AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM enriched GROUP BY domain
+)
+SELECT t.domain, t.n_docs, k.n_kept,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+       t.total_chars, k.kept_chars,
+       ROUND(CAST(k.kept_chars AS DOUBLE) / t.total_chars, 6) AS kept_char_share,
+       k.first_kept_doc
+FROM totals t JOIN kept k USING (domain)
+"""
+
+
+# --- quality-classifier calibration sweep ----------------------------------
+
+N_BINS = 20  # score histogram resolution = threshold grid
+
+
+def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep calibration readout for the heuristic quality
+    score — the eval side of ``text_quality_score`` (VERDICT r12 #5): a
+    quality classifier is only useful with a chosen operating point, and
+    choosing one needs precision/recall/F1 at every candidate threshold.
+    The reference label is ``lang = 'en'`` — an honest target for THIS
+    scorer, whose stopword/marker components are English-derived, so the
+    sweep measures how sharply the heuristic separates English text.
+
+    The continuous score blends the two rule bands with the clamped
+    stopword ratio (so thresholds between the integer rule counts are
+    meaningful): 0.3·length_ok + 0.3·tok_len_ok + min(4·stop_ratio, 0.4).
+    It is carried in integer THOUSANDTHS (band terms are exact ints;
+    the ratio term is floor(n_stop/n_tokens·4000) — one double division
+    with the identical expression tree on both engines, then floor), so
+    the histogram bin = score_milli·{N_BINS} div 1000 is integer
+    arithmetic with zero float-boundary risk at bin edges.
+
+    Scale shape — the part that matters at 100 TB: the corpus never meets
+    the threshold grid. Docs fold into a ({N_BINS}-bin, label) histogram
+    first (one partial-agg shuffle, output ≤ {N_BINS}·2 rows); the sweep
+    is then a broadcast ≥-join of the {N_BINS}-row threshold grid against
+    the tiny histogram (BroadcastNestedLoopJoin over bounded metadata —
+    the range-join-on-metadata posture, never a corpus operation), and
+    the confusion-matrix arithmetic is exact integer sums per threshold."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    avg_tok = n_nonspace / n_tokens
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS)))
+    length_ok = ((n_tokens >= 20) & (n_tokens <= 1000)).cast("int")
+    tok_len_ok = ((avg_tok >= 4.0) & (avg_tok <= 12.0)).cast("int")
+    score_milli = (
+        length_ok * 300
+        + tok_len_ok * 300
+        + F.least(
+            F.floor(n_stop.cast("double") / n_tokens * 4000).cast("int"),
+            F.lit(400),
+        )
+    )
+    hist = (
+        docs.select(
+            F.least(
+                (score_milli * N_BINS / F.lit(1000)).cast("int"),
+                F.lit(N_BINS - 1),
+            ).alias("bin"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        )
+        .groupBy("bin", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = spark.range(N_BINS).select(F.col("id").cast("int").alias("thr_bin"))
+    swept = (
+        grid.join(F.broadcast(hist), F.col("bin") >= F.col("thr_bin"), "left")
+        .groupBy("thr_bin")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(F.col("label") == 0, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    pos_total = hist.filter(F.col("label") == 1).agg(
+        F.sum("n").cast("bigint").alias("n_pos")
+    )
+    return (
+        swept.crossJoin(F.broadcast(pos_total))
+        .select(
+            F.round(F.col("thr_bin") / N_BINS, 6).alias("threshold"),
+            (F.col("tp") + F.col("fp")).alias("n_flagged"),
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).cast("bigint").alias("fn"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("n_pos"), 6).alias("recall"),
+            F.round(
+                2 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("n_pos")), 6
+            ).alias("f1"),
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+_ORACLE_QUALITY_CALIBRATION = f"""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN len({_SQL_TOKS}) BETWEEN 20 AND 1000 THEN 300 ELSE 0 END
+         + CASE WHEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / len({_SQL_TOKS}) BETWEEN 4.0 AND 12.0 THEN 300 ELSE 0 END
+         + least(CAST(floor(CAST(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOPLIST})) AS DOUBLE)
+                 / len({_SQL_TOKS}) * 4000) AS INT), 400) AS score_milli
+  FROM documents
+),
+hist AS (
+  SELECT least((score_milli * {N_BINS}) // 1000, {N_BINS - 1}) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         count(*) AS n
+  FROM scored GROUP BY 1, 2
+),
+grid AS (SELECT CAST(unnest(range(0, {N_BINS})) AS INT) AS thr_bin),
+swept AS (
+  SELECT g.thr_bin,
+         CAST(coalesce(sum(CASE WHEN h.label = 1 THEN h.n END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN h.label = 0 THEN h.n END), 0) AS BIGINT) AS fp
+  FROM grid g LEFT JOIN hist h ON h.bin >= g.thr_bin
+  GROUP BY g.thr_bin
+),
+pos AS (SELECT CAST(sum(n) AS BIGINT) AS n_pos FROM hist WHERE label = 1)
+SELECT ROUND(CAST(thr_bin AS DOUBLE) / {N_BINS}, 6) AS threshold,
+       tp + fp AS n_flagged, tp, fp,
+       CAST(n_pos - tp AS BIGINT) AS fn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / n_pos, 6) AS recall,
+       ROUND(2.0 * tp / (tp + fp + n_pos), 6) AS f1
+FROM swept, pos
+"""
+
+
+QUERIES = {
+    "dedup_exact_substr": q_dedup_exact_substr,
+    "prep_domain_caps": q_prep_domain_caps,
+    "text_quality_calibration": q_text_quality_calibration,
+}
+
+ORACLE = {
+    "dedup_exact_substr": _ORACLE_EXACT_SUBSTR,
+    "prep_domain_caps": _ORACLE_DOMAIN_CAPS,
+    "text_quality_calibration": _ORACLE_QUALITY_CALIBRATION,
+}

@@ -22,6 +22,7 @@ def _all_benched() -> list[str]:
         + bench.ADDED_R10
         + bench.ADDED_R11
         + bench.ADDED_R12
+        + bench.ADDED_R13
     )
 
 

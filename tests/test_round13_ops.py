@@ -1,0 +1,159 @@
+"""Round-13 cohort pins: pure-Python re-derivations (third source — no SQL
+engine involved) for the curation newborns, plus the behavioral edges each
+operator exists for: a passage repeated across docs is flagged everywhere
+except its first owner; URL noise variants collapse to one canonical form;
+the calibration sweep's precision/recall move monotonically with the
+threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+
+from data_ingestion_api_system_spark.operators.curation import (
+    DOMAIN_CAP,
+    N_BINS,
+    PASSAGE_W,
+    q_dedup_exact_substr,
+    q_prep_domain_caps,
+    q_text_quality_calibration,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+STOPWORDS = {"the", "a", "and", "of", "to", "in", "is", "it"}
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def test_exact_substr_matches_pure_python(spark):
+    got = {
+        r.doc_id: (r.n_passages, r.n_removable, r.removable_chars, r.removable_ratio)
+        for r in q_dedup_exact_substr(spark, SF_DIR).collect()
+    }
+    # python re-derivation: enumerate passages, keep-first by (doc_id, pos)
+    inst: list[tuple[int, int, str, int]] = []  # (doc_id, pos, fp, chars)
+    for doc_id, text, *_ in _docs():
+        t = _toks(text)
+        for i in range(len(t) // PASSAGE_W):
+            p = " ".join(t[i * PASSAGE_W : (i + 1) * PASSAGE_W])
+            inst.append(
+                (doc_id, i, hashlib.md5(p.lower().encode()).hexdigest(), len(p))
+            )
+    owner: dict[str, int] = {}
+    for doc_id, pos, fp, _ in inst:
+        key = doc_id * (1 << 20) + pos
+        owner[fp] = min(owner.get(fp, key), key)
+    expected: dict[int, list[int]] = {}
+    for doc_id, pos, fp, chars in inst:
+        n, dup, dchars = expected.setdefault(doc_id, [0, 0, 0])
+        is_dup = owner[fp] != doc_id * (1 << 20) + pos
+        expected[doc_id] = [n + 1, dup + is_dup, dchars + chars * is_dup]
+    assert set(got) == set(expected)
+    n_docs_with_dups = 0
+    for doc_id, (n, dup, dchars) in expected.items():
+        gn, gdup, gchars, gratio = got[doc_id]
+        assert (gn, gdup, gchars) == (n, dup, dchars), doc_id
+        assert gratio == pytest.approx(round(dup / n, 6), abs=1e-9)
+        n_docs_with_dups += dup > 0
+    # vacuity pin: the synthetic corpus's small vocabulary repeats real
+    # passages, so the dup flag fires on some-but-not-all docs
+    assert 0 < n_docs_with_dups < len(expected)
+
+
+def _canonical_url(doc_id: int, source: str, lang: str) -> str:
+    sub = "www." if doc_id % 2 == 0 else ("m." if doc_id % 11 == 0 else "")
+    host = (source.upper() if doc_id % 3 == 0 else source) + "-" + lang + ".COM"
+    q = (
+        f"?utm_source=feed&id={doc_id}"
+        if doc_id % 3 == 0
+        else (f"?id={doc_id}&utm_campaign=x" if doc_id % 5 == 0 else "")
+    )
+    frag = "#frag" if doc_id % 7 == 0 else ""
+    url = f"HTTPS://{sub}{host}:443/page-{doc_id}{q}{frag}"
+    # the same rule stack as the operator, in python's re
+    m = re.match(r"^([^/]+//[^/]+)(.*)$", url)
+    u = m.group(1).lower() + m.group(2)
+    u = re.sub(r"^(https?://)www\.", r"\1", u)
+    u = re.sub(r"^(https?://[^/:]+):(443|80)(/|$)", r"\1\3", u)
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(r"utm_[a-z]+=[^&#]*&?", "", u)
+    u = re.sub(r"[?&]$", "", u)
+    u = re.sub(r"\?&", "?", u)
+    return u
+
+
+def test_domain_caps_matches_pure_python(spark):
+    got = {r.domain: r for r in q_prep_domain_caps(spark, SF_DIR).collect()}
+    by_domain: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, _text, lang, source, n_chars in _docs():
+        url = _canonical_url(doc_id, source, lang)
+        host = re.match(r"^https?://([^/]+)", url).group(1)
+        domain = re.search(r"([^.]+\.[^.]+)$", host).group(1)
+        # canonical form is fully noise-free: lowercase, no www, no :443,
+        # no utm params, no fragment
+        assert "www." not in url and ":443" not in url
+        assert "utm_" not in url and "#" not in url and "HTTPS" not in url
+        by_domain.setdefault(domain, []).append((n_chars, doc_id))
+    assert set(got) == set(by_domain)
+    saw_drop = False
+    for domain, rows in by_domain.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        kept = rows[:DOMAIN_CAP]
+        r = got[domain]
+        assert r.n_docs == len(rows)
+        assert r.n_kept == len(kept)
+        assert r.n_dropped == len(rows) - len(kept)
+        assert r.kept_chars == sum(c for c, _ in kept)
+        assert r.total_chars == sum(c for c, _ in rows)
+        assert r.first_kept_doc == min(d for _, d in kept)
+        saw_drop = saw_drop or r.n_dropped > 0
+    assert saw_drop  # the cap must actually fire at the smallest SF
+
+
+def test_quality_calibration_matches_pure_python(spark):
+    got = {r.threshold: r for r in q_text_quality_calibration(spark, SF_DIR).collect()}
+    assert len(got) == N_BINS
+    hist: dict[tuple[int, int], int] = {}
+    for _doc_id, text, lang, *_ in _docs():
+        t = _toks(text)
+        n_tokens = len(t)
+        n_nonspace = len(re.sub(r"\s+", "", text))
+        n_stop = sum(tok.lower() in STOPWORDS for tok in t)
+        length_ok = 300 if 20 <= n_tokens <= 1000 else 0
+        tok_len_ok = 300 if 4.0 <= n_nonspace / n_tokens <= 12.0 else 0
+        stop_part = min(int(n_stop / n_tokens * 4000), 400)
+        milli = length_ok + tok_len_ok + stop_part
+        b = min(milli * N_BINS // 1000, N_BINS - 1)
+        label = 1 if lang == "en" else 0
+        hist[(b, label)] = hist.get((b, label), 0) + 1
+    n_pos = sum(n for (_, lab), n in hist.items() if lab == 1)
+    prev_flagged = None
+    for thr_bin in range(N_BINS):
+        tp = sum(n for (b, lab), n in hist.items() if lab == 1 and b >= thr_bin)
+        fp = sum(n for (b, lab), n in hist.items() if lab == 0 and b >= thr_bin)
+        r = got[round(thr_bin / N_BINS, 6)]
+        assert (r.tp, r.fp, r.fn, r.n_flagged) == (tp, fp, n_pos - tp, tp + fp)
+        if tp + fp:
+            assert r.precision == pytest.approx(tp / (tp + fp), abs=6e-7)
+        assert r.recall == pytest.approx(tp / n_pos, abs=6e-7)
+        assert r.f1 == pytest.approx(2 * tp / (tp + fp + n_pos), abs=6e-7)
+        # sweep sanity: flagged count is non-increasing in the threshold
+        if prev_flagged is not None:
+            assert tp + fp <= prev_flagged
+        prev_flagged = tp + fp
+    # vacuity pin: the sweep must actually sweep — recall varies
+    recalls = {r.recall for r in got.values()}
+    assert len(recalls) > 1

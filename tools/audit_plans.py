@@ -664,11 +664,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # ---- round 12 ----
     "text_zipf_fit": (
-        # token explode partial-aggregates to the vocab table; the rank
-        # window runs on that bounded input; the OLS fold is one agg —
-        # no join anywhere in the plan
-        [r"Window", r"partial_count"],
-        [r"Join", r"CartesianProduct"],
+        # token explode partial-aggregates to the vocab table; the
+        # per-lang frequency rank is the grouped TeraSort recipe (r13,
+        # ADVICE r12): range exchange + broadcast metadata rebasing —
+        # NO window funnels a language through one sort task
+        [r"rangepartitioning", r"BroadcastHashJoin", r"partial_count"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
     ),
     "sim_rank_fusion": (
         # the whole point of the round-12 review fix: both source
@@ -691,6 +692,28 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         # allowed like every sim entry)
         [r"TakeOrderedAndProject", r"Union"],
         [r"CartesianProduct"],
+    ),
+    # ---- round 13 ----
+    "dedup_exact_substr": (
+        # passage enumeration is a Generate; the fingerprint group-by and
+        # the instance→owner probe share the fp key (partial-agg both
+        # sides); no window, no pairwise blowup anywhere
+        [r"Generate", r"partial_count|partial_min", r"HashJoin|SortMergeJoin"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "prep_domain_caps": (
+        # keep-set is row_number ≤ cap → WindowGroupLimit prunes map-side
+        # to cap rows per domain before the exchange; totals/kept join is
+        # per-domain metadata (broadcast)
+        [r"WindowGroupLimit", r"HashJoin|SortMergeJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "text_quality_calibration": (
+        # corpus folds to a 2×N_BINS histogram first (partial agg); the
+        # threshold sweep is a broadcast ≥-join of bounded metadata (the
+        # BNLJ is the point — it never touches the corpus); no window
+        [r"BroadcastNestedLoopJoin", r"partial_count"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
     ),
 }
 
