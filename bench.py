@@ -309,6 +309,8 @@ ADDED_R13 = [
     "dedup_exact_substr",
     "prep_domain_caps",
     "text_quality_calibration",
+    "text_hashed_classifier",
+    "prep_doremi_step",
 ]
 
 

@@ -600,6 +600,8 @@ _BORN_ROUND = {
     "dedup_exact_substr": 13,
     "prep_domain_caps": 13,
     "text_quality_calibration": 13,
+    "text_hashed_classifier": 13,
+    "prep_doremi_step": 13,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

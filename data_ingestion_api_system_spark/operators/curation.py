@@ -454,14 +454,301 @@ FROM swept, pos
 """
 
 
+# --- hashed bag-of-words classifier (train + score in one plan) -----------
+
+N_BUCKETS = 256  # feature-hashing width
+
+
+def q_text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised hashed bag-of-words classifier, trained and applied in
+    one declarative plan — the fastText-style linear quality classifier
+    (Joulin et al. 2016, public) that CCNet/LLaMA-style pipelines use for
+    corpus filtering, in its closed-form incarnation: Laplace-smoothed
+    naive-Bayes log-odds per hashed token bucket (the training step is a
+    count aggregation, so the whole train+score cycle is expressible as
+    exact SQL — no SGD). Label = ``lang = 'en'``, the same reference
+    target as ``text_quality_calibration``, so the two entries are the
+    train and eval halves of one classifier workflow.
+
+    Per bucket b: w_b = ln((pos_b+1)·(NEG+B) / ((neg_b+1)·(POS+B))) — a
+    single ln of an exact integer ratio (IEEE-identical across engines),
+    rounded to 6dp into DECIMAL before the exact per-doc sum, the
+    module-standard ln discipline. Doc score = Σ w_bucket(token)/n_tokens
+    (mean log-odds per token, scale-free across doc lengths).
+
+    Plan shape at 100 TB: the train side partial-aggregates token
+    instances to a ≤2·{B}-row (bucket, label) count table (vocabulary
+    never materializes — that is the point of feature hashing); the
+    {B}-row weight table broadcasts back onto the token stream, and the
+    per-doc fold is one doc_id-keyed shuffle of (doc_id, weight) partial
+    sums. Two corpus passes, both narrow until their final keyed agg."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    inst = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.explode(tokens("text")).alias("w0"),
+    ).select(
+        "doc_id",
+        "label",
+        (F.conv(F.substring(F.md5(F.lower("w0")), 1, 6), 16, 10) % N_BUCKETS)
+        .cast("int")
+        .alias("bucket"),
+    )
+    # pin: the tiny bucket-count table feeds both the totals scalar and
+    # the weight projection — without it each branch re-tokenizes the
+    # corpus (three scans observed; with the pin the corpus is read
+    # exactly twice, as the docstring's plan shape states)
+    counts = pin(
+        inst.groupBy("bucket").agg(
+            F.sum("label").cast("bigint").alias("pos_b"),
+            F.sum(1 - F.col("label")).cast("bigint").alias("neg_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("pos_b").cast("bigint").alias("pos_t"),
+        F.sum("neg_b").cast("bigint").alias("neg_t"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("pos_b") + 1) * (F.col("neg_t") + N_BUCKETS)).cast("double")
+                / ((F.col("neg_b") + 1) * (F.col("pos_t") + N_BUCKETS)).cast(
+                    "double"
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w_b"),
+    )
+    scored = (
+        inst.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w_b").alias("__score_sum"),
+        )
+    )
+    # half-away-from-zero mean in EXACT integer arithmetic (the
+    # exact_avg_halfup construction — the double-round form diverged by
+    # one 6th-decimal ulp on one sf0.01 row at a ...5 boundary): the
+    # decimal sum has scale 6, so sum·10^6 is integral and
+    # sign·((2|A|+N) div 2N)/10^6 is engine-identical
+    score = F.expr(
+        "(CASE WHEN __score_sum < 0 THEN -1 ELSE 1 END"
+        " * CAST((2 * CAST(abs(__score_sum) * 1000000 AS DECIMAL(38,0))"
+        "         + CAST(n_tokens AS DECIMAL(38,0)))"
+        "        div (2 * CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE)"
+        " / 1000000.0)"
+    )
+    return scored.select(
+        "doc_id",
+        "label",
+        "n_tokens",
+        score.alias("mean_log_odds"),
+        (score > 0).cast("int").alias("predicted"),
+        ((score > 0).cast("int") == F.col("label")).cast("int").alias("correct"),
+    )
+
+
+_ORACLE_HASHED_CLASSIFIER = f"""
+WITH inst AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         CAST(('0x' || substr(md5(lower(w0)), 1, 6))::BIGINT % {N_BUCKETS} AS INT)
+           AS bucket
+  FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS w0 FROM documents)
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(label) AS BIGINT) AS pos_b,
+         CAST(sum(1 - label) AS BIGINT) AS neg_b
+  FROM inst GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(pos_b) AS BIGINT) AS pos_t,
+         CAST(sum(neg_b) AS BIGINT) AS neg_t
+  FROM counts
+),
+weights AS (
+  SELECT bucket,
+         CAST(ROUND(ln(CAST((pos_b + 1) * (neg_t + {N_BUCKETS}) AS DOUBLE)
+                       / CAST((neg_b + 1) * (pos_t + {N_BUCKETS}) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS w_b
+  FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT i.doc_id, i.label,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(w.w_b) AS score_sum
+  FROM inst i JOIN weights w USING (bucket)
+  GROUP BY i.doc_id, i.label
+)
+SELECT doc_id, label, n_tokens,
+       ((CASE WHEN score_sum < 0 THEN -1 ELSE 1 END)
+        * CAST((2 * CAST(ABS(score_sum) * 1000000 AS HUGEINT) + n_tokens)
+               // (2 * n_tokens) AS DOUBLE) / 1000000.0) AS mean_log_odds,
+       CASE WHEN ((CASE WHEN score_sum < 0 THEN -1 ELSE 1 END)
+                  * CAST((2 * CAST(ABS(score_sum) * 1000000 AS HUGEINT) + n_tokens)
+                         // (2 * n_tokens) AS DOUBLE) / 1000000.0) > 0
+            THEN 1 ELSE 0 END AS predicted,
+       CASE WHEN (CASE WHEN ((CASE WHEN score_sum < 0 THEN -1 ELSE 1 END)
+                             * CAST((2 * CAST(ABS(score_sum) * 1000000 AS HUGEINT) + n_tokens)
+                                    // (2 * n_tokens) AS DOUBLE) / 1000000.0) > 0
+                       THEN 1 ELSE 0 END) = label
+            THEN 1 ELSE 0 END AS correct
+FROM scored
+"""
+
+
+# --- DoReMi-style domain-reweighting step ----------------------------------
+
+DOREMI_ETA = 1.0  # multiplicative-weights step size
+DOREMI_SMOOTH = 0.1  # uniform smoothing mass
+DOREMI_BUDGET = 1_000_000  # tokens to allocate across sources
+
+
+def q_prep_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi multiplicative-weights domain-reweighting step (Xie et
+    al. 2023, public): starting from uniform domain weights, upweight
+    each source by exp(η·excess_loss), renormalize, and mix with uniform
+    smoothing mass — the principled optimizer-step complement to the
+    heuristic mixers already in the registry (`prep_temperature_mix` ∝
+    n^α, `prep_training_mix` budget admission). The excess-loss surrogate
+    is KL(P_source ‖ P_corpus) over unigram distributions — exactly the
+    per-domain excess of cross-entropy under the corpus reference model
+    over the in-domain entropy floor, i.e. the deterministic stand-in for
+    DoReMi's proxy-minus-reference loss gap that needs no trained model.
+
+    Determinism: the KL front is `prep_source_kl_drift`'s exact recipe
+    (integer-ratio ln rounded 6dp into DECIMAL, exact weighted fold);
+    exp(η·KL) rounds to 4dp into DECIMAL (the text_perplexity_ngram exp
+    discipline — absorbs the 1-ulp JVM/libm divergence); the softmax
+    division and smoothing run on those exact decimals with identical
+    expression trees; the token budget uses explicit floor(x+0.5)
+    half-up so both engines allocate the same integer budget.
+
+    Plan shape at 100 TB: identical to kl_drift — ONE corpus-sized
+    (source, word) aggregation (map-side partials), everything after is
+    vocabulary- then |sources|-sized with broadcast totals; the
+    multiplicative-weights arithmetic runs on a ≤|sources|-row table."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens("text")).alias("w0")).select(
+        "source", F.lower("w0").alias("w")
+    )
+    csw = pin(tok.groupBy("source", "w").agg(F.count("*").alias("c_sw")))
+    cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = F.broadcast(csw.groupBy("source").agg(F.sum("c_sw").alias("n_s")))
+    n = F.broadcast(csw.agg(F.sum("c_sw").alias("n_corpus")))
+    logr = F.round(
+        F.log(
+            (F.col("c_sw") * F.col("n_corpus")).cast("double")
+            / (F.col("n_s") * F.col("c_w")).cast("double")
+        ),
+        6,
+    )
+    kl = (
+        csw.join(cw, "w")
+        .join(ns, "source")
+        .crossJoin(n)
+        .select("source", "n_s", (logr.cast("decimal(20,6)") * F.col("c_sw")).alias("t"))
+        .groupBy("source", "n_s")
+        .agg(F.sum("t").alias("kl_num"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.col("kl_num").cast("double") / F.col("n_s"), 6).alias(
+                "excess_loss"
+            ),
+        )
+    )
+    boosted = kl.withColumn(
+        "__e",
+        F.round(F.exp(F.lit(DOREMI_ETA) * F.col("excess_loss")), 4).cast(
+            "decimal(18,4)"
+        ),
+    )
+    denom = boosted.agg(
+        F.sum("__e").alias("__esum"),
+        F.count("*").cast("int").alias("__n_dom"),
+    )
+    alpha = F.col("__e").cast("double") / F.col("__esum").cast("double")
+    w_final = F.round(
+        F.lit(1.0 - DOREMI_SMOOTH) * alpha + F.lit(DOREMI_SMOOTH) / F.col("__n_dom"),
+        6,
+    )
+    return boosted.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_tokens",
+        "excess_loss",
+        F.round(F.lit(1.0) / F.col("__n_dom"), 6).alias("weight_uniform"),
+        w_final.alias("weight_updated"),
+        F.floor(w_final * DOREMI_BUDGET + F.lit(0.5))
+        .cast("bigint")
+        .alias("token_budget"),
+    )
+
+
+_ORACLE_DOREMI = f"""
+WITH tok AS (
+  SELECT source, lower(w0) AS w
+  FROM (SELECT source, unnest({_SQL_TOKS}) AS w0 FROM documents)
+),
+csw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY 1),
+ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY 1),
+n AS (SELECT sum(c_sw) AS n_corpus FROM csw),
+kl AS (
+  SELECT csw.source, ns.n_s,
+         sum(CAST(ROUND(ln(CAST(c_sw * n_corpus AS DOUBLE)
+                           / CAST(n_s * c_w AS DOUBLE)), 6) AS DECIMAL(20,6))
+             * c_sw) AS kl_num
+  FROM csw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n
+  GROUP BY csw.source, ns.n_s
+),
+excess AS (
+  SELECT source,
+         CAST(n_s AS BIGINT) AS n_tokens,
+         ROUND(CAST(kl_num AS DOUBLE) / n_s, 6) AS excess_loss
+  FROM kl
+),
+boosted AS (
+  SELECT *, CAST(ROUND(exp({DOREMI_ETA} * excess_loss), 4) AS DECIMAL(18,4)) AS e
+  FROM excess
+),
+denom AS (SELECT sum(e) AS esum, CAST(count(*) AS INT) AS n_dom FROM boosted)
+-- smoothing constants cast to DOUBLE: DuckDB decimal literals would give
+-- exact-decimal intermediate arithmetic where Spark's F.lit doubles carry
+-- IEEE representation error — both engines must walk the same double tree
+SELECT source, n_tokens, excess_loss,
+       ROUND(CAST({1.0} AS DOUBLE) / n_dom, 6) AS weight_uniform,
+       ROUND(CAST({1.0 - DOREMI_SMOOTH} AS DOUBLE)
+               * (CAST(e AS DOUBLE) / CAST(esum AS DOUBLE))
+             + CAST({DOREMI_SMOOTH} AS DOUBLE) / n_dom, 6) AS weight_updated,
+       CAST(floor((ROUND(CAST({1.0 - DOREMI_SMOOTH} AS DOUBLE)
+                           * (CAST(e AS DOUBLE) / CAST(esum AS DOUBLE))
+                         + CAST({DOREMI_SMOOTH} AS DOUBLE) / n_dom, 6))
+                  * {DOREMI_BUDGET} + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS token_budget
+FROM boosted CROSS JOIN denom
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "prep_domain_caps": q_prep_domain_caps,
     "text_quality_calibration": q_text_quality_calibration,
+    "text_hashed_classifier": q_text_hashed_classifier,
+    "prep_doremi_step": q_prep_doremi_step,
 }
 
 ORACLE = {
     "dedup_exact_substr": _ORACLE_EXACT_SUBSTR,
     "prep_domain_caps": _ORACLE_DOMAIN_CAPS,
     "text_quality_calibration": _ORACLE_QUALITY_CALIBRATION,
+    "text_hashed_classifier": _ORACLE_HASHED_CLASSIFIER,
+    "prep_doremi_step": _ORACLE_DOREMI,
 }

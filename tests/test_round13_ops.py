@@ -16,10 +16,16 @@ import pytest
 
 from data_ingestion_api_system_spark.operators.curation import (
     DOMAIN_CAP,
+    DOREMI_BUDGET,
+    DOREMI_ETA,
+    DOREMI_SMOOTH,
     N_BINS,
+    N_BUCKETS,
     PASSAGE_W,
     q_dedup_exact_substr,
     q_prep_domain_caps,
+    q_prep_doremi_step,
+    q_text_hashed_classifier,
     q_text_quality_calibration,
 )
 
@@ -157,3 +163,91 @@ def test_quality_calibration_matches_pure_python(spark):
     # vacuity pin: the sweep must actually sweep — recall varies
     recalls = {r.recall for r in got.values()}
     assert len(recalls) > 1
+
+
+def test_hashed_classifier_matches_pure_python(spark):
+    got = {r.doc_id: r for r in q_text_hashed_classifier(spark, SF_DIR).collect()}
+    from decimal import Decimal
+    import math
+
+    inst: list[tuple[int, int, int]] = []  # (doc_id, label, bucket)
+    for doc_id, text, lang, *_ in _docs():
+        label = 1 if lang == "en" else 0
+        for tok in _toks(text):
+            b = int(hashlib.md5(tok.lower().encode()).hexdigest()[:6], 16) % N_BUCKETS
+            inst.append((doc_id, label, b))
+    pos = [0] * N_BUCKETS
+    neg = [0] * N_BUCKETS
+    for _, label, b in inst:
+        (pos if label else neg)[b] += 1
+    pos_t, neg_t = sum(pos), sum(neg)
+    w = [
+        Decimal(
+            f"{round(math.log((pos[b] + 1) * (neg_t + N_BUCKETS) / ((neg[b] + 1) * (pos_t + N_BUCKETS))), 6):.6f}"
+        )
+        for b in range(N_BUCKETS)
+    ]
+    per_doc: dict[int, list] = {}
+    for doc_id, label, b in inst:
+        n, s = per_doc.setdefault(doc_id, [0, Decimal(0)])
+        per_doc[doc_id] = [n + 1, s + w[b]]
+    assert set(got) == set(per_doc)
+    n_correct = 0
+    for doc_id, (n, s) in per_doc.items():
+        a = int(abs(s) * 1_000_000)
+        mean = (1 if s >= 0 else -1) * ((2 * a + n) // (2 * n)) / 1_000_000
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.mean_log_odds == pytest.approx(mean, abs=1e-12), doc_id
+        assert r.predicted == (1 if mean > 0 else 0)
+        n_correct += r.correct
+    # the classifier must actually separate: better than majority-class
+    labels = [1 if lang == "en" else 0 for _, _, lang, *_ in _docs()]
+    majority = max(sum(labels), len(labels) - sum(labels))
+    assert n_correct > majority
+
+
+def test_doremi_step_matches_pure_python(spark):
+    rows = {r.source: r for r in q_prep_doremi_step(spark, SF_DIR).collect()}
+    from decimal import Decimal
+    import math
+
+    csw: dict[tuple[str, str], int] = {}
+    for _doc_id, text, _lang, source, _n in _docs():
+        for tok in _toks(text):
+            k = (source, tok.lower())
+            csw[k] = csw.get(k, 0) + 1
+    cw: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for (s, wd), c in csw.items():
+        cw[wd] = cw.get(wd, 0) + c
+        ns[s] = ns.get(s, 0) + c
+    n_corpus = sum(csw.values())
+    kl = {}
+    for s in ns:
+        total = Decimal(0)
+        for (s2, wd), c in csw.items():
+            if s2 != s:
+                continue
+            lr = round(math.log(c * n_corpus / (ns[s] * cw[wd])), 6)
+            total += Decimal(f"{lr:.6f}") * c
+        kl[s] = round(float(total) / ns[s], 6)
+    e = {s: Decimal(f"{round(math.exp(DOREMI_ETA * kl[s]), 4):.4f}") for s in ns}
+    esum = sum(e.values())
+    n_dom = len(ns)
+    assert set(rows) == set(ns)
+    budget_total = 0
+    for s in ns:
+        alpha = float(e[s]) / float(esum)
+        wf = round((1.0 - DOREMI_SMOOTH) * alpha + DOREMI_SMOOTH / n_dom, 6)
+        r = rows[s]
+        assert r.n_tokens == ns[s]
+        assert r.excess_loss == pytest.approx(kl[s], abs=1e-9)
+        assert r.weight_updated == pytest.approx(wf, abs=2e-6)
+        assert r.token_budget == math.floor(wf * DOREMI_BUDGET + 0.5)
+        assert r.excess_loss >= 0  # KL is non-negative
+        budget_total += r.token_budget
+    # weights sum to ~1 so the budget allocates ~everything
+    assert abs(budget_total - DOREMI_BUDGET) <= n_dom
+    # the update must actually reweight: not all weights equal uniform
+    assert len({r.weight_updated for r in rows.values()}) > 1

@@ -715,6 +715,21 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastNestedLoopJoin", r"partial_count"],
         [r"Window", r"CartesianProduct", r"SortMergeJoin"],
     ),
+    "text_hashed_classifier": (
+        # feature hashing: the train side collapses to a 256-bucket count
+        # table (partial agg), weights broadcast back onto the token
+        # stream, per-doc fold keyed on doc_id; no window, no vocabulary
+        # materialization
+        [r"Generate", r"BroadcastHashJoin", r"partial_count|partial_sum"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "prep_doremi_step": (
+        # kl_drift's exact front (one corpus-sized (source,word) agg,
+        # broadcast totals) + |sources|-row multiplicative-weights tail;
+        # the BNLJs are the broadcast one-row totals (standard allowance)
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
+    ),
 }
 
 
