@@ -643,6 +643,17 @@ def q_prep_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     ns = F.broadcast(csw.groupBy("source").agg(F.sum("c_sw").alias("n_s")))
     n = F.broadcast(csw.agg(F.sum("c_sw").alias("n_corpus")))
+    shares = (
+        csw.groupBy("source")
+        .agg(F.sum("c_sw").alias("__ns2"))
+        .crossJoin(n)
+        .select(
+            F.col("source").alias("__sh_source"),
+            F.round(
+                F.col("__ns2").cast("double") / F.col("n_corpus").cast("double"), 6
+            ).alias("weight_natural"),
+        )
+    )
     logr = F.round(
         F.log(
             (F.col("c_sw") * F.col("n_corpus")).cast("double")
@@ -680,11 +691,17 @@ def q_prep_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0 - DOREMI_SMOOTH) * alpha + F.lit(DOREMI_SMOOTH) / F.col("__n_dom"),
         6,
     )
-    return boosted.crossJoin(F.broadcast(denom)).select(
+    return boosted.crossJoin(F.broadcast(denom)).join(
+        F.broadcast(shares), F.col("source") == F.col("__sh_source")
+    ).select(
         "source",
         "n_tokens",
         "excess_loss",
-        F.round(F.lit(1.0) / F.col("__n_dom"), 6).alias("weight_uniform"),
+        # the natural token share is the reference mix DoReMi reweights
+        # AWAY from — reported per source (data-dependent, unlike the
+        # uniform prior 1/D the vacuity sweep rightly flagged as a
+        # derived constant)
+        "weight_natural",
         w_final.alias("weight_updated"),
         F.floor(w_final * DOREMI_BUDGET + F.lit(0.5))
         .cast("bigint")
@@ -701,6 +718,11 @@ csw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
 cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY 1),
 ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY 1),
 n AS (SELECT sum(c_sw) AS n_corpus FROM csw),
+shares AS (
+  SELECT source,
+         ROUND(CAST(n_s AS DOUBLE) / CAST(n_corpus AS DOUBLE), 6) AS weight_natural
+  FROM ns CROSS JOIN n
+),
 kl AS (
   SELECT csw.source, ns.n_s,
          sum(CAST(ROUND(ln(CAST(c_sw * n_corpus AS DOUBLE)
@@ -724,7 +746,7 @@ denom AS (SELECT sum(e) AS esum, CAST(count(*) AS INT) AS n_dom FROM boosted)
 -- exact-decimal intermediate arithmetic where Spark's F.lit doubles carry
 -- IEEE representation error — both engines must walk the same double tree
 SELECT source, n_tokens, excess_loss,
-       ROUND(CAST({1.0} AS DOUBLE) / n_dom, 6) AS weight_uniform,
+       weight_natural,
        ROUND(CAST({1.0 - DOREMI_SMOOTH} AS DOUBLE)
                * (CAST(e AS DOUBLE) / CAST(esum AS DOUBLE))
              + CAST({DOREMI_SMOOTH} AS DOUBLE) / n_dom, 6) AS weight_updated,
@@ -733,7 +755,7 @@ SELECT source, n_tokens, excess_loss,
                          + CAST({DOREMI_SMOOTH} AS DOUBLE) / n_dom, 6))
                   * {DOREMI_BUDGET} + CAST(0.5 AS DOUBLE)) AS BIGINT)
          AS token_budget
-FROM boosted CROSS JOIN denom
+FROM boosted CROSS JOIN denom JOIN shares USING (source)
 """
 
 

@@ -242,6 +242,7 @@ def test_doremi_step_matches_pure_python(spark):
         wf = round((1.0 - DOREMI_SMOOTH) * alpha + DOREMI_SMOOTH / n_dom, 6)
         r = rows[s]
         assert r.n_tokens == ns[s]
+        assert r.weight_natural == pytest.approx(ns[s] / n_corpus, abs=6e-7)
         assert r.excess_loss == pytest.approx(kl[s], abs=1e-9)
         assert r.weight_updated == pytest.approx(wf, abs=2e-6)
         assert r.token_budget == math.floor(wf * DOREMI_BUDGET + 0.5)
