@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from ..functions import tokens
 from ..tables import load_table
 from . import pin, spread, tune
+from .text import STOPWORDS as _STOPWORDS
+from .text import _SQL_STOPLIST, _SQL_TOKS
 
 # --- paragraph-level exact-substring dedup ---------------------------------
 
@@ -96,8 +98,6 @@ def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
 
 _ORACLE_EXACT_SUBSTR = f"""
 WITH base AS (
@@ -219,11 +219,16 @@ def q_prep_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.regexp_replace(canon, r"\?&", "?")
     host = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
     reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    enriched = docs.select(
-        "doc_id",
-        "n_chars",
-        canon.alias("canonical_url"),
-        reg_domain.alias("domain"),
+    # pin: the canonicalized table (a ~10-regex chain per row) feeds both
+    # the keep-set rank and the totals rollup — one evaluation of the
+    # regex stack instead of two (review r13)
+    enriched = pin(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            canon.alias("canonical_url"),
+            reg_domain.alias("domain"),
+        )
     )
     w = Window.partitionBy("domain").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     kept = (
@@ -372,7 +377,10 @@ def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(400),
         )
     )
-    hist = (
+    # pin: the ≤2·N_BINS-row histogram feeds both the sweep join and the
+    # positive-total scalar — without it each branch re-tokenizes the
+    # corpus (review r13: scan=2 in the plan budget before the pin)
+    hist = pin(
         docs.select(
             F.least(
                 (score_milli * N_BINS / F.lit(1000)).cast("int"),
@@ -415,9 +423,6 @@ def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
-_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 _ORACLE_QUALITY_CALIBRATION = f"""
 WITH scored AS (
@@ -641,18 +646,14 @@ def q_prep_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csw = pin(tok.groupBy("source", "w").agg(F.count("*").alias("c_sw")))
     cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
-    ns = F.broadcast(csw.groupBy("source").agg(F.sum("c_sw").alias("n_s")))
+    ns0 = csw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    ns = F.broadcast(ns0)
     n = F.broadcast(csw.agg(F.sum("c_sw").alias("n_corpus")))
-    shares = (
-        csw.groupBy("source")
-        .agg(F.sum("c_sw").alias("__ns2"))
-        .crossJoin(n)
-        .select(
-            F.col("source").alias("__sh_source"),
-            F.round(
-                F.col("__ns2").cast("double") / F.col("n_corpus").cast("double"), 6
-            ).alias("weight_natural"),
-        )
+    shares = ns0.crossJoin(n).select(
+        F.col("source").alias("__sh_source"),
+        F.round(
+            F.col("n_s").cast("double") / F.col("n_corpus").cast("double"), 6
+        ).alias("weight_natural"),
     )
     logr = F.round(
         F.log(
