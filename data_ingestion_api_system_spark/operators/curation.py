@@ -254,7 +254,7 @@ def q_prep_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
             "total_chars",
             "kept_chars",
-            F.round(F.col("kept_chars") / F.col("total_chars"), 6).alias(
+            F.round(F.try_divide("kept_chars", "total_chars"), 6).alias(
                 "kept_char_share"
             ),
             "first_kept_doc",
@@ -415,10 +415,19 @@ def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tp",
             "fp",
             (F.col("n_pos") - F.col("tp")).cast("bigint").alias("fn"),
-            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
-            F.round(F.col("tp") / F.col("n_pos"), 6).alias("recall"),
+            # try_divide: a threshold that flags nothing (or an all-negative
+            # corpus) must yield NULL like the DuckDB oracle (x/0 -> NULL),
+            # not the DIVIDE_BY_ZERO error Spark's default ANSI mode raises
+            # (caught by tests/test_round13_edges.py's single-class corpus)
             F.round(
-                2 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("n_pos")), 6
+                F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), 6
+            ).alias("precision"),
+            F.round(F.try_divide(F.col("tp"), F.col("n_pos")), 6).alias("recall"),
+            F.round(
+                F.try_divide(
+                    2 * F.col("tp"), F.col("tp") + F.col("fp") + F.col("n_pos")
+                ),
+                6,
             ).alias("f1"),
         )
     )
