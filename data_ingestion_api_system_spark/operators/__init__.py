@@ -602,6 +602,9 @@ _BORN_ROUND = {
     "text_quality_calibration": 13,
     "text_hashed_classifier": 13,
     "prep_doremi_step": 13,
+    "text_boilerplate_passages": 13,
+    "dq_k_anonymity": 13,
+    "graph_adamic_adar": 13,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -769,12 +769,186 @@ FROM boosted CROSS JOIN denom JOIN shares USING (source)
 """
 
 
+# --- corpus-frequency boilerplate removal ----------------------------------
+
+BOILER_DF = 3  # passages appearing in >= this many DISTINCT docs are
+#               boilerplate (fires at all 3 SFs: 9/7/45 qualifying passages
+#               at sf0.001/0.01/0.1 on the synthetic corpus)
+
+
+def q_text_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal, CCNet-style (Wenzek et al.
+    2020, public): a passage repeated across MANY documents is template
+    chrome (headers, footers, cookie banners), and the cleanup drops EVERY
+    copy — including the first. That removal rule is what separates this
+    from ``dedup_exact_substr``: there, a passage keeps one canonical owner
+    and later instances are dupes; here, a passage whose DISTINCT-doc
+    frequency reaches ``BOILER_DF`` is noise everywhere it appears.
+    (CCNet's unit is the newline paragraph; this corpus has no newlines, so
+    the unit is the same non-overlapping {PASSAGE_W}-token passage the
+    exact-substring entry fingerprints — one shared definition of
+    "passage".)
+
+    Output: one row per doc with >= 1 full passage — passage count,
+    boilerplate-passage count, boilerplate chars, and the boilerplate
+    share of the doc's full passages.
+
+    Plan shape at 100 TB: passage enumeration is a narrow Generate; the
+    doc-frequency group-by is the one corpus-sized shuffle and its
+    count(DISTINCT doc) expands to the standard two-phase partial
+    aggregate (the exchange carries (fp, doc) partials, never raw
+    passages); the instance → frequency probe re-keys on the same fp
+    (exchange reuse), and the per-doc rollup partials map-side. No
+    all-pairs stage anywhere — frequency thresholding is embarrassingly
+    group-parallel."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "lang", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= PASSAGE_W)
+    passages = F.transform(
+        F.sequence(F.lit(0), (F.size("t") / PASSAGE_W).cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * PASSAGE_W + 1, PASSAGE_W), " "),
+    )
+    inst = pin(
+        base.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.posexplode(passages).alias("pos", "passage"),
+        ).select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("passage").alias("p_chars"),
+            F.md5(F.lower("passage")).alias("fp"),
+        )
+    )
+    freq = inst.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    flagged = inst.join(freq, "fp").withColumn(
+        "is_boiler", (F.col("df_docs") >= BOILER_DF).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum("is_boiler").cast("bigint").alias("n_boiler"),
+            F.sum(F.col("is_boiler") * F.col("p_chars"))
+            .cast("bigint")
+            .alias("boiler_chars"),
+        )
+        .withColumn(
+            "boiler_share",
+            F.round(F.col("n_boiler") / F.col("n_passages"), 6),
+        )
+    )
+
+
+_ORACLE_BOILERPLATE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, {_SQL_TOKS} AS t
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= {PASSAGE_W}
+),
+inst AS (
+  SELECT doc_id, lang, source,
+         length(array_to_string(t[ci*{PASSAGE_W}+1 : ci*{PASSAGE_W}+{PASSAGE_W}], ' ')) AS p_chars,
+         md5(lower(array_to_string(t[ci*{PASSAGE_W}+1 : ci*{PASSAGE_W}+{PASSAGE_W}], ' '))) AS fp
+  FROM (SELECT doc_id, lang, source, t,
+               unnest(range(0, len(t) // {PASSAGE_W})) AS ci
+        FROM base)
+),
+freq AS (
+  SELECT fp, count(DISTINCT doc_id) AS df_docs FROM inst GROUP BY fp
+)
+SELECT i.doc_id, i.lang, i.source,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN f.df_docs >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(sum(CASE WHEN f.df_docs >= {BOILER_DF} THEN i.p_chars ELSE 0 END)
+            AS BIGINT) AS boiler_chars,
+       ROUND(CAST(sum(CASE WHEN f.df_docs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS boiler_share
+FROM inst i JOIN freq f USING (fp)
+GROUP BY i.doc_id, i.lang, i.source
+"""
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+K_ANON = 5  # the classic re-identification floor (Sweeney 2002)
+
+
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, public) over the customer table —
+    the privacy readout a pipeline runs BEFORE releasing person-adjacent
+    training data: group rows by their quasi-identifier tuple (nation,
+    market segment, account-balance band), and report the equivalence-
+    class-size histogram. A row in a class smaller than ``K_ANON`` is
+    re-identifiable by joining those public attributes to an external
+    dataset; k-anonymity of the release = the smallest class size.
+
+    Output: one row per distinct class size — number of classes, rows in
+    them, their share of the table, and the at-risk flag
+    (class_size < {K_ANON}).
+
+    Plan shape at 100 TB: the class group-by keys on the QI tuple whose
+    cardinality is bounded by the attribute DOMAINS (25 nations x 5
+    segments x 11 balance bands), not by the row count, and both its
+    aggregates partial map-side — the exchange carries at most |QI-domain|
+    rows per map partition. The histogram re-group and the one-row total
+    (broadcast back for the share) are control-plane-sized. Nothing here
+    grows with the corpus except the first map pass."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").cast("bigint").alias("class_size"))
+    hist = classes.groupBy("class_size").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+    )
+    total = cust.agg(F.count("*").cast("bigint").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "class_size",
+        "n_classes",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("n_total"), 6).alias("row_share"),
+        (F.col("class_size") < K_ANON).alias("at_risk"),
+    )
+
+
+_ORACLE_K_ANONYMITY = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer)
+SELECT class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       ROUND(CAST(sum(class_size) AS DOUBLE) / n_total, 6) AS row_share,
+       class_size < {K_ANON} AS at_risk
+FROM cls CROSS JOIN tot
+GROUP BY class_size, n_total
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "prep_domain_caps": q_prep_domain_caps,
     "text_quality_calibration": q_text_quality_calibration,
     "text_hashed_classifier": q_text_hashed_classifier,
     "prep_doremi_step": q_prep_doremi_step,
+    "text_boilerplate_passages": q_text_boilerplate_passages,
+    "dq_k_anonymity": q_dq_k_anonymity,
 }
 
 ORACLE = {
@@ -783,4 +957,6 @@ ORACLE = {
     "text_quality_calibration": _ORACLE_QUALITY_CALIBRATION,
     "text_hashed_classifier": _ORACLE_HASHED_CLASSIFIER,
     "prep_doremi_step": _ORACLE_DOREMI,
+    "text_boilerplate_passages": _ORACLE_BOILERPLATE,
+    "dq_k_anonymity": _ORACLE_K_ANONYMITY,
 }

@@ -1226,6 +1226,92 @@ JOIN deg db ON db.src = e.b
 """
 
 
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction per edge (Adamic & Adar 2003, public):
+    AA(a,b) = sum over common neighbors z of 1/ln(deg(z)) — the classic
+    refinement of the common-neighbor count that discounts hub centers (a
+    shared neighbor connected to everything carries little signal).
+    Complements ``graph_common_neighbors`` (count + Jaccard): same wedge
+    front, inverse-log center weighting instead of a flat count.
+
+    Determinism: the per-center weight is INTEGER fixed point —
+    floor(1e9 / ln(degree)) as BIGINT (the ``katz_x64`` convention) — so
+    the aggregate is an exact integer sum, order-independent on both
+    engines, instead of a float sum whose low bits depend on reduction
+    order. tests/test_round13b_ops.py proves the floor is 1-ulp-safe for
+    every degree this graph can produce.
+
+    Plan shape at 100 TB: the weight attaches to the probe side BEFORE
+    the wedge join (both join on the shared center ``c`` — exchange
+    reuse), the wedge output partial-aggregates map-side into one
+    (wa, wb) shuffle, and the score joins back to the TOP_EDGES edge
+    list. Hub mitigation mirrors ``graph_common_neighbors``: over-cap
+    centers read the capped adjacency, and TOP_EDGES bounds the whole
+    graph regardless of corpus size."""
+    tune(spark)
+    edges = _brand_edges(spark, sf_dir)
+    adj = _brand_adj(edges)
+    deg = pin(
+        adj.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    capped = _adj_for_wedges(adj, deg)
+    # degree >= 2: a degree-1 center cannot close a wedge (its single
+    # adjacency row self-pairs and dies on wa < wb), and excluding it keeps
+    # ln(1) = 0 out of the divisor on both engines
+    degc = deg.filter(F.col("degree") >= 2).select(
+        F.col("src").alias("c"),
+        F.floor(F.lit(1_000_000_000) / F.log("degree")).cast("bigint").alias("w"),
+    )
+    x = capped.select(F.col("src").alias("wa"), F.col("dst").alias("c")).join(
+        degc, "c"
+    )
+    y = capped.select(F.col("src").alias("wb"), F.col("dst").alias("c"))
+    aa = (
+        x.join(y, "c")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum("w").alias("aa_raw"),
+        )
+    )
+    return edges.join(
+        aa, (F.col("a") == F.col("wa")) & (F.col("b") == F.col("wb")), "left"
+    ).select(
+        F.col("a").alias("brand_a"),
+        F.col("b").alias("brand_b"),
+        F.coalesce("common", F.lit(0)).cast("bigint").alias("common_neighbors"),
+        F.coalesce("aa_raw", F.lit(0)).cast("bigint").alias("aa_x9"),
+    )
+
+
+_ORACLE_ADAMIC_ADAR = f"""
+WITH {_SQL_BRAND_EDGES_CTES},
+adj AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b AS src, a AS dst FROM edges
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY src),
+degc AS (
+  SELECT src AS c, CAST(floor(1000000000 / ln(degree)) AS BIGINT) AS w
+  FROM deg WHERE degree >= 2
+),
+aa AS (
+  SELECT x.src AS wa, y.src AS wb,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(dw.w) AS BIGINT) AS aa_raw
+  FROM adj x JOIN adj y ON x.dst = y.dst AND x.src < y.src
+  JOIN degc dw ON dw.c = x.dst
+  GROUP BY 1, 2
+)
+SELECT e.a AS brand_a, e.b AS brand_b,
+       CAST(coalesce(aa.common, 0) AS BIGINT) AS common_neighbors,
+       CAST(coalesce(aa.aa_raw, 0) AS BIGINT) AS aa_x9
+FROM edges e
+LEFT JOIN aa ON e.a = aa.wa AND e.b = aa.wb
+"""
+
+
 def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key defense for JOINS, spelled out (the join twin of
     `salted_aggregation`): the fact side salts its key with
@@ -1382,6 +1468,7 @@ QUERIES = {
     "map_columns_roundtrip": q_map_columns,
     "basket_brand_pairs": q_basket_brand_pairs,
     "graph_triangle_count": q_graph_triangle_count,
+    "graph_adamic_adar": q_graph_adamic_adar,
 }
 
 ORACLE = {
@@ -1403,4 +1490,5 @@ ORACLE = {
     "map_columns_roundtrip": _ORACLE_MAP,
     "basket_brand_pairs": _ORACLE_BASKET,
     "graph_triangle_count": _ORACLE_TRIANGLES,
+    "graph_adamic_adar": _ORACLE_ADAMIC_ADAR,
 }

@@ -1,0 +1,169 @@
+"""Round-13b cohort pins: pure-Python re-derivations (third source — no SQL
+engine involved) for the session's three newborns, plus the behavioral edge
+each exists for: boilerplate removal drops EVERY copy (including the
+keep-first owner that ``dedup_exact_substr`` spares); the k-anonymity
+histogram partitions the table exactly and flags only sub-K classes; the
+Adamic-Adar fixed-point floor is 1-ulp-safe for every degree the graph can
+produce.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from data_ingestion_api_system_spark.operators.curation import (
+    BOILER_DF,
+    K_ANON,
+    PASSAGE_W,
+    q_dq_k_anonymity,
+    q_text_boilerplate_passages,
+)
+from data_ingestion_api_system_spark.operators.relational3 import (
+    _brand_edges,
+    q_graph_adamic_adar,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, source "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _passage_instances():
+    """(doc_id, fp, chars) for every full non-overlapping passage."""
+    inst: list[tuple[int, str, int]] = []
+    for doc_id, text, *_ in _docs():
+        t = _toks(text)
+        for i in range(len(t) // PASSAGE_W):
+            p = " ".join(t[i * PASSAGE_W : (i + 1) * PASSAGE_W])
+            inst.append((doc_id, hashlib.md5(p.lower().encode()).hexdigest(), len(p)))
+    return inst
+
+
+def test_boilerplate_passages_matches_pure_python(spark):
+    got = {
+        r.doc_id: (r.n_passages, r.n_boiler, r.boiler_chars, r.boiler_share)
+        for r in q_text_boilerplate_passages(spark, SF_DIR).collect()
+    }
+    inst = _passage_instances()
+    docs_per_fp: dict[str, set[int]] = defaultdict(set)
+    for doc_id, fp, _ in inst:
+        docs_per_fp[fp].add(doc_id)
+    expected: dict[int, list[int]] = {}
+    for doc_id, fp, chars in inst:
+        n, nb, bc = expected.setdefault(doc_id, [0, 0, 0])
+        is_boiler = len(docs_per_fp[fp]) >= BOILER_DF
+        expected[doc_id] = [n + 1, nb + is_boiler, bc + chars * is_boiler]
+    assert set(got) == set(expected)
+    n_docs_with_boiler = 0
+    for doc_id, (n, nb, bc) in expected.items():
+        gn, gnb, gbc, gshare = got[doc_id]
+        assert (gn, gnb, gbc) == (n, nb, bc), doc_id
+        assert gshare == pytest.approx(round(nb / n, 6), abs=1e-9)
+        n_docs_with_boiler += nb > 0
+    # vacuity pin: the flag fires on some-but-not-all docs at this SF
+    assert 0 < n_docs_with_boiler < len(expected)
+
+
+def test_boilerplate_drops_every_copy_not_keep_first():
+    """The semantic line between this entry and ``dedup_exact_substr``:
+    frequency-threshold removal counts the fp's FIRST owner too, so the
+    corpus-wide boiler-instance total strictly exceeds what keep-first
+    ownership would remove from the same fps."""
+    inst = _passage_instances()
+    docs_per_fp: dict[str, set[int]] = defaultdict(set)
+    n_inst_per_fp: dict[str, int] = defaultdict(int)
+    for doc_id, fp, _ in inst:
+        docs_per_fp[fp].add(doc_id)
+        n_inst_per_fp[fp] += 1
+    boiler_fps = {fp for fp, d in docs_per_fp.items() if len(d) >= BOILER_DF}
+    assert boiler_fps, "threshold must fire at sf0.001 (probed: 9 passages)"
+    total_boiler = sum(n_inst_per_fp[fp] for fp in boiler_fps)
+    keep_first_removable = sum(n_inst_per_fp[fp] - 1 for fp in boiler_fps)
+    assert total_boiler == keep_first_removable + len(boiler_fps)
+    assert total_boiler > keep_first_removable
+
+
+def test_k_anonymity_matches_pure_python(spark):
+    got = {
+        r.class_size: (r.n_classes, r.n_rows, r.row_share, r.at_risk)
+        for r in q_dq_k_anonymity(spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal "
+        f"FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()
+    classes: dict[tuple, int] = defaultdict(int)
+    for nat, seg, bal in rows:
+        classes[(nat, seg, math.floor(bal / 1000))] += 1
+    hist: dict[int, list[int]] = {}
+    for size in classes.values():
+        n, r = hist.setdefault(size, [0, 0])
+        hist[size] = [n + 1, r + size]
+    assert set(got) == set(hist)
+    for size, (n_classes, n_rows) in hist.items():
+        gn, gr, gshare, grisk = got[size]
+        assert (gn, gr) == (n_classes, n_rows), size
+        assert gshare == pytest.approx(round(n_rows / len(rows), 6), abs=1e-9)
+        assert grisk == (size < K_ANON)
+    # partition pin: the histogram covers the table exactly — every row is
+    # in exactly one equivalence class
+    assert sum(r for _, r in hist.values()) == len(rows)
+
+
+def test_adamic_adar_matches_pure_python(spark):
+    """Re-derive AA from the SAME pinned edge list the operator reads
+    (``_brand_edges`` is certified through graph_common_neighbors /
+    triangle_count), so this pins the wedge+weight math independently of
+    both SQL engines' aggregate paths."""
+    edges = [(r.a, r.b) for r in _brand_edges(spark, SF_DIR).collect()]
+    adj: dict[str, set[str]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    expected = {}
+    for a, b in edges:
+        commons = adj[a] & adj[b]
+        aa = sum(math.floor(1_000_000_000 / math.log(deg[z])) for z in commons)
+        expected[(a, b)] = (len(commons), aa)
+    got = {
+        (r.brand_a, r.brand_b): (r.common_neighbors, r.aa_x9)
+        for r in q_graph_adamic_adar(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # vacuity pin: some edges share neighbors, some don't
+    assert any(c > 0 for c, _ in expected.values())
+    assert any(c == 0 for c, _ in expected.values())
+
+
+def test_adamic_adar_floor_is_ulp_safe():
+    """floor(1e9 / ln(d)) must not sit within engine-rounding distance of
+    an integer boundary, or the two engines could disagree by 1. One ulp
+    of 1e9/ln(2) is ~2e-7. TOP_EDGES=120 bounds a node's degree
+    structurally, and inside that domain the worst margin is 0.0135
+    (d=72) — ~10^5 ulps. Sweep far past it anyway at a 50-ulp bar (the
+    tightest in 2..4096 is d=2063 at 1.76e-4, still ~880 ulps)."""
+    from data_ingestion_api_system_spark.operators.relational3 import TOP_EDGES
+
+    for d in range(2, 4097):
+        x = 1_000_000_000 / math.log(d)
+        frac = x - math.floor(x)
+        margin = min(frac, 1 - frac)
+        assert margin > 1e-5, d
+        if d <= TOP_EDGES:
+            assert margin > 1e-2, d
