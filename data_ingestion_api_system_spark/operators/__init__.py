@@ -605,6 +605,8 @@ _BORN_ROUND = {
     "text_boilerplate_passages": 13,
     "dq_k_anonymity": 13,
     "graph_adamic_adar": 13,
+    "prep_epoch_allocator": 13,
+    "geo_radius_join": 13,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

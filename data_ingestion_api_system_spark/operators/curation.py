@@ -941,6 +941,122 @@ GROUP BY class_size, n_total
 """
 
 
+# --- data-constrained epoch allocation --------------------------------------
+
+EPOCH_BUDGET_MULT = 2  # token budget = this x the corpus total (the
+#                        data-constrained regime: repetition is forced)
+
+
+def q_prep_epoch_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models", public): when the token
+    budget exceeds what a slice can supply, that slice repeats — and
+    repeated epochs are worth less than fresh ones. Per (lang, source)
+    slice: split a corpus-level budget of ``EPOCH_BUDGET_MULT`` x total
+    tokens EQUALLY across slices (the balanced-mix scenario), report how
+    many epochs each slice must run to absorb its allocation, and the
+    allocation's effective value under a geometric diminishing-returns
+    schedule — epoch k of the same data is worth ``0.5^(k-1)`` of a fresh
+    epoch. (The paper fits an exponential decay with R* ~= 15; the dyadic
+    ratio is the deterministic-arithmetic stand-in: 0.5^k, integer k, is
+    exactly representable, so both engines compute bit-identical doubles
+    with no libm call — the same reason ``prep_temperature_mix`` uses
+    sqrt.) effective = 2U(1 - 0.5^E) + frac * U * 0.5^E, where U = slice
+    tokens, E = full epochs (integer division), frac = the partial-epoch
+    remainder.
+
+    Output: one row per (lang, source) — docs, tokens, allocation,
+    epochs, full_epochs, effective_tokens, utilization (effective /
+    allocated: 1.0 while fresh, decaying as repetition dominates).
+
+    Plan shape at 100 TB: ONE corpus-sized aggregation — the (lang,
+    source) token rollup, partial map-side, exchange bounded by the
+    slice-key domain. Everything after (total, n_slices, the closed-form
+    epoch math) is arithmetic on that slice table with two broadcast
+    one-row scalars. No second corpus pass, no window, no join keyed on
+    data."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    slices = pin(
+        docs.groupBy("lang", "source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = F.broadcast(
+        slices.agg(
+            F.sum("n_tokens").cast("bigint").alias("t_corpus"),
+            F.count("*").cast("bigint").alias("n_slices"),
+        )
+    )
+    u = F.col("n_tokens").cast("double")
+    # integer division end-to-end: CAST(double AS BIGINT) truncates on
+    # Spark but ROUNDS on DuckDB, so a float-divide-then-cast allocation
+    # would drift by one token between engines
+    with_alloc = slices.crossJoin(tot).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"({EPOCH_BUDGET_MULT} * t_corpus) DIV n_slices").alias(
+            "alloc_tokens"
+        ),
+        F.expr(
+            f"(({EPOCH_BUDGET_MULT} * t_corpus) DIV n_slices) DIV n_tokens"
+        ).alias("full_epochs"),
+    )
+    a = F.col("alloc_tokens").cast("double")
+    decay = F.pow(F.lit(0.5), F.col("full_epochs"))
+    frac = (F.col("alloc_tokens") - F.col("full_epochs") * F.col("n_tokens")).cast(
+        "double"
+    ) / u
+    effective = 2 * u * (1 - decay) + frac * u * decay
+    return with_alloc.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "alloc_tokens",
+        F.round(a / u, 6).alias("epochs"),
+        "full_epochs",
+        F.round(effective, 6).alias("effective_tokens"),
+        F.round(effective / a, 6).alias("utilization"),
+    )
+
+
+_ORACLE_EPOCH_ALLOCATOR = f"""
+WITH slices AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_corpus,
+         CAST(count(*) AS BIGINT) AS n_slices
+  FROM slices
+),
+alloced AS (
+  SELECT lang, source, n_docs, n_tokens,
+         ({EPOCH_BUDGET_MULT} * t_corpus) // n_slices AS alloc_tokens,
+         (({EPOCH_BUDGET_MULT} * t_corpus) // n_slices) // n_tokens
+           AS full_epochs
+  FROM slices CROSS JOIN tot
+)
+SELECT lang, source, n_docs, n_tokens, alloc_tokens,
+       ROUND(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+       full_epochs,
+       ROUND(2 * CAST(n_tokens AS DOUBLE) * (1 - power(0.5, full_epochs))
+             + (CAST(alloc_tokens - full_epochs * n_tokens AS DOUBLE) / n_tokens)
+               * n_tokens * power(0.5, full_epochs), 6) AS effective_tokens,
+       ROUND((2 * CAST(n_tokens AS DOUBLE) * (1 - power(0.5, full_epochs))
+              + (CAST(alloc_tokens - full_epochs * n_tokens AS DOUBLE) / n_tokens)
+                * n_tokens * power(0.5, full_epochs))
+             / CAST(alloc_tokens AS DOUBLE), 6) AS utilization
+FROM alloced
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "prep_domain_caps": q_prep_domain_caps,
@@ -949,6 +1065,7 @@ QUERIES = {
     "prep_doremi_step": q_prep_doremi_step,
     "text_boilerplate_passages": q_text_boilerplate_passages,
     "dq_k_anonymity": q_dq_k_anonymity,
+    "prep_epoch_allocator": q_prep_epoch_allocator,
 }
 
 ORACLE = {
@@ -959,4 +1076,5 @@ ORACLE = {
     "prep_doremi_step": _ORACLE_DOREMI,
     "text_boilerplate_passages": _ORACLE_BOILERPLATE,
     "dq_k_anonymity": _ORACLE_K_ANONYMITY,
+    "prep_epoch_allocator": _ORACLE_EPOCH_ALLOCATOR,
 }

@@ -193,11 +193,143 @@ FROM days
 """
 
 
+GRID = 10_000  # coordinate domain per axis
+RADIUS = 600  # search radius; CELL = RADIUS so the 3x3 neighborhood
+R2 = RADIUS * RADIUS  # provably covers every in-radius point
+PACK = 1_000_000  # d2 <= 2*R2 = 720000 < PACK; suppkey < PACK at any SF here
+
+
+def _grid_point(key, salt: str):
+    """Deterministic integer coordinate in [0, GRID) from a key — the
+    md5→conv idiom shared with train_test_split/text_hashed_classifier,
+    identical on both engines (a stand-in for real lat/lon columns; the
+    operator under test is the cell join, not the coordinates)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % GRID).cast(
+        "bigint"
+    )
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join + nearest-neighbor-in-radius — the 2-D case of
+    this module's bin+residual rewrite (the geohash/S2-cell recipe every
+    spatial engine distributes with): bucket one side into RADIUS-sized
+    grid cells, probe each point's 3x3 cell neighborhood by EQUI-join,
+    then re-check exact distance as the residual filter. Cell size =
+    radius makes the rewrite provably lossless: any point within RADIUS
+    of (x, y) lies in a cell whose index differs by at most 1 on each
+    axis. Per customer point: how many supplier points are in radius,
+    and the nearest one (squared integer distance; ties break to the
+    smallest supplier key via the packed-BIGINT argmin, the
+    dedup_exact_substr convention — no float math anywhere, so both
+    engines agree bit-for-bit).
+
+    The DuckDB oracle runs the NAIVE quadratic theta join (distance
+    filter over the full cross product) — a different plan arriving at
+    the same rows certifies the cell rewrite drops nothing.
+
+    Plan shape at 100 TB: both sides shuffle ONCE on the cell key (the
+    probe side writes 9 cell keys per point — a constant fan-out, the
+    price of shuffle-free candidate lookup); candidates per probe are
+    bounded by cell density, never by table size; the per-customer
+    argmin/count partials map-side. With a skewed city-density layout
+    the hot cells split by the same salting recipe as join_salted_skew;
+    no cross product at any scale."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _grid_point("c_custkey", "cx").alias("x"),
+        _grid_point("c_custkey", "cy").alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _grid_point("s_suppkey", "sx").alias("sx"),
+        _grid_point("s_suppkey", "sy").alias("sy"),
+    )
+    supp_cells = supp.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.col("sx") / RADIUS).cast("bigint").alias("cell_x"),
+        (F.col("sy") / RADIUS).cast("bigint").alias("cell_y"),
+    )
+    probes = cust.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        ((F.col("x") / RADIUS).cast("bigint") + F.col("dx")).alias("cell_x"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        "cell_x",
+        ((F.col("y") / RADIUS).cast("bigint") + F.col("dy")).alias("cell_y"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    hits = probes.join(supp_cells, ["cell_x", "cell_y"]).filter(d2 <= R2)
+    return (
+        hits.groupBy("c_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_in_radius"),
+            F.min(d2 * PACK + F.col("s_suppkey")).alias("_pack"),
+        )
+        .select(
+            "c_custkey",
+            "n_in_radius",
+            (F.col("_pack") % PACK).cast("bigint").alias("nearest_suppkey"),
+            F.expr(f"_pack DIV {PACK}").cast("bigint").alias("nearest_d2"),
+        )
+    )
+
+
+_SQL_GRID_POINT = (
+    "(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 6))::BIGINT"
+    f" % {GRID})"
+)
+
+_ORACLE_GEO_RADIUS = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_SQL_GRID_POINT.format(salt="cx", key="c_custkey")} AS x,
+         {_SQL_GRID_POINT.format(salt="cy", key="c_custkey")} AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         {_SQL_GRID_POINT.format(salt="sx", key="s_suppkey")} AS sx,
+         {_SQL_GRID_POINT.format(salt="sy", key="s_suppkey")} AS sy
+  FROM supplier
+),
+hits AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS d2
+  FROM cust c JOIN supp s
+    ON (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) <= {R2}
+)
+SELECT c_custkey,
+       CAST(count(*) AS BIGINT) AS n_in_radius,
+       CAST(min(d2 * {PACK} + s_suppkey) % {PACK} AS BIGINT) AS nearest_suppkey,
+       min(d2 * {PACK} + s_suppkey) // {PACK} AS nearest_d2
+FROM hits
+GROUP BY c_custkey
+"""
+
+
 QUERIES = {
     "range_join_binned": q_range_join_binned,
     "orders_backlog_sweep": q_orders_backlog_sweep,
+    "geo_radius_join": q_geo_radius_join,
 }
 ORACLE = {
     "range_join_binned": _ORACLE_RANGE_JOIN,
     "orders_backlog_sweep": _ORACLE_BACKLOG,
+    "geo_radius_join": _ORACLE_GEO_RADIUS,
 }

@@ -19,10 +19,19 @@ import pytest
 
 from data_ingestion_api_system_spark.operators.curation import (
     BOILER_DF,
+    EPOCH_BUDGET_MULT,
     K_ANON,
     PASSAGE_W,
     q_dq_k_anonymity,
+    q_prep_epoch_allocator,
     q_text_boilerplate_passages,
+)
+from data_ingestion_api_system_spark.operators.rangejoin import (
+    GRID,
+    PACK,
+    R2,
+    RADIUS,
+    q_geo_radius_join,
 )
 from data_ingestion_api_system_spark.operators.relational3 import (
     _brand_edges,
@@ -149,6 +158,97 @@ def test_adamic_adar_matches_pure_python(spark):
     # vacuity pin: some edges share neighbors, some don't
     assert any(c > 0 for c, _ in expected.values())
     assert any(c == 0 for c, _ in expected.values())
+
+
+def test_epoch_allocator_matches_pure_python(spark):
+    got = {
+        (r.lang, r.source): r for r in q_prep_epoch_allocator(spark, SF_DIR).collect()
+    }
+    slices: dict[tuple, list[int]] = {}
+    for _doc_id, text, lang, source in _docs():
+        n, t = slices.setdefault((lang, source), [0, 0])
+        slices[(lang, source)] = [n + 1, t + len(_toks(text))]
+    t_corpus = sum(t for _, t in slices.values())
+    n_slices = len(slices)
+    alloc = (EPOCH_BUDGET_MULT * t_corpus) // n_slices
+    assert set(got) == set(slices)
+    n_repeating = 0
+    for key, (n_docs, u) in slices.items():
+        r = got[key]
+        e = alloc // u
+        frac = (alloc - e * u) / u
+        decay = 0.5**e
+        effective = 2 * u * (1 - decay) + frac * u * decay
+        assert (r.n_docs, r.n_tokens, r.alloc_tokens, r.full_epochs) == (
+            n_docs,
+            u,
+            alloc,
+            e,
+        ), key
+        assert r.epochs == pytest.approx(round(alloc / u, 6), abs=1e-9)
+        assert r.effective_tokens == pytest.approx(round(effective, 6), abs=1e-6)
+        assert r.utilization == pytest.approx(round(effective / alloc, 6), abs=1e-9)
+        n_repeating += e >= 1
+    # the data-constrained regime must actually bite: some slices repeat,
+    # and (unless every slice is identical) some stay under one epoch
+    assert n_repeating > 0
+    assert any(e >= 1 for e in (alloc // t for _, t in slices.values()))
+
+
+def _grid_point_py(key: int, salt: str) -> int:
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:6], 16) % GRID
+
+
+def test_geo_radius_join_matches_pure_python(spark):
+    """Brute-force quadratic NN-in-radius in python vs the cell-bucketed
+    plan — the losslessness proof for cell size = radius."""
+    custs = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM read_parquet('{SF_DIR}/customer.parquet')"
+        ).fetchall()
+    ]
+    supps = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT s_suppkey FROM read_parquet('{SF_DIR}/supplier.parquet')"
+        ).fetchall()
+    ]
+    spts = [(k, _grid_point_py(k, "sx"), _grid_point_py(k, "sy")) for k in supps]
+    expected = {}
+    for ck in custs:
+        x, y = _grid_point_py(ck, "cx"), _grid_point_py(ck, "cy")
+        hits = [
+            (sk, (x - sx) ** 2 + (y - sy) ** 2)
+            for sk, sx, sy in spts
+            if (x - sx) ** 2 + (y - sy) ** 2 <= R2
+        ]
+        if hits:
+            best = min(d2 * PACK + sk for sk, d2 in hits)
+            expected[ck] = (len(hits), best % PACK, best // PACK)
+    got = {
+        r.c_custkey: (r.n_in_radius, r.nearest_suppkey, r.nearest_d2)
+        for r in q_geo_radius_join(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # the radius must bite both ways at this SF: matched and unmatched
+    # customers both exist
+    assert 0 < len(expected) < len(custs)
+
+
+def test_geo_cell_neighborhood_covers_radius():
+    """Cell size = RADIUS ⟹ any in-radius point is within one cell index
+    on each axis — the property that makes the equi-join rewrite exact.
+    Exhaustive over the worst case: points at opposite cell-border
+    extremes."""
+    assert RADIUS * RADIUS == R2
+    for x1 in (0, RADIUS - 1, RADIUS, GRID - 1):
+        for dx in range(-RADIUS, RADIUS + 1, RADIUS // 4):
+            x2 = x1 + dx
+            if not (0 <= x2 < GRID):
+                continue
+            if dx * dx <= R2:
+                assert abs(x1 // RADIUS - x2 // RADIUS) <= 1
 
 
 def test_adamic_adar_floor_is_ulp_safe():
