@@ -730,6 +730,41 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastHashJoin"],
         [r"Window", r"CartesianProduct", r"SortMergeJoin"],
     ),
+    # ---- round 13b ----
+    "text_boilerplate_passages": (
+        # passage Generate; the doc-frequency distinct expands two-phase
+        # (partial agg both levels); the instance→frequency probe is a
+        # hash join on the same fp key — no window, no pairwise blowup
+        [r"Generate", r"partial_count", r"HashJoin|SortMergeJoin"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dq_k_anonymity": (
+        # QI-domain-bounded group-by partials map-side; the one BNLJ is
+        # the broadcast one-row total for the share (standard allowance);
+        # no window, no data-sized join
+        [r"partial_count", r"BroadcastNestedLoopJoin"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "graph_adamic_adar": (
+        # TOP_EDGES front (TakeOrderedAndProject); wedge equi-join with
+        # the inverse-log weight on the probe side; (wa, wb) partial agg
+        [r"TakeOrderedAndProject", r"HashJoin|SortMergeJoin",
+         r"partial_count|partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "prep_epoch_allocator": (
+        # ONE slice-key-bounded corpus rollup; the BNLJ is the broadcast
+        # one-row (total, n_slices) scalar; closed-form arithmetic after
+        [r"partial_count|partial_sum", r"BroadcastNestedLoopJoin"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    "geo_radius_join": (
+        # the point: the radius join plans as a cell EQUI-join (hash),
+        # never a nested-loop theta join; probe fan-out is a Generate;
+        # per-point argmin/count partial map-side
+        [r"Generate", r"HashJoin", r"partial_count|partial_min"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
