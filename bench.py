@@ -311,6 +311,13 @@ ADDED_R13 = [
     "text_quality_calibration",
     "text_hashed_classifier",
     "prep_doremi_step",
+    # 13b cohort: boilerplate frequency removal, privacy audit,
+    # Adamic-Adar, data-constrained epochs, spatial radius join
+    "text_boilerplate_passages",
+    "dq_k_anonymity",
+    "graph_adamic_adar",
+    "prep_epoch_allocator",
+    "geo_radius_join",
 ]
 
 
