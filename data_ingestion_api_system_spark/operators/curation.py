@@ -992,7 +992,11 @@ def q_prep_epoch_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.col("n_tokens").cast("double")
     # integer division end-to-end: CAST(double AS BIGINT) truncates on
     # Spark but ROUNDS on DuckDB, so a float-divide-then-cast allocation
-    # would drift by one token between engines
+    # would drift by one token between engines. nullif/try_divide: a slice
+    # whose docs all tokenize to ZERO tokens must yield NULL epoch columns
+    # like the DuckDB oracle (x/0 -> NULL), not the DIVIDE_BY_ZERO error
+    # Spark's default ANSI mode raises (the text_quality_calibration
+    # lesson; pinned by tests/test_round13_edges.py's empty-text slice)
     with_alloc = slices.crossJoin(tot).select(
         "lang",
         "source",
@@ -1002,14 +1006,18 @@ def q_prep_epoch_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_tokens"
         ),
         F.expr(
-            f"(({EPOCH_BUDGET_MULT} * t_corpus) DIV n_slices) DIV n_tokens"
+            f"(({EPOCH_BUDGET_MULT} * t_corpus) DIV n_slices)"
+            " DIV nullif(n_tokens, 0)"
         ).alias("full_epochs"),
     )
     a = F.col("alloc_tokens").cast("double")
     decay = F.pow(F.lit(0.5), F.col("full_epochs"))
-    frac = (F.col("alloc_tokens") - F.col("full_epochs") * F.col("n_tokens")).cast(
-        "double"
-    ) / u
+    frac = F.try_divide(
+        (F.col("alloc_tokens") - F.col("full_epochs") * F.col("n_tokens")).cast(
+            "double"
+        ),
+        u,
+    )
     effective = 2 * u * (1 - decay) + frac * u * decay
     return with_alloc.select(
         "lang",
@@ -1017,10 +1025,10 @@ def q_prep_epoch_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "alloc_tokens",
-        F.round(a / u, 6).alias("epochs"),
+        F.round(F.try_divide(a, u), 6).alias("epochs"),
         "full_epochs",
         F.round(effective, 6).alias("effective_tokens"),
-        F.round(effective / a, 6).alias("utilization"),
+        F.round(F.try_divide(effective, a), 6).alias("utilization"),
     )
 
 
@@ -1039,8 +1047,8 @@ tot AS (
 alloced AS (
   SELECT lang, source, n_docs, n_tokens,
          ({EPOCH_BUDGET_MULT} * t_corpus) // n_slices AS alloc_tokens,
-         (({EPOCH_BUDGET_MULT} * t_corpus) // n_slices) // n_tokens
-           AS full_epochs
+         (({EPOCH_BUDGET_MULT} * t_corpus) // n_slices)
+           // nullif(n_tokens, 0) AS full_epochs
   FROM slices CROSS JOIN tot
 )
 SELECT lang, source, n_docs, n_tokens, alloc_tokens,

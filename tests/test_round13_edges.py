@@ -107,3 +107,38 @@ def test_calibration_single_class_corpus(spark, tmp_path):
     assert recalls[0] == pytest.approx(1.0)
     assert recalls[-1] == pytest.approx(0.0)  # no doc scores in the top bin
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))  # monotone
+
+
+def test_epoch_allocator_zero_token_slice(spark, tmp_path):
+    """A slice whose docs all tokenize to zero tokens must yield NULL
+    epoch columns (DuckDB x/0 semantics), not Spark ANSI's
+    DIVIDE_BY_ZERO — and must not disturb the arithmetic of the other
+    slices."""
+    from data_ingestion_api_system_spark.operators.curation import (
+        EPOCH_BUDGET_MULT,
+        q_prep_epoch_allocator,
+    )
+
+    rows = [
+        (1, _words(10), "en", "s0", 0),
+        (2, _words(30), "en", "s0", 0),
+        (3, "", "xx", "s1", 0),  # zero-token slice (empty text)
+        (4, "   ", "xx", "s1", 0),  # whitespace-only also tokenizes to []
+    ]
+    sf = _sf_dir(spark, tmp_path, rows)
+    got = {(r.lang, r.source): r for r in q_prep_epoch_allocator(spark, sf).collect()}
+    assert set(got) == {("en", "s0"), ("xx", "s1")}
+    dead = got[("xx", "s1")]
+    assert (dead.n_docs, dead.n_tokens) == (2, 0)
+    assert dead.full_epochs is None
+    assert dead.epochs is None
+    assert dead.effective_tokens is None
+    assert dead.utilization is None
+    live = got[("en", "s0")]
+    # t_corpus = 40, n_slices = 2 -> alloc = MULT*40 // 2 per slice
+    alloc = (EPOCH_BUDGET_MULT * 40) // 2
+    assert (live.n_tokens, live.alloc_tokens, live.full_epochs) == (
+        40,
+        alloc,
+        alloc // 40,
+    )
