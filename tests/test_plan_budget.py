@@ -116,6 +116,25 @@ def test_committed_budget_covers_registry():
         assert set(counters) == set(COST_KEYS) | set(CONTEXT_KEYS)
 
 
+def test_count_entry_isolated_from_prior_cache_state(spark):
+    """VERDICT r13 #1: the ledger's counts must not depend on which entries
+    were planned earlier in the same session. Before the count_entry
+    isolation, a pin()-heavy earlier entry left persisted subtrees in the
+    session cache; the cache manager substituted them into later plans and
+    their InMemoryRelation build sections inflated the later entry's node
+    counts (dedup_lsh_tuning_sweep counted 2 RoundRobin exchanges in the
+    shared session vs 1 fresh). Pin it: count the sweep, deliberately plan
+    the pin-heavy sibling in between, count the sweep again — identical."""
+    import __spark_entry__ as entrymod
+    from plan_budget import count_entry
+
+    q = entrymod.queries()
+    first = count_entry(spark, q["dedup_lsh_tuning_sweep"], SF_DIR)
+    count_entry(spark, q["dedup_lsh_verified"], SF_DIR)  # contamination source
+    second = count_entry(spark, q["dedup_lsh_tuning_sweep"], SF_DIR)
+    assert second == first
+
+
 def test_cost_keys_cover_all_join_shuffle_kinds():
     # the gate's contract: every scale-negative operator class is a cost key
     for k in ("cartesian", "bnlj", "smj", "shj", "python_eval",

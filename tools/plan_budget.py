@@ -33,9 +33,19 @@ Counts come from the *detail section* of ``explain("formatted")`` (one
 ``(N) NodeName`` header per physical node, subquery sections included), so
 they are exact node counts, not substring frequencies. Exchange kind is
 classified from the node's ``Arguments:`` line. Plans are built at a pinned
-sf_dir (default sf0.01) with the standard session factory, so counts are
-deterministic run-to-run; AQE may later collapse some exchanges at runtime,
-which only makes the recorded budget an upper bound.
+sf_dir (default sf0.01) with the standard session factory, and each entry
+is ISOLATED: after an entry's plan is counted, its pins are released and
+the session cache is cleared (``count_entry``). Without that, the cache
+manager substitutes EARLIER entries' persisted subtrees into later plans,
+so a later entry's count includes InMemoryRelation build-plan sections it
+never asked for — the counter then measures accumulated session cache
+state, not the entry's plan (VERDICT r13 #1: ``dedup_lsh_tuning_sweep``
+showed 1 RoundRobin exchange in a fresh session but 2 in the shared
+session). With per-entry isolation every count equals the fresh-session
+count: an entry's OWN pins still render their cached build plan (that work
+runs exactly once at execution, so it is real cost), but no foreign cache
+state leaks in. AQE may later collapse some exchanges at runtime, which
+only makes the recorded budget an upper bound.
 
 Usage:
     python tools/plan_budget.py --record [sf_dir]   # write PLAN_BUDGET.json
@@ -129,15 +139,29 @@ def count_plan(plan: str) -> dict[str, int]:
     return c
 
 
+def count_entry(spark, fn, sf_dir: str) -> dict[str, int]:
+    """Build ONE entry's plan, count it, then release the entry's pins and
+    clear the session cache so the next entry plans against a virgin cache
+    — the isolation that makes counts equal fresh-session counts (see
+    module docstring)."""
+    from data_ingestion_api_system_spark.operators import release_pins
+    from data_ingestion_api_system_spark.plans import formatted_plan
+
+    try:
+        return count_plan(formatted_plan(fn(spark, sf_dir)))
+    finally:
+        release_pins()
+        spark.catalog.clearCache()
+
+
 def collect(sf_dir: str) -> dict[str, dict[str, int]]:
     import __spark_entry__ as entrymod
-    from data_ingestion_api_system_spark.plans import formatted_plan
     from data_ingestion_api_system_spark.session import get_spark
 
     spark = get_spark("plan-budget")
     budgets: dict[str, dict[str, int]] = {}
     for name, fn in entrymod.queries().items():
-        budgets[name] = count_plan(formatted_plan(fn(spark, sf_dir)))
+        budgets[name] = count_entry(spark, fn, sf_dir)
     spark.stop()
     return budgets
 
