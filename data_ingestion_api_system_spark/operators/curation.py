@@ -785,7 +785,7 @@ def q_text_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     and later instances are dupes; here, a passage whose DISTINCT-doc
     frequency reaches ``BOILER_DF`` is noise everywhere it appears.
     (CCNet's unit is the newline paragraph; this corpus has no newlines, so
-    the unit is the same non-overlapping {PASSAGE_W}-token passage the
+    the unit is the same non-overlapping PASSAGE_W-token passage the
     exact-substring entry fingerprints — one shared definition of
     "passage".)
 
@@ -892,7 +892,7 @@ def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per distinct class size — number of classes, rows in
     them, their share of the table, and the at-risk flag
-    (class_size < {K_ANON}).
+    (class_size < K_ANON).
 
     Plan shape at 100 TB: the class group-by keys on the QI tuple whose
     cardinality is bounded by the attribute DOMAINS (25 nations x 5
@@ -1051,16 +1051,23 @@ alloced AS (
            // nullif(n_tokens, 0) AS full_epochs
   FROM slices CROSS JOIN tot
 )
+-- Every division is nullif-guarded to match Spark's try_divide (NULL on
+-- zero). DuckDB >= 1.1 defaults ieee_floating_point_ops=true, where a bare
+-- DOUBLE/0 returns inf instead of erroring — an unguarded division here
+-- would silently diverge from the NULL the Spark side produces on a
+-- zero-token slice (ADVICE r13).
 SELECT lang, source, n_docs, n_tokens, alloc_tokens,
-       ROUND(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+       ROUND(CAST(alloc_tokens AS DOUBLE) / nullif(n_tokens, 0), 6) AS epochs,
        full_epochs,
        ROUND(2 * CAST(n_tokens AS DOUBLE) * (1 - power(0.5, full_epochs))
-             + (CAST(alloc_tokens - full_epochs * n_tokens AS DOUBLE) / n_tokens)
+             + (CAST(alloc_tokens - full_epochs * n_tokens AS DOUBLE)
+                / nullif(n_tokens, 0))
                * n_tokens * power(0.5, full_epochs), 6) AS effective_tokens,
        ROUND((2 * CAST(n_tokens AS DOUBLE) * (1 - power(0.5, full_epochs))
-              + (CAST(alloc_tokens - full_epochs * n_tokens AS DOUBLE) / n_tokens)
+              + (CAST(alloc_tokens - full_epochs * n_tokens AS DOUBLE)
+                 / nullif(n_tokens, 0))
                 * n_tokens * power(0.5, full_epochs))
-             / CAST(alloc_tokens AS DOUBLE), 6) AS utilization
+             / CAST(nullif(alloc_tokens, 0) AS DOUBLE), 6) AS utilization
 FROM alloced
 """
 

@@ -196,7 +196,14 @@ FROM days
 GRID = 10_000  # coordinate domain per axis
 RADIUS = 600  # search radius; CELL = RADIUS so the 3x3 neighborhood
 R2 = RADIUS * RADIUS  # provably covers every in-radius point
-PACK = 1_000_000  # d2 <= 2*R2 = 720000 < PACK; suppkey < PACK at any SF here
+# Packed-BIGINT argmin base. Packing happens AFTER the d2 <= R2 residual
+# filter, so the packed distance is <= R2 = 360000 < PACK (the pre-filter
+# 3x3-neighborhood max ~2.88M would NOT fit — never pack before the
+# filter). The suppkey half needs max(s_suppkey) < PACK, i.e. < 1e6
+# suppliers (TPC-H supplier = sf*10_000, so valid through sf < 100);
+# q_geo_radius_join carries a per-row assert_true guard so a larger
+# layout fails loudly instead of silently corrupting nearest_suppkey.
+PACK = 1_000_000
 
 
 def _grid_point(key, salt: str):
@@ -246,7 +253,13 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _grid_point("s_suppkey", "sx").alias("sx"),
         _grid_point("s_suppkey", "sy").alias("sy"),
     )
-    supp_cells = supp.select(
+    # Packed-argmin validity guard (see PACK above): a supplier key at or
+    # beyond PACK would silently corrupt nearest_suppkey/nearest_d2, so
+    # fail the job instead. assert_true is a per-row JVM conditional —
+    # free next to the join — and returns NULL on pass, hence coalesce.
+    supp_cells = supp.filter(
+        F.coalesce(F.assert_true(F.col("s_suppkey") < PACK), F.lit(True))
+    ).select(
         "s_suppkey",
         "sx",
         "sy",
