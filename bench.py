@@ -320,6 +320,15 @@ ADDED_R13 = [
     "geo_radius_join",
 ]
 
+# Added round 14 (ablation cohort): CCNet-style LM tercile bucketing,
+# the eval-contamination (benchmark x source) matrix, and the tokenizer
+# vocab-size-transfer fertility/OOV table.
+ADDED_R14 = [
+    "text_ccnet_buckets",
+    "prep_contamination_matrix",
+    "text_vocab_transfer",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -384,7 +393,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12 + ADDED_R13:
+    for name in HEADLINE + ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12 + ADDED_R13 + ADDED_R14:
         fn = qs[name]
 
         def run_once():
@@ -425,7 +434,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12 + ADDED_R13,
+        "queries_added": ADDED_R7 + ADDED_R8 + ADDED_R9 + ADDED_R10 + ADDED_R11 + ADDED_R12 + ADDED_R13 + ADDED_R14,
         "comparable_value": round(sum(timings[n] for n in HEADLINE), 3),
         "sf": float(sf),
         # methodology marker so cross-round numbers are

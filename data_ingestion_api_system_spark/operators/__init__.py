@@ -607,6 +607,12 @@ _BORN_ROUND = {
     "graph_adamic_adar": 13,
     "prep_epoch_allocator": 13,
     "geo_radius_join": 13,
+    # round-14 ablation cohort: CCNet LM tercile bucketing, the
+    # eval-contamination (benchmark x source) matrix, the tokenizer
+    # vocab-size-transfer fertility/OOV table
+    "text_ccnet_buckets": 14,
+    "prep_contamination_matrix": 14,
+    "text_vocab_transfer": 14,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

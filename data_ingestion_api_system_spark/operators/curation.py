@@ -1072,6 +1072,174 @@ FROM alloced
 """
 
 
+# --- CCNet-style perplexity bucketing ---------------------------------------
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", public): score
+    every passage with a corpus bigram LM and split each language's
+    passages into head / middle / tail terciles by score — the three-way
+    quality cut CCNet feeds to its sampling stage (keep head, downsample
+    middle, drop tail). CCNet's unit is the newline paragraph and its LM
+    is KenLM; this corpus has no newlines, so the unit is the shared
+    non-overlapping PASSAGE_W-token passage (one definition of "passage"
+    across the curation family), and the LM is the corpus bigram
+    transition table — integer-exact, like ``text_bigram_coherence``.
+
+    A passage's score is the integer mean of its within-passage bigram
+    transition probabilities, p_ppm = (1e6·c2(w1,w2)) DIV c1(w1) over
+    corpus counts (every passage bigram exists in the corpus table by
+    construction, so the count join never misses). Terciles use the
+    distributed rank, NOT a per-lang window: single-digit language
+    cardinality would funnel each language's whole passage set through
+    one sort task, so the rank runs through
+    :func:`operators.grouped_global_rank` (the TeraSort recipe — one
+    range exchange, a hot language spreads over many tasks) with the
+    total order (score desc, doc_id, pos).
+
+    Output: one row per (lang, bucket) — passage/doc counts and the
+    bucket's score stats, the table that calibrates where to put the
+    keep/drop thresholds.
+
+    Plan shape at 100 TB: one explode pass feeds the two vocabulary-sized
+    count aggregates (map-side partials); passage bigrams hash-join the
+    broadcast-or-keyed count tables; the per-passage rollup keys on
+    (doc_id, pos); the rank is ONE range exchange over passages; the
+    final rollup keys on the tiny (lang, bucket) domain. No window over
+    data-sized input anywhere."""
+    from . import grouped_global_rank
+
+    tune(spark)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            # >= 2 nonempty tokens, as a codegen rlike so nothing expensive
+            # is pushed below the spread() exchange (cf. lsh_front)
+            F.col("text").rlike(r"\S\s+\S")
+        )
+    )
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = pin(docs.select("doc_id", "lang", lt.alias("lt")))
+    # corpus bigram LM: counts over ALL adjacent pairs of every doc
+    inst_all = d.select(
+        F.explode(F.expr("sequence(1, size(lt) - 1)")).alias("i"), "lt"
+    ).select(
+        F.expr("element_at(lt, i)").alias("w1"),
+        F.expr("element_at(lt, i + 1)").alias("w2"),
+    )
+    c2 = pin(inst_all.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # within-passage bigram instances: passage p (0-based) covers tokens
+    # [p*W+1 .. p*W+W]; bigram position j stays inside a passage iff
+    # j % W != 0 (j and j+1 in the same passage)
+    pinst = (
+        d.filter(F.size("lt") >= PASSAGE_W)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "sequence(1, CAST((size(lt) DIV "
+                    f"{PASSAGE_W}) * {PASSAGE_W} - 1 AS INT))"
+                )
+            ).alias("j"),
+            "lt",
+        )
+        .filter(F.col("j") % PASSAGE_W != 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"CAST((j - 1) DIV {PASSAGE_W} AS INT)").alias("pos"),
+            F.expr("element_at(lt, j)").alias("w1"),
+            F.expr("element_at(lt, j + 1)").alias("w2"),
+        )
+    )
+    scored = (
+        pinst.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn("p_ppm", F.expr("(1000000 * c2) DIV c1"))
+        .groupBy("doc_id", "lang", "pos")
+        .agg(F.expr("CAST(sum(p_ppm) DIV count(*) AS BIGINT)").alias("score_ppm"))
+    )
+    ranked = grouped_global_rank(
+        scored.withColumn("__negs", -F.col("score_ppm")),
+        "lang",
+        ["__negs", "doc_id", "pos"],
+        "__rk",
+    )
+    n_lang = scored.groupBy("lang").agg(F.count("*").alias("__n"))
+    bucket = (
+        F.when(F.col("__rk") * 3 <= F.col("__n"), F.lit("head"))
+        .when(F.col("__rk") * 3 <= 2 * F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.join(F.broadcast(n_lang), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum(score_ppm) DIV count(*) AS BIGINT)").alias(
+                "mean_score_ppm"
+            ),
+            F.min("score_ppm").cast("bigint").alias("min_score_ppm"),
+            F.max("score_ppm").cast("bigint").alias("max_score_ppm"),
+        )
+    )
+
+
+_SQL_LOWER_TOKS_CC = f"list_transform({_SQL_TOKS}, t -> lower(t))"
+
+_ORACLE_CCNET_BUCKETS = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_SQL_LOWER_TOKS_CC} AS lt
+  FROM documents WHERE len({_SQL_TOKS}) >= 2
+),
+inst AS (
+  SELECT lt[i] AS w1, lt[i + 1] AS w2 FROM (
+    SELECT lt, CAST(unnest(range(1, len(lt))) AS INT) AS i FROM d
+  )
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+pinst AS (
+  SELECT doc_id, lang, CAST((j - 1) // {PASSAGE_W} AS INT) AS pos,
+         lt[j] AS w1, lt[j + 1] AS w2
+  FROM (
+    SELECT doc_id, lang, lt,
+           CAST(unnest(range(1, (len(lt) // {PASSAGE_W}) * {PASSAGE_W})) AS INT) AS j
+    FROM d WHERE len(lt) >= {PASSAGE_W}
+  )
+  WHERE j % {PASSAGE_W} <> 0
+),
+scored AS (
+  SELECT doc_id, lang, pos,
+         CAST(sum((1000000 * c2.c2) // c1.c1) // count(*) AS BIGINT) AS score_ppm
+  FROM pinst JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score_ppm DESC, doc_id, pos) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT lang,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+       CAST(min(score_ppm) AS BIGINT) AS min_score_ppm,
+       CAST(max(score_ppm) AS BIGINT) AS max_score_ppm
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "prep_domain_caps": q_prep_domain_caps,
@@ -1081,6 +1249,7 @@ QUERIES = {
     "text_boilerplate_passages": q_text_boilerplate_passages,
     "dq_k_anonymity": q_dq_k_anonymity,
     "prep_epoch_allocator": q_prep_epoch_allocator,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
 }
 
 ORACLE = {
@@ -1092,4 +1261,5 @@ ORACLE = {
     "text_boilerplate_passages": _ORACLE_BOILERPLATE,
     "dq_k_anonymity": _ORACLE_K_ANONYMITY,
     "prep_epoch_allocator": _ORACLE_EPOCH_ALLOCATOR,
+    "text_ccnet_buckets": _ORACLE_CCNET_BUCKETS,
 }

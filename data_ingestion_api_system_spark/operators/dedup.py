@@ -328,9 +328,17 @@ def lsh_front(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Un-memoized MinHash-LSH front half over any (doc_id, text) frame:
     returns (shingle table, banded signatures, candidate pairs). Pure
     function of its input — tests drive it with adversarial corpora."""
+    # Filter on text length, not on size(shingles): the two are equivalent
+    # (shingles is empty iff length(text) < SHINGLE_LEN, and null text is
+    # dropped by both), but a size(shingles) predicate gets pushed below
+    # the spread() exchange with the ALIASED EXPRESSION substituted in —
+    # the whole interpreted shingle transform then evaluates serially in
+    # the single scan task as a filter condition before running AGAIN in
+    # parallel above the exchange (measured: 1.9 s of the 2.2 s shingle
+    # stage at sf0.1). The length predicate pushes to the scan for free.
     sh = (
-        docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        docs.filter(F.length("text") >= SHINGLE_LEN)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
     )
     banded = lsh_band_table(sh)
     return sh, banded, lsh_candidates(banded)
@@ -358,10 +366,12 @@ def _lsh_shingles_and_candidates(
     docs = load_table(spark, sf_dir, "documents")
     # cached: the shingle table feeds signature computation + both sides of
     # the verify join — cache materializes the shingle arrays once
+    # length pre-filter, not size(shingles) post-filter — see lsh_front for
+    # why (a size predicate pushes below the spread() exchange and runs the
+    # whole interpreted shingle transform serially in the scan task)
     sh = (
-        spread(docs)
+        spread(docs.filter(F.length("text") >= SHINGLE_LEN))
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
-        .filter(F.size("shingles") > 0)
         .cache()
     )
     banded = lsh_band_table(sh).cache()
@@ -591,14 +601,21 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     reuse per phase), localCheckpoint truncates lineage so plans stay
     flat.
 
-    Convergence detection is EXACT, not a checksum: the canonical edge
-    set (src > dst) is a fixpoint of both phases iff every component is a
-    single star centered at its minimum, so the round loop stops when
-    ``new ⊆ old ∧ |new| = |old|`` (one left-anti probe + two counts of
-    checkpointed tables — driver scalars, same footprint as the old
-    change-flag collect). Labels then read directly off the star edges:
-    every non-root node has exactly one edge to its root; roots label
-    themselves."""
+    Convergence detection is EXACT and STRUCTURAL: a canonical edge set
+    (src > dst) is a fixpoint of both phases iff it is a star forest —
+    every src has out-degree exactly 1 and no src also appears as a dst
+    (the center of a canonical star is automatically its component's
+    minimum, since every edge points larger→smaller). That property is
+    one aggregation job over the checkpointed step output (src/dst
+    multisets unioned with a marker, grouped by node, any violation row
+    short-circuits via limit(1)), gated on count stability so early
+    rounds pay nothing — and unlike the former ``new = old`` set-equality
+    probe it certifies the CURRENT round's output directly, so no extra
+    confirmation round runs after the fixpoint is reached. Checkpoints
+    are lazy (``eager=False``): the count that drives the gate is the
+    job that materializes the round, halving the per-round job count.
+    Labels then read directly off the star edges: every non-root node
+    has exactly one edge to its root; roots label themselves."""
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("src"),
@@ -609,32 +626,45 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
-        stepped = _small_star(_large_star(edges)).localCheckpoint()
-        n_new = stepped.count()
-        unchanged = (
-            n_new == n_edges
-            and stepped.join(edges, ["src", "dst"], "left_anti").limit(1).count()
-            == 0
-        )
-        edges, n_edges = stepped, n_new
-        if unchanged:
+        if converged:
             break
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        n_new = stepped.count()
+        if n_new == n_edges:
+            nodes = stepped.select(
+                F.col("src").alias("node"), F.lit(1).alias("is_src")
+            ).unionAll(
+                stepped.select(F.col("dst").alias("node"), F.lit(0).alias("is_src"))
+            )
+            violations = (
+                nodes.groupBy("node")
+                .agg(F.sum("is_src").alias("s"), F.count("*").alias("c"))
+                .filter(
+                    (F.col("s") > 1)
+                    | ((F.col("s") >= 1) & (F.col("c") > F.col("s")))
+                )
+            )
+            converged = violations.limit(1).count() == 0
+        edges, n_edges = stepped, n_new
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} "
             f"large-star/small-star rounds (theoretical bound is "
             f"O(log^2 n); raise max_rounds)"
         )
+    # Post-convergence readout exploits the certified star-forest shape:
+    # each src appears exactly once and never as a dst, so leaves ∪ roots
+    # is already one row per node — the former groupBy(node) dedup pass
+    # is structurally redundant and dropped.
     leaves = edges.select(F.col("src").alias("node"), F.col("dst").alias("label"))
     roots = (
         edges.select(F.col("dst").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    return leaves.unionByName(roots).groupBy("node").agg(
-        F.min("label").alias("label")
-    )
+    return leaves.unionByName(roots)
 
 
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

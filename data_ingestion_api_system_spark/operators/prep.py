@@ -55,15 +55,22 @@ def q_text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-skew profile as word count, handled by AQE skew splitting. No
     driver-side state: the "model" lives in the two count tables."""
     tune(spark)
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # >=2-tokens guard as a codegen rlike on raw text before the projection
+    # (equivalent to size(lt) >= 2; see q_text pmi sibling) — a size(lt)
+    # filter above the select alias-substitutes and pushes below the
+    # spread() exchange, running the interpreted tokenize+lower serially
+    # in the scan task.
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").rlike(r"\S\s+\S")
+        )
+    )
     lt = F.transform(tokens("text"), lambda t: F.lower(t))
     # pinned token arrays + index explode (bigrams built per output row
     # AFTER the Generate): bg feeds THREE consumers (c2, c1, the final
     # join), and Generate evaluates an expensive generator child lazily
     # per consumer — see SCALE.md interpreter-boundary rules
-    d = pin(
-        docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
-    )
+    d = pin(docs.select("doc_id", "lang", lt.alias("lt")))
     bg = d.select(
         "doc_id",
         "lang",

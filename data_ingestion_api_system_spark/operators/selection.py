@@ -601,6 +601,137 @@ FROM documents
 """
 
 
+def q_prep_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination OVERLAP MATRIX per (benchmark, source) —
+    ``prep_decontaminate`` generalized from a per-doc boolean to the
+    reportable profile a pretraining data audit actually ships (the
+    GPT-4/Llama-style contamination appendix): for every benchmark and
+    every corpus source, how many of the benchmark's n-grams appear in
+    that source, how many of the source's documents are contaminated, and
+    both as exact-ppm rates. The "benchmarks" here are the deterministic
+    probe slice (``doc_id % DECON_PROBE_MOD == 0``) keyed by language —
+    one synthetic benchmark per lang; production keys by eval-suite name.
+
+    The matrix is DENSE: a (benchmark, source) cell with zero overlap is
+    the result the audit exists to demonstrate, so absent pairs emit
+    explicit zero rows (benchmark-size × source-size scaffold, outer
+
+    joined with the hit aggregate).
+
+    Plan shape at 100 TB: identical contamination-core to
+    prep_decontaminate — the benchmark gram set is eval-suite-sized and
+    BROADCASTS with its lang key; the corpus side is one narrow
+    tokenize→n-gram→explode feeding a broadcast-hash join, then ONE keyed
+    shuffle on the tiny (bench_lang, source) domain (two count-distincts
+    over it plan one Expand of the already-reduced hit rows). The dense
+    scaffold is |benchmarks|×|sources| metadata rows via a broadcast
+    nested-loop cross of two sub-kilobyte aggregates."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # pinned reduced projection, same rationale as prep_decontaminate
+    ngr = pin(
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            _word_ngrams(tokens(F.col("text")), DECON_NGRAM).alias("raw_gs"),
+        ).select(
+            "doc_id", "lang", "source", F.array_distinct("raw_gs").alias("gs")
+        )
+    )
+    is_probe = F.col("doc_id") % DECON_PROBE_MOD == 0
+    bench = (
+        ngr.filter(is_probe)
+        .select(F.col("lang").alias("bench_lang"), F.explode("gs").alias("g"))
+        .distinct()
+    )
+    bench_sizes = bench.groupBy("bench_lang").agg(
+        F.count("*").alias("bench_grams")
+    )
+    corpus = ngr.filter(~is_probe)
+    src_sizes = corpus.groupBy("source").agg(
+        F.count("*").alias("n_docs_source")
+    )
+    hits = corpus.select("doc_id", "source", F.explode("gs").alias("g")).join(
+        F.broadcast(bench), "g"
+    )
+    cells = hits.groupBy("bench_lang", "source").agg(
+        F.countDistinct("g").alias("hit_grams"),
+        F.countDistinct("doc_id").alias("contaminated_docs"),
+        F.count("*").alias("overlap_instances"),
+    )
+    scaffold = bench_sizes.crossJoin(F.broadcast(src_sizes))
+    return scaffold.join(cells, ["bench_lang", "source"], "left").select(
+        "bench_lang",
+        "source",
+        F.col("bench_grams").cast("bigint").alias("bench_grams"),
+        F.col("n_docs_source").cast("bigint").alias("n_docs_source"),
+        F.coalesce("hit_grams", F.lit(0)).cast("bigint").alias("hit_grams"),
+        F.coalesce("contaminated_docs", F.lit(0))
+        .cast("bigint")
+        .alias("contaminated_docs"),
+        F.coalesce("overlap_instances", F.lit(0))
+        .cast("bigint")
+        .alias("overlap_instances"),
+        F.expr(
+            "CAST(coalesce(hit_grams, 0) * 1000000 DIV bench_grams AS BIGINT)"
+        ).alias("gram_hit_ppm"),
+        F.expr(
+            "CAST(coalesce(contaminated_docs, 0) * 1000000"
+            " DIV n_docs_source AS BIGINT)"
+        ).alias("doc_contam_ppm"),
+    )
+
+
+_ORACLE_CONTAM_MATRIX = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, {_SQL_TOKS} AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, lang, source,
+         list_distinct({_sql_word_ngrams('t', DECON_NGRAM)}) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT lang AS bench_lang, unnest(gs) AS g
+  FROM ng WHERE doc_id % {DECON_PROBE_MOD} = 0
+),
+bench_sizes AS (
+  SELECT bench_lang, count(*) AS bench_grams FROM bench GROUP BY 1
+),
+corpus AS (SELECT * FROM ng WHERE doc_id % {DECON_PROBE_MOD} <> 0),
+src_sizes AS (
+  SELECT source, count(*) AS n_docs_source FROM corpus GROUP BY 1
+),
+hits AS (
+  SELECT b.bench_lang, c.source, c.doc_id, c.g
+  FROM (SELECT doc_id, source, unnest(gs) AS g FROM corpus) c
+  JOIN bench b ON c.g = b.g
+),
+cells AS (
+  SELECT bench_lang, source,
+         count(DISTINCT g) AS hit_grams,
+         count(DISTINCT doc_id) AS contaminated_docs,
+         count(*) AS overlap_instances
+  FROM hits GROUP BY 1, 2
+)
+SELECT bs.bench_lang, ss.source,
+       CAST(bs.bench_grams AS BIGINT) AS bench_grams,
+       CAST(ss.n_docs_source AS BIGINT) AS n_docs_source,
+       CAST(COALESCE(c.hit_grams, 0) AS BIGINT) AS hit_grams,
+       CAST(COALESCE(c.contaminated_docs, 0) AS BIGINT) AS contaminated_docs,
+       CAST(COALESCE(c.overlap_instances, 0) AS BIGINT) AS overlap_instances,
+       CAST(COALESCE(c.hit_grams, 0) * 1000000 // bs.bench_grams AS BIGINT)
+         AS gram_hit_ppm,
+       CAST(COALESCE(c.contaminated_docs, 0) * 1000000 // ss.n_docs_source
+            AS BIGINT) AS doc_contam_ppm
+FROM bench_sizes bs
+CROSS JOIN src_sizes ss
+LEFT JOIN cells c
+  ON c.bench_lang = bs.bench_lang AND c.source = ss.source
+"""
+
+
 QUERIES = {
     "prep_curriculum_order": q_prep_curriculum_order,
     "prep_training_mix": q_prep_training_mix,
@@ -608,6 +739,7 @@ QUERIES = {
     "prep_temperature_mix": q_prep_temperature_mix,
     "prep_dsir_weights": q_prep_dsir_weights,
     "prep_source_kl_drift": q_prep_source_kl_drift,
+    "prep_contamination_matrix": q_prep_contamination_matrix,
 }
 
 ORACLE = {
@@ -617,4 +749,5 @@ ORACLE = {
     "prep_temperature_mix": _ORACLE_TEMPERATURE_MIX,
     "prep_dsir_weights": _ORACLE_DSIR,
     "prep_source_kl_drift": _ORACLE_KL_DRIFT,
+    "prep_contamination_matrix": _ORACLE_CONTAM_MATRIX,
 }

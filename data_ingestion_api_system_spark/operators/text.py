@@ -1063,13 +1063,23 @@ def q_text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-count pruned (unseen bigrams already cost (0+1)/(c1+V) under
     add-one, so pruning singletons changes scores bounded by 1/(c1+V))."""
     tune(spark)
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # The >=2-tokens guard runs as a codegen rlike on raw text (two
+    # non-space chars separated by whitespace ⇔ at least 2 nonempty
+    # tokens, nulls dropped by both) BEFORE the projection: a
+    # size(lt) >= 2 filter above the select gets alias-substituted and
+    # pushed below the spread() exchange, evaluating the whole
+    # interpreted tokenize+lower transform serially in the scan task.
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").rlike(r"\S\s+\S")
+        )
+    )
     lt = F.transform(tokens("text"), lambda t: F.lower(t))
     # pinned token arrays + an INDEX explode (bigrams built per output row
     # from element_at, after the Generate): the former struct-array explode
     # re-tokenized per consumer, and bg feeds both count tables
     d = pin(
-        docs.select("doc_id", "lang", lt.alias("lt")).filter(F.size("lt") >= 2)
+        docs.select("doc_id", "lang", lt.alias("lt"))
     )
     bg = d.select(
         "doc_id",
@@ -2301,9 +2311,139 @@ GROUP BY lang, source
 """
 
 
+# --- tokenizer vocabulary-transfer ablation ---------------------------------
+# The vocab-size grid: the real question a tokenizer change asks is "what
+# happens to fertility and OOV if we ship a SMALLER vocabulary" — this is
+# the ablation table that answers it. Sizes are tiny because the synthetic
+# corpus has ~31 distinct words; production uses (32k, 64k, 128k, 256k)
+# with the identical plan.
+VOCAB_TRANSFER_KS = (4, 8, 16)
+
+
+def q_text_vocab_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-transfer readout: fertility and OOV per language under
+    each candidate vocab size in ``VOCAB_TRANSFER_KS`` — the
+    vocab-size-ablation table every tokenizer change ships with
+    (cf. the Zheng/Rust tokenizer-transfer literature; fertility per
+    Ács' subword-fertility metric). The candidate vocabularies are
+    nested top-K cuts of the corpus word-frequency ranking (count desc,
+    word asc — total order), so ONE ranked table serves the whole grid:
+    a word is in vocab K iff its rank ≤ K. In-vocab words cost 1 piece;
+    OOV words fall back to character pieces at the shared
+    ``_BPE_CHARS_PER_PIECE`` heuristic — fertility under vocab K is then
+    mean pieces per word, and OOV rate is the token share the vocab
+    misses, both exact integer ppm.
+
+    Plan shape at 100 TB: the corpus collapses ONCE to the (lang, word)
+    frequency table (map-side-combinable; vocabulary-sized, sublinear by
+    Heaps' law); the global ranking is TakeOrdered top-max(K) + a
+    row_number over those max(K) rows (bounded by the grid constant —
+    the documented metadata-sized window exception, cf.
+    pipeline_queue_order) and BROADCASTS; the grid expansion is a
+    |KS|-row broadcast nested-loop cross over the vocabulary table, NOT
+    the corpus — token counts ride as weights, so the corpus never
+    re-scans per K. Final rollup keys on the tiny (k, lang) domain."""
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lowered = F.transform(tokens("text"), lambda t: F.lower(t))
+    lw = docs.select("lang", F.explode(lowered).alias("w")).groupBy(
+        "lang", "w"
+    ).agg(F.count("*").alias("cnt"))
+    lw = pin(lw)
+    wc = lw.groupBy("w").agg(F.sum("cnt").alias("c"))
+    ranked = (
+        wc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(max(VOCAB_TRANSFER_KS))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .select("w", "rk")
+    )
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k) for k in VOCAB_TRANSFER_KS])
+        ).alias("k")
+    )
+    flagged = (
+        lw.join(F.broadcast(ranked), "w", "left")
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "lang",
+            "w",
+            "cnt",
+            F.when(
+                F.col("rk").isNotNull() & (F.col("rk") <= F.col("k")), 1
+            )
+            .otherwise(0)
+            .alias("iv"),
+            F.when(
+                F.col("rk").isNotNull() & (F.col("rk") <= F.col("k")),
+                F.lit(1).cast("bigint"),
+            )
+            .otherwise(
+                F.expr(
+                    f"CAST((length(w) + {_BPE_CHARS_PER_PIECE - 1})"
+                    f" DIV {_BPE_CHARS_PER_PIECE} AS BIGINT)"
+                )
+            )
+            .alias("pieces"),
+        )
+    )
+    return flagged.groupBy("k", "lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum((1 - F.col("iv")) * F.col("cnt")).cast("bigint").alias(
+            "n_oov_tokens"
+        ),
+        F.sum(1 - F.col("iv")).cast("bigint").alias("n_oov_types"),
+        F.expr(
+            "CAST(sum((1 - iv) * cnt) * 1000000 DIV sum(cnt) AS BIGINT)"
+        ).alias("oov_ppm"),
+        F.expr(
+            "CAST(sum(pieces * cnt) * 1000000 DIV sum(cnt) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )
+
+
+_ORACLE_VOCAB_TRANSFER = f"""
+WITH words AS (
+  SELECT lang, unnest(list_transform({_SQL_TOKS}, t -> lower(t))) AS w
+  FROM documents
+),
+lw AS (SELECT lang, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+wc AS (SELECT w, sum(cnt) AS c FROM lw GROUP BY 1),
+ranked AS (
+  SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+  FROM (SELECT w, c FROM wc ORDER BY c DESC, w ASC
+        LIMIT {max(VOCAB_TRANSFER_KS)})
+),
+ks AS (SELECT unnest({list(VOCAB_TRANSFER_KS)}) AS k),
+flagged AS (
+  SELECT k, lang, w, cnt,
+         CASE WHEN rk IS NOT NULL AND rk <= k THEN 1 ELSE 0 END AS iv,
+         CASE WHEN rk IS NOT NULL AND rk <= k THEN 1
+              ELSE (length(w) + {_BPE_CHARS_PER_PIECE - 1})
+                   // {_BPE_CHARS_PER_PIECE} END AS pieces
+  FROM lw LEFT JOIN ranked USING (w) CROSS JOIN ks
+)
+SELECT CAST(k AS INT) AS k, lang,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum((1 - iv) * cnt) AS BIGINT) AS n_oov_tokens,
+       CAST(sum(1 - iv) AS BIGINT) AS n_oov_types,
+       CAST(sum((1 - iv) * cnt) * 1000000 // sum(cnt) AS BIGINT) AS oov_ppm,
+       CAST(sum(pieces * cnt) * 1000000 // sum(cnt) AS BIGINT)
+         AS fertility_ppm
+FROM flagged
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_kneser_ney_score": q_text_kneser_ney_score,
+    "text_vocab_transfer": q_text_vocab_transfer,
     "text_heaps_vocab_growth": q_text_heaps_vocab_growth,
     "text_filter_funnel": q_text_filter_funnel,
     "text_bpe_merge_step": q_text_bpe_merge_step,
@@ -2336,6 +2476,7 @@ QUERIES = {
 ORACLE = {
     "text_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "text_kneser_ney_score": _ORACLE_KNESER_NEY,
+    "text_vocab_transfer": _ORACLE_VOCAB_TRANSFER,
     "text_heaps_vocab_growth": _ORACLE_HEAPS,
     "text_filter_funnel": _ORACLE_FUNNEL,
     "text_bpe_merge_step": _ORACLE_BPE_MERGE,

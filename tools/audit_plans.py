@@ -789,6 +789,11 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # rows (same order as a Delta log scan), not the data; the rewrite
     # the plan drives is parallel per bin (layout.py docstring)
     "layout_compaction_bins",
+    # rank over an orderBy().limit(max(VOCAB_TRANSFER_KS)) result —
+    # TakeOrderedAndProject upstream bounds the window input to the grid
+    # constant (16 rows; a production 256k vocab is still metadata next
+    # to the corpus; text.py q_text_vocab_transfer docstring)
+    "text_vocab_transfer",
 }
 
 
