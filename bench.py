@@ -327,6 +327,7 @@ ADDED_R14 = [
     "text_ccnet_buckets",
     "prep_contamination_matrix",
     "text_vocab_transfer",
+    "text_repetition_filters",
 ]
 
 

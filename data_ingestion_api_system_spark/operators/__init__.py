@@ -613,6 +613,7 @@ _BORN_ROUND = {
     "text_ccnet_buckets": 14,
     "prep_contamination_matrix": 14,
     "text_vocab_transfer": 14,
+    "text_repetition_filters": 14,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

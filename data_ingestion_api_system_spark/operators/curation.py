@@ -1240,6 +1240,154 @@ GROUP BY 1, 2
 """
 
 
+# --- Gopher-style repetition filters ----------------------------------------
+
+REP_NS = (2, 3)  # word n-gram orders for the repetition battery
+
+
+def q_text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filters (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A quality heuristics —
+    public): per document, for each n in ``REP_NS``, (a) the fraction of
+    n-gram INSTANCES that are repeats of an earlier instance
+    (instances − distinct, over instances) and (b) the fraction of the
+    document's CHARACTERS covered by its single most frequent n-gram
+    (count × gram length over text length) — the two signals Gopher
+    thresholds to drop template/boilerplate-looped documents that
+    corpus-LEVEL dedup never sees (the repeats are inside one doc). All
+    ratios exact integer ppm; the top gram is deterministic (max count,
+    then lexicographically smallest gram).
+
+    Plan shape at 100 TB: per-doc n-gram instances explode once per n
+    (constant fan-out); the (doc_id, gram) count is the one corpus-sized
+    shuffle and partial-aggregates map-side; the per-doc argmax
+    re-aggregates on doc_id (top_cnt max, then a min over the grams at
+    top_cnt via a second pass over the SAME keyed table — exchange
+    reuse); everything downstream is doc-keyed. Embarrassingly
+    group-parallel, no windows, no cross-doc state."""
+    tune(spark)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").rlike(r"\S\s+\S")  # >= 2 tokens, codegen predicate
+        )
+    )
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = pin(
+        docs.select(
+            "doc_id", "lang", F.length("text").alias("txt_chars"), lt.alias("lt")
+        )
+    )
+    out = d.select("doc_id", "lang", "txt_chars")
+    for n in REP_NS:
+        inst = (
+            d.filter(F.size("lt") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(f"sequence(1, CAST(size(lt) - {n - 1} AS INT))")
+                ).alias("i"),
+                "lt",
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    f"array_join(slice(lt, i, {n}), ' ')"
+                ).alias("g"),
+            )
+        )
+        gc = pin(inst.groupBy("doc_id", "g").agg(F.count("*").alias("cnt")))
+        per_doc = gc.groupBy("doc_id").agg(
+            F.sum("cnt").alias("n_inst"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        top_g = (
+            gc.join(per_doc.select("doc_id", "top_cnt"), "doc_id")
+            .filter(F.col("cnt") == F.col("top_cnt"))
+            .groupBy("doc_id")
+            .agg(F.min("g").alias("top_g"))
+        )
+        stats = per_doc.join(top_g, "doc_id").select(
+            "doc_id",
+            F.expr(
+                "CAST((n_inst - n_distinct) * 1000000 DIV n_inst AS BIGINT)"
+            ).alias(f"dup{n}_ppm"),
+            F.col("top_cnt").cast("bigint").alias(f"top{n}_cnt"),
+            F.length("top_g").alias(f"__len{n}"),
+        )
+        out = out.join(stats, "doc_id", "left").withColumn(
+            f"top{n}_char_ppm",
+            F.expr(
+                f"CAST(coalesce(top{n}_cnt * __len{n}, 0) * 1000000"
+                " DIV txt_chars AS BIGINT)"
+            ),
+        ).drop(f"__len{n}")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("txt_chars").cast("bigint").alias("txt_chars"),
+        F.coalesce("dup2_ppm", F.lit(0)).cast("bigint").alias("dup2_ppm"),
+        F.coalesce("top2_cnt", F.lit(0)).cast("bigint").alias("top2_cnt"),
+        "top2_char_ppm",
+        F.coalesce("dup3_ppm", F.lit(0)).cast("bigint").alias("dup3_ppm"),
+        F.coalesce("top3_cnt", F.lit(0)).cast("bigint").alias("top3_cnt"),
+        "top3_char_ppm",
+    )
+
+
+def _sql_rep_branch(n: int) -> str:
+    return f"""
+inst{n} AS (
+  SELECT doc_id, array_to_string(lt[i : i + {n - 1}], ' ') AS g
+  FROM (SELECT doc_id, lt,
+               CAST(unnest(range(1, len(lt) - {n - 2})) AS INT) AS i
+        FROM d WHERE len(lt) >= {n})
+),
+gc{n} AS (SELECT doc_id, g, count(*) AS cnt FROM inst{n} GROUP BY 1, 2),
+pd{n} AS (
+  SELECT doc_id, sum(cnt) AS n_inst, count(*) AS n_distinct,
+         max(cnt) AS top_cnt
+  FROM gc{n} GROUP BY 1
+),
+tg{n} AS (
+  SELECT gc.doc_id, min(gc.g) AS top_g
+  FROM gc{n} gc JOIN pd{n} pd
+    ON gc.doc_id = pd.doc_id AND gc.cnt = pd.top_cnt
+  GROUP BY 1
+),
+st{n} AS (
+  SELECT pd.doc_id,
+         CAST((pd.n_inst - pd.n_distinct) * 1000000 // pd.n_inst AS BIGINT)
+           AS dup{n}_ppm,
+         CAST(pd.top_cnt AS BIGINT) AS top{n}_cnt,
+         length(tg.top_g) AS len{n}
+  FROM pd{n} pd JOIN tg{n} tg ON pd.doc_id = tg.doc_id
+)"""
+
+
+_ORACLE_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id, lang, length(text) AS txt_chars,
+         list_transform({_SQL_TOKS}, t -> lower(t)) AS lt
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 2
+),{_sql_rep_branch(2)},{_sql_rep_branch(3)}
+SELECT d.doc_id, d.lang,
+       CAST(d.txt_chars AS BIGINT) AS txt_chars,
+       CAST(COALESCE(s2.dup2_ppm, 0) AS BIGINT) AS dup2_ppm,
+       CAST(COALESCE(s2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       CAST(COALESCE(s2.top2_cnt * s2.len2, 0) * 1000000 // d.txt_chars
+            AS BIGINT) AS top2_char_ppm,
+       CAST(COALESCE(s3.dup3_ppm, 0) AS BIGINT) AS dup3_ppm,
+       CAST(COALESCE(s3.top3_cnt, 0) AS BIGINT) AS top3_cnt,
+       CAST(COALESCE(s3.top3_cnt * s3.len3, 0) * 1000000 // d.txt_chars
+            AS BIGINT) AS top3_char_ppm
+FROM d
+LEFT JOIN st2 s2 ON d.doc_id = s2.doc_id
+LEFT JOIN st3 s3 ON d.doc_id = s3.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "prep_domain_caps": q_prep_domain_caps,
@@ -1250,6 +1398,7 @@ QUERIES = {
     "dq_k_anonymity": q_dq_k_anonymity,
     "prep_epoch_allocator": q_prep_epoch_allocator,
     "text_ccnet_buckets": q_text_ccnet_buckets,
+    "text_repetition_filters": q_text_repetition_filters,
 }
 
 ORACLE = {
@@ -1262,4 +1411,5 @@ ORACLE = {
     "dq_k_anonymity": _ORACLE_K_ANONYMITY,
     "prep_epoch_allocator": _ORACLE_EPOCH_ALLOCATOR,
     "text_ccnet_buckets": _ORACLE_CCNET_BUCKETS,
+    "text_repetition_filters": _ORACLE_REPETITION,
 }

@@ -23,6 +23,7 @@ def _all_benched() -> list[str]:
         + bench.ADDED_R11
         + bench.ADDED_R12
         + bench.ADDED_R13
+        + bench.ADDED_R14
     )
 
 

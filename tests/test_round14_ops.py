@@ -16,7 +16,9 @@ import duckdb
 
 from data_ingestion_api_system_spark.operators.curation import (
     PASSAGE_W,
+    REP_NS,
     q_text_ccnet_buckets,
+    q_text_repetition_filters,
 )
 from data_ingestion_api_system_spark.operators.selection import (
     DECON_NGRAM,
@@ -120,6 +122,72 @@ def test_ccnet_tercile_sizes_are_floor_boundaries(spark):
     for (lang, bucket), r in by_key.items():
         if bucket == "head" and (lang, "tail") in by_key:
             assert r.min_score_ppm >= by_key[(lang, "tail")].max_score_ppm
+
+
+# --- text_repetition_filters --------------------------------------------------
+
+
+def _repetition_python():
+    out = {}
+    for doc_id, text, lang, _src in _docs():
+        lt = [w.lower() for w in _toks(text)]
+        if len(lt) < 2:
+            continue
+        row = [len(text)]
+        for n in REP_NS:
+            grams = [" ".join(lt[i : i + n]) for i in range(len(lt) - n + 1)]
+            if not grams:
+                row += [0, 0, 0]
+                continue
+            counts = Counter(grams)
+            top_cnt = max(counts.values())
+            top_g = min(g for g, c in counts.items() if c == top_cnt)
+            row += [
+                (len(grams) - len(counts)) * 1_000_000 // len(grams),
+                top_cnt,
+                top_cnt * len(top_g) * 1_000_000 // len(text),
+            ]
+        out[(doc_id, lang)] = tuple(row)
+    return out
+
+
+def test_repetition_filters_match_pure_python(spark):
+    got = {
+        (r.doc_id, r.lang): (
+            r.txt_chars,
+            r.dup2_ppm,
+            r.top2_cnt,
+            r.top2_char_ppm,
+            r.dup3_ppm,
+            r.top3_cnt,
+            r.top3_char_ppm,
+        )
+        for r in q_text_repetition_filters(spark, SF_DIR).collect()
+    }
+    assert got == _repetition_python()
+
+
+def test_repetition_filters_flag_synthetic_loop(spark):
+    """The behavioral edge the filter exists for: a document that is one
+    phrase looped has dup2_ppm near 1e6 and its top 2-gram covering most
+    chars — strictly above every organic doc's. Built via lsh_front-style
+    direct invocation on a synthetic frame."""
+    from data_ingestion_api_system_spark.operators import tune
+
+    tune(spark)
+    looped = ("spam ham " * 50).strip()
+    organic = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, looped, "en"), (2, organic, "en")], "doc_id long, text string, lang string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # the query reads documents.parquet from an sf dir — synthesize one
+        df.write.parquet(f"{tmp}/documents.parquet")
+        rows = {r.doc_id: r for r in q_text_repetition_filters(spark, tmp).collect()}
+    assert rows[1].dup2_ppm > 900_000 > rows[2].dup2_ppm
+    assert rows[1].top2_char_ppm > rows[2].top2_char_ppm
 
 
 # --- prep_contamination_matrix ----------------------------------------------
