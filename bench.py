@@ -447,6 +447,12 @@ def main() -> None:
         # "comparable_value" (the r6 query set) across rounds.
         "timing": "warm_b3_m5",
         "load_1m_at_start": load_1m_at_start,
+        # Start-AND-end load (SCALE.md r14 drift finding): co-tenant
+        # bursts on this shared VM arrive on a ~minutes cadence, so a
+        # ~4-min run can start at load 0.0 and still absorb one — the
+        # r14 streaming-tail contamination. End-of-run load bounds that
+        # blind spot: a run is burst-clean only if BOTH are low.
+        "load_1m_at_end": round(os.getloadavg()[0], 2),
     }
     result = json.dumps(record)
     print(result)
@@ -467,17 +473,29 @@ def main() -> None:
     # overwrote a load-0.4 record, inflating the series 15%), divert this
     # run to an untracked sibling (*.live.json, gitignored) and leave the
     # quieter file alone. Quieter-or-equal runs still refresh the record.
+    # Compare on the WORST load the run saw (start or end, r14 finding):
+    # a burst arriving mid-run raises the end reading even when the start
+    # was 0.0. Older records without load_1m_at_end fall back to start.
     existing_load = None
     try:
         with open(out_path) as fh:
-            existing_load = json.load(fh).get("load_1m_at_start")
+            _prev = json.load(fh)
+            existing_load = max(
+                v
+                for v in (
+                    _prev.get("load_1m_at_start"),
+                    _prev.get("load_1m_at_end"),
+                )
+                if v is not None
+            )
     except (OSError, ValueError):
         pass
-    if existing_load is not None and load_1m_at_start > existing_load + 0.5:
+    this_load = max(load_1m_at_start, record["load_1m_at_end"])
+    if existing_load is not None and this_load > existing_load + 0.5:
         diverted = str(Path(out_path).with_suffix(".live.json"))
         print(
-            f"# NOTE: existing record at {out_path} started quieter "
-            f"(load {existing_load} vs {load_1m_at_start}); writing this "
+            f"# NOTE: existing record at {out_path} saw a quieter run "
+            f"(worst load {existing_load} vs {this_load}); writing this "
             f"run to {diverted} instead",
             file=sys.stderr,
         )
@@ -506,6 +524,7 @@ def main() -> None:
         "sf",
         "timing",
         "load_1m_at_start",
+        "load_1m_at_end",
     )
     print(
         json.dumps(
