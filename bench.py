@@ -328,6 +328,7 @@ ADDED_R14 = [
     "prep_contamination_matrix",
     "text_vocab_transfer",
     "text_repetition_filters",
+    "sim_bitext_margin",
 ]
 
 

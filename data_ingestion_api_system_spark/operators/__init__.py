@@ -614,6 +614,8 @@ _BORN_ROUND = {
     "prep_contamination_matrix": 14,
     "text_vocab_transfer": 14,
     "text_repetition_filters": 14,
+    # round-14b: CCMatrix-style margin-based bitext mining
+    "sim_bitext_margin": 14,
 }
 _ROTATION_CYCLE = 4  # observed full-rotation length (COVERAGE.md): 3-4 rounds
 

@@ -1968,7 +1968,196 @@ SELECT pick, vec_id, label, rel_ppm, maxsim_ppm, mmr_score FROM selu{MMR_K}
 """
 
 
+# --- margin-based bitext mining ---------------------------------------------
+
+BITEXT_K = 4  # NN-average order for the margin normalizer (paper's k)
+BITEXT_MARGIN_PPM = 1_100_000  # mine pairs with ratio margin >= 1.10
+
+
+def q_sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    CCMatrix/CCAligned alignment op, public): the corpus splits into two
+    "language" sides (here ``vec_id % 7 == 0`` vs the rest — the small
+    side plays the low-resource language), every cross-side cosine is
+    normalized by the average cosine of each endpoint's k-NN
+    (margin(x,y) = cos(x,y) / ((avg_kNN(x) + avg_kNN(y)) / 2), the
+    paper's *ratio* margin with k=``BITEXT_K``), and each x keeps its
+    best-margin y; pairs above ``BITEXT_MARGIN_PPM`` are the mined
+    bitext, flagged ``mutual`` when y's best x is the same pair (the
+    paper's max-strategy intersection). The margin normalizer is the
+    whole point: a hub y that is everyone's cosine neighbor has a high
+    kNN average, so its margins deflate — raw-cosine mining drowns in
+    hubs.
+
+    All arithmetic after the cosine is EXACT integer: cosines land as
+    rounded micro-units (cos6), the margin is a single BIGINT division
+    (2 * cos6 * nx * ny) DIV (sum_x * ny + sum_y * nx) in ppm, and both
+    factors are guarded positive so Spark's DIV and DuckDB's // agree.
+
+    Plan shape at 100 TB: the scored pair table is built ONCE (small
+    side broadcast against the large side — one corpus scan, no
+    shuffle) and pinned; both per-side kNN aggregations and the margin
+    join re-read that table, and the per-side stats (one row per
+    vector) broadcast back. Brute-force X x Y scoring is the
+    pool-builder/verifier at bench SF (family convention, cf.
+    `sim_cosine_topk`); at corpus scale the LSH/IVF candidate pruning
+    of `sim_lsh_ann`/`sim_ivf_ann` bolts in front so the pair table is
+    candidates-only, and the margin/mutual reduction below is unchanged
+    — which is exactly the published pipeline (FAISS candidates, then
+    margin rescoring)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    xs = F.broadcast(
+        e.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("x_id"),
+            F.col("label").alias("x_label"),
+            F.col("v").alias("bv"),
+        )
+    )
+    ys = e.filter(F.col("vec_id") % 7 != 0).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("label").alias("y_label"),
+        F.col("v").alias("av"),
+    )
+    cos6 = F.expr(
+        f"CAST(round({_SPARK_DOT} / ({_SPARK_NORM.format('av')}"
+        f" * {_SPARK_NORM.format('bv')}) * 1000000, 0) AS BIGINT)"
+    )
+    pairs = pin(
+        ys.crossJoin(xs).select(
+            "x_id", "x_label", "y_id", "y_label", cos6.alias("cos6")
+        )
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos6"), F.asc("y_id"))
+    xstat = (
+        pairs.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= BITEXT_K)
+        .groupBy("x_id")
+        .agg(F.sum("cos6").alias("x_nn6"), F.count("*").alias("x_cnt"))
+    )
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos6"), F.asc("x_id"))
+    ystat = (
+        pairs.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= BITEXT_K)
+        .groupBy("y_id")
+        .agg(F.sum("cos6").alias("y_nn6"), F.count("*").alias("y_cnt"))
+    )
+    margins = (
+        pairs.join(F.broadcast(xstat), "x_id")
+        .join(F.broadcast(ystat), "y_id")
+        .filter(
+            (F.col("cos6") > 0)
+            & (
+                F.col("x_nn6") * F.col("y_cnt")
+                + F.col("y_nn6") * F.col("x_cnt")
+                > 0
+            )
+        )
+        .select(
+            "x_id",
+            "x_label",
+            "y_id",
+            "y_label",
+            "cos6",
+            F.expr(
+                "CAST(2 * cos6 * x_cnt * y_cnt * 1000000"
+                " DIV (x_nn6 * y_cnt + y_nn6 * x_cnt) AS BIGINT)"
+            ).alias("margin_ppm"),
+        )
+    )
+    wbx = Window.partitionBy("x_id").orderBy(
+        F.desc("margin_ppm"), F.asc("y_id")
+    )
+    fwd = (
+        margins.withColumn("rk", F.row_number().over(wbx))
+        .filter((F.col("rk") == 1) & (F.col("margin_ppm") >= BITEXT_MARGIN_PPM))
+        .drop("rk")
+    )
+    wby = Window.partitionBy("y_id").orderBy(
+        F.desc("margin_ppm"), F.asc("x_id")
+    )
+    back = (
+        margins.withColumn("rk", F.row_number().over(wby))
+        .filter(F.col("rk") == 1)
+        .select(F.col("x_id").alias("bx_id"), F.col("y_id").alias("by_id"))
+    )
+    return fwd.join(
+        F.broadcast(back),
+        (fwd.x_id == back.bx_id) & (fwd.y_id == back.by_id),
+        "left",
+    ).select(
+        "x_id",
+        "x_label",
+        "y_id",
+        "y_label",
+        "cos6",
+        "margin_ppm",
+        F.col("bx_id").isNotNull().alias("mutual"),
+    )
+
+
+_ORACLE_BITEXT = f"""
+WITH e AS ({_SQL_EMB}),
+xs AS (SELECT vec_id AS x_id, label AS x_label, v AS bv
+       FROM e WHERE vec_id % 7 = 0),
+ys AS (SELECT vec_id AS y_id, label AS y_label, v AS av
+       FROM e WHERE vec_id % 7 <> 0),
+pairs AS (
+  SELECT x_id, x_label, y_id, y_label,
+         CAST(round({_SQL_DOT} / ({_sql_norm('av')} * {_sql_norm('bv')})
+                    * 1000000, 0) AS BIGINT) AS cos6
+  FROM ys, xs
+),
+xstat AS (
+  SELECT x_id, sum(cos6) AS x_nn6, count(*) AS x_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+                                     ORDER BY cos6 DESC, y_id ASC) AS rk
+        FROM pairs)
+  WHERE rk <= {BITEXT_K} GROUP BY 1
+),
+ystat AS (
+  SELECT y_id, sum(cos6) AS y_nn6, count(*) AS y_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY y_id
+                                     ORDER BY cos6 DESC, x_id ASC) AS rk
+        FROM pairs)
+  WHERE rk <= {BITEXT_K} GROUP BY 1
+),
+margins AS (
+  SELECT p.x_id, p.x_label, p.y_id, p.y_label, p.cos6,
+         CAST(2 * p.cos6 * xs.x_cnt * ys.y_cnt * 1000000
+              // (xs.x_nn6 * ys.y_cnt + ys.y_nn6 * xs.x_cnt)
+              AS BIGINT) AS margin_ppm
+  FROM pairs p
+  JOIN xstat xs ON p.x_id = xs.x_id
+  JOIN ystat ys ON p.y_id = ys.y_id
+  WHERE p.cos6 > 0 AND xs.x_nn6 * ys.y_cnt + ys.y_nn6 * xs.x_cnt > 0
+),
+fwd AS (
+  SELECT x_id, x_label, y_id, y_label, cos6, margin_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+                                     ORDER BY margin_ppm DESC, y_id ASC) AS rk
+        FROM margins)
+  WHERE rk = 1 AND margin_ppm >= {BITEXT_MARGIN_PPM}
+),
+back AS (
+  SELECT x_id AS bx_id, y_id AS by_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY y_id
+                                     ORDER BY margin_ppm DESC, x_id ASC) AS rk
+        FROM margins)
+  WHERE rk = 1
+)
+SELECT f.x_id, f.x_label, f.y_id, f.y_label, f.cos6, f.margin_ppm,
+       (b.bx_id IS NOT NULL) AS mutual
+FROM fwd f
+LEFT JOIN back b ON f.x_id = b.bx_id AND f.y_id = b.by_id
+"""
+
+
 QUERIES = {
+    "sim_bitext_margin": q_sim_bitext_margin,
     "sim_mmr_diversify": q_sim_mmr_diversify,
     "sim_ivf_nprobe_sweep": q_sim_ivf_nprobe_sweep,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -1992,6 +2181,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_bitext_margin": _ORACLE_BITEXT,
     "sim_mmr_diversify": _oracle_mmr(),
     "sim_ivf_nprobe_sweep": _ORACLE_IVF_SWEEP,
     "sim_hard_negatives": _ORACLE_HARD_NEGATIVES,

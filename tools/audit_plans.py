@@ -59,6 +59,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # query-vector cross joins are 1-row broadcasts — BNLJ is the right plan
     "sim_cosine_topk": ([r"BroadcastNestedLoopJoin|CartesianProduct"], []),
+    "sim_bitext_margin": (
+        # pinned pair table (built once), map-side partial top-k under
+        # both per-side kNN windows, per-vector stats broadcast back;
+        # the X×Y scorer is a deliberate broadcast cross (small side
+        # broadcast — the pool-builder at bench SF, docstring)
+        [r"InMemoryRelation", r"WindowGroupLimit", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
     "asof_join_attribution": (
         # union+window as-of: one shuffle on user_id, no pairwise join
         [r"Window", r"Union"],
