@@ -474,25 +474,28 @@ def main() -> None:
     # overwrote a load-0.4 record, inflating the series 15%), divert this
     # run to an untracked sibling (*.live.json, gitignored) and leave the
     # quieter file alone. Quieter-or-equal runs still refresh the record.
-    # Compare on the WORST load the run saw (start or end, r14 finding):
-    # a burst arriving mid-run raises the end reading even when the start
-    # was 0.0. Older records without load_1m_at_end fall back to start.
-    existing_load = None
+    # Start loads compare across all records. End loads include the
+    # bench's OWN 32-thread contribution (roughly constant run-to-run),
+    # so they are only comparable to EACH OTHER — when both records
+    # carry one, a materially higher end flags a mid-run co-tenant
+    # burst the start reading missed (r14 finding) and diverts too.
+    existing_load = existing_end = None
     try:
         with open(out_path) as fh:
             _prev = json.load(fh)
-            existing_load = max(
-                v
-                for v in (
-                    _prev.get("load_1m_at_start"),
-                    _prev.get("load_1m_at_end"),
-                )
-                if v is not None
-            )
+            existing_load = _prev.get("load_1m_at_start")
+            existing_end = _prev.get("load_1m_at_end")
     except (OSError, ValueError):
         pass
-    this_load = max(load_1m_at_start, record["load_1m_at_end"])
-    if existing_load is not None and this_load > existing_load + 0.5:
+    this_load = load_1m_at_start
+    noisier_start = (
+        existing_load is not None and this_load > existing_load + 0.5
+    )
+    noisier_end = (
+        existing_end is not None
+        and record["load_1m_at_end"] > existing_end + 2.0
+    )
+    if noisier_start or noisier_end:
         diverted = str(Path(out_path).with_suffix(".live.json"))
         print(
             f"# NOTE: existing record at {out_path} saw a quieter run "
