@@ -17,7 +17,9 @@ is the test harness, not the deployment sink.
 
 from __future__ import annotations
 
+import os
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +27,39 @@ from pyspark.sql import types as T
 
 from ..functions import exact_sum, sql_exact_sum
 from ..operators import tune
+
+
+def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Input-size-derived shuffle/state partition count for the bounded
+    streaming runs (guide §2.2: size partitions to the data, never a
+    constant tuned for one box).
+
+    Streaming aggregations get NO AQE coalescing — the state-store
+    partition count is frozen at `spark.sql.shuffle.partitions` when the
+    query starts, and every micro-batch then pays a per-partition store
+    open+commit (the stream-stream join keeps FOUR stores per partition).
+    Over this 2 MB bounded source, 32 state partitions are pure fixed
+    overhead: measured on the stream-stream join at sf0.1 (warm
+    best-of-4), 32 partitions = 13.0 s vs 2.9 s at 8 and 2.3 s at 2 —
+    the state is ~9 MB total, so one partition per ~32 MB of input is
+    already generous. The derivation is scale-adaptive, not a local
+    constant: partitions grow linearly with input bytes (a 100 TB/day
+    source gets the cap), the per-partition target is env-tunable
+    (SPARK_GRAFT_STREAM_TARGET_MB, default 32), and the cap follows the
+    session's core count (4x defaultParallelism) so a bigger cluster
+    gets more state partitions with no code change. Results are
+    partition-count-invariant (hash aggregation / dropDuplicates /
+    symmetric hash join all are); only the state-store commit fan-out
+    changes."""
+    target_mb = int(os.environ.get("SPARK_GRAFT_STREAM_TARGET_MB", "32"))
+    p = Path(sf_dir) / "events.parquet"
+    if p.is_file():
+        nbytes = p.stat().st_size
+    else:
+        nbytes = sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    cap = spark.sparkContext.defaultParallelism * 4
+    target = max(1, target_mb) * 1024 * 1024
+    return max(1, min(cap, (nbytes + target - 1) // target))
 
 def _events_schema(ts_is_raw_nanos: bool) -> T.StructType:
     ts_type = T.LongType() if ts_is_raw_nanos else T.TimestampType()
@@ -77,19 +112,35 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_memory(
+    agg: DataFrame, mode: str = "complete", shuffle_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming aggregation to completion (availableNow) and
-    return the materialized result."""
+    return the materialized result.
+
+    ``shuffle_partitions`` (from :func:`_stream_shuffle_partitions`) is
+    applied for the lifetime of the streaming query only — the state-store
+    partition count is read once at query start, so setting it around
+    start()/awaitTermination() pins the stream's state fan-out without
+    leaking the value into later batch queries on the shared session."""
+    spark = agg.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return agg.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +156,9 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg)
+    out = _run_to_memory(
+        agg, shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir)
+    )
     return out.select(
         F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
         "event_type",
@@ -142,7 +195,9 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg)
+    out = _run_to_memory(
+        agg, shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir)
+    )
     return out.select(
         F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
         "event_type",
@@ -172,7 +227,9 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    out = _run_to_memory(sess)
+    out = _run_to_memory(
+        sess, shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir)
+    )
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -221,7 +278,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 60)).alias("minute_bucket"),
     ).dropDuplicates(["user_id", "event_type", "minute_bucket"])
-    out = _run_to_memory(deduped, mode="append")
+    out = _run_to_memory(
+        deduped,
+        mode="append",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+    )
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_unique_user_minutes"),
         F.countDistinct("user_id").alias("n_users"),
@@ -282,7 +343,11 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND click_ts <= view_ts + interval 10 minutes"
         ),
     ).select("v_user", "view_id", "click_id", "view_ts", "click_ts")
-    out = _run_to_memory(joined, mode="append")
+    out = _run_to_memory(
+        joined,
+        mode="append",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+    )
     return out.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count("*").alias("n_pairs"),
         F.countDistinct("view_id").alias("n_views_matched"),
@@ -331,6 +396,12 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_totals
 
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    # Deliberately NOT input-size-derived (_stream_shuffle_partitions):
+    # this stream's cost is the applyInPandasWithState PYTHON stage, not
+    # state-store commits, and the partition count is its Python-worker
+    # parallelism — measured at sf0.1, 1 partition = 4.35 s vs 32 = 1.57 s
+    # (opposite trade to the pure-JVM streams). The session default
+    # (cores, AQE-capped) is the right fan-out for a compute-bound UDF.
     out = _run_to_memory(running_user_totals(ev), mode="update")
     return out.groupBy("user_id").agg(
         F.max("n_events").cast("bigint").alias("n_events"),
@@ -376,7 +447,11 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(25,4)")).alias("dec_sum"),
     )
-    out = _run_to_memory(agg, mode="complete")
+    out = _run_to_memory(
+        agg,
+        mode="complete",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+    )
     return out.groupBy("c_mktsegment").agg(
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.count("*").cast("bigint").alias("n_users"),
@@ -415,7 +490,9 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.window("ts", "6 hours").alias("w"), "event_type"
     ).agg(F.count("*").alias("n_events"))
-    out = _run_to_memory(agg)
+    out = _run_to_memory(
+        agg, shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir)
+    )
     wr = W.partitionBy("bucket_start").orderBy(
         F.desc("n_events"), F.asc("event_type")
     )

@@ -1,0 +1,59 @@
+"""Focused tests for the round-14 streaming state-partition derivation
+(_stream_shuffle_partitions) and the conf-scoping contract of
+_run_to_memory: the input-size-derived count must scale linearly with
+bytes, respect floor/cap, and never leak into the shared session's
+batch queries."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_spark.streaming.jobs import (
+    _run_to_memory,
+    _stream_shuffle_partitions,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_derivation_floor_is_one_for_tiny_input(spark):
+    # sf0.001 events.parquet is ~KBs — far under one 32 MB target
+    assert _stream_shuffle_partitions(spark, SF_DIR) == 1
+
+
+def test_derivation_scales_with_bytes(spark, monkeypatch, tmp_path):
+    # synthesize input sizes via the env target instead of giant files:
+    # with a 1 MB target, a ~2 MB file must get 2 partitions (ceil),
+    # and a huge input must clamp at 4x defaultParallelism
+    src = Path(SF_DIR) / "events.parquet"
+    nbytes = src.stat().st_size
+    target_mb = 1
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_MB", str(target_mb))
+    expect = -(-nbytes // (target_mb * 1024 * 1024))
+    cap = spark.sparkContext.defaultParallelism * 4
+    assert _stream_shuffle_partitions(spark, SF_DIR) == max(
+        1, min(cap, expect)
+    )
+
+
+def test_derivation_caps_at_4x_parallelism(spark, monkeypatch):
+    # a 0-MB target is clamped to 1 MB; cap must still bound the result
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_MB", "0")
+    cap = spark.sparkContext.defaultParallelism * 4
+    assert 1 <= _stream_shuffle_partitions(spark, SF_DIR) <= cap
+
+
+def test_run_to_memory_restores_session_conf(spark):
+    from data_ingestion_api_system_spark.streaming.jobs import _events_stream
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    agg = (
+        _events_stream(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, mode="complete", shuffle_partitions=1)
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
