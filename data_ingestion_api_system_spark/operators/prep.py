@@ -708,22 +708,31 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     states through every round.
 
     Plan shape at 100 TB: the edge list shuffles ONCE to build
-    (src-partitioned) adjacency; each round is one partial-agg shuffle of
-    (dst, contribution) — contributions combine map-side — plus a k-row
-    broadcast-size rank join. Rounds × one shuffle, the textbook
-    distributed PageRank layout. Edges and degrees are pinned: the
-    unrolled-round lineage otherwise references the lineitem⋈orders
-    derivation once per join per round (~7 rescans at 2 rounds), exactly
-    the re-read a production PageRank avoids by materializing adjacency
-    before iterating."""
+    (src-partitioned) adjacency with out_degree attached; each round is
+    one partial-agg shuffle of (dst, contribution) — contributions
+    combine map-side — plus a node-table broadcast rank join (when the
+    node table outgrows broadcast, that join becomes a co-partitioned
+    shuffle join against the already-partitioned adjacency; the
+    adjacency itself still never moves). Rounds × one shuffle, the
+    textbook distributed PageRank layout. Edges, degrees and the
+    degree-attached adjacency are pinned: the unrolled-round lineage
+    otherwise references the lineitem⋈orders derivation once per join
+    per round (~7 rescans at 2 rounds), exactly the re-read a production
+    PageRank avoids by materializing adjacency before iterating."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Node ids are packed BIGINTs internally (supplier k → 2k, customer k
+    # → 2k+1, disjoint by parity): the distinct, the union, both pins and
+    # every round's join/agg then hash and shuffle 8-byte longs instead
+    # of ~10-char strings (guide §2.3 "narrower types" — the display
+    # label is reconstructed only at the node-sized readout below, so
+    # the oracle-visible output is unchanged).
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
+            (F.col("l_suppkey") * 2).cast("long").alias("a"),
+            (F.col("o_custkey") * 2 + 1).cast("long").alias("b"),
         )
         .distinct()
     )
@@ -733,16 +742,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deg = pin(edges.groupBy("a").agg(F.count("*").alias("out_deg")))
+    # Degree attaches to the pinned adjacency ONCE (r14: the former
+    # per-round edges⋈ranks⋈deg pair planned as SortMergeJoins — 6 SMJ +
+    # 9 sorts for 2 rounds, both node-sized sides shuffled every round).
+    # With out_deg carried on the adjacency and the node-sized rank /
+    # received tables broadcast explicitly (the shape the 100 TB note
+    # below already promises), each round is ONE partial-agg shuffle and
+    # zero sorts; the adjacency never moves after its pin.
+    adj = pin(edges.join(F.broadcast(deg), "a"))
     ranks = deg.select("a", F.lit(100000000).cast("long").alias("r"))
     for _ in range(PR_ROUNDS):
-        contrib = (
-            edges.join(ranks, "a")
-            .join(deg, "a")
-            .select("b", F.expr("r div out_deg").alias("c"))
+        contrib = adj.join(F.broadcast(ranks), "a").select(
+            "b", F.expr("r div out_deg").alias("c")
         )
         recv = contrib.groupBy("b").agg(F.sum("c").alias("received"))
         ranks = (
-            deg.join(recv, deg.a == recv.b, "left")
+            deg.join(F.broadcast(recv), deg.a == recv.b, "left")
             .select(
                 "a",
                 (
@@ -751,11 +766,25 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+    # unpack the parity-coded id back to the public 's<k>'/'c<k>' label on
+    # the node-sized rank table; the tie-break order is over the LABEL
+    # (string asc), exactly as before the packing
+    labeled = ranks.select(
+        F.when(
+            F.col("a") % 2 == 0,
+            F.concat(F.lit("s"), (F.col("a") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("c"), ((F.col("a") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        "r",
+    )
     return (
-        ranks.orderBy(F.desc("r"), F.asc("a"))
+        labeled.orderBy(F.desc("r"), F.asc("node"))
         .limit(PR_TOPK)
         .select(
-            F.col("a").alias("node"),
+            "node",
             F.round(F.col("r").cast("double") / 100000000.0, 8).alias("rank"),
         )
     )
