@@ -411,14 +411,30 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # The three order-date-only expressions (dow, the two date_format
+    # strings) evaluate on the ORDERS side before the join — |orders|
+    # evaluations instead of |lineitem| (~4x fewer; date_format is the
+    # expensive one), and the probe side of the join stays two columns.
+    # Only the per-line delay is computed post-join. Same rows, same
+    # values — the guide §2.3 "project before the exchange" rule applied
+    # to expression placement.
+    o_pre = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+    )
+    j = li.select("l_orderkey", "l_shipdate").join(
+        o_pre, F.col("l_orderkey") == F.col("o_orderkey")
+    )
     delay = F.datediff("l_shipdate", "o_orderdate")
     return (
         j.select(
             (delay - (delay % 30)).alias("delay_bucket_days"),
-            F.dayofweek("o_orderdate").alias("order_dow"),
-            F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+            "order_dow",
+            "due_date",
+            "order_month",
         )
         .groupBy("delay_bucket_days", "order_dow")
         .agg(

@@ -1832,12 +1832,19 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     query against the corpus, TakeOrderedAndProject top-12 (identical
     shape to `sim_cosine_topk`; at 100 TB the LSH/IVF entries supply this
     pool instead). Everything after operates on the FIXED-size pool: the
-    12×12 pairwise similarity table and MMR_K−1 unrolled
-    argmax-selection steps, each one anti-join + bounded-aggregate +
-    top-1 over ≤12 rows — metadata-scale by construction, the same
-    bounded-unroll discipline as `sim_kmeans_step`/`graph_label_prop`
-    (no driver-side collect; the whole selection is one lazy plan).
-    Ties break on vec_id everywhere, so the pick sequence is unique."""
+    12×12 pairwise similarity table and the MMR_K−1 argmax-selection
+    steps, which since r14 run as ONE higher-order-function fold
+    (``aggregate`` over the collected pool/pairs arrays — both
+    metadata-sized by construction: |pool| rows and |pool|² pairs). The
+    former shape unrolled the selection as MMR_K−1 anti-join +
+    bounded-aggregate + top-1 subplans, each pinned to stop geometric
+    re-execution — 5 pin-materialization jobs plus a deep compile for
+    ~60 rows of data; the fold is a single Project evaluated in one task
+    (2 jobs total), with IDENTICAL integer-ppm arithmetic and the same
+    (mmr_score DESC, vec_id ASC) argmax per step, encoded as
+    ``array_max`` over (mmr_score, −vec_id) structs. No driver-side
+    collect either way. Ties break on vec_id everywhere, so the pick
+    sequence is unique."""
     tune(spark)
     e = _emb(spark, sf_dir)
     q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("v").alias("bv")))
@@ -1849,7 +1856,7 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
         .limit(MMR_POOL)
     )
-    pairs = pin(
+    pairs = (
         pool.select(F.col("vec_id").alias("a_id"), F.col("av").alias("pa"))
         .crossJoin(
             pool.select(F.col("vec_id").alias("b_id"), F.col("av").alias("pb"))
@@ -1863,51 +1870,116 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id", _cos_ppm_expr().alias("sim_ppm"))
     )
-    # pin each round's 1-row pick: round i references the selection-so-far
-    # TWICE (anti-join + max-sim aggregate), so without materialization the
-    # unrolled lineage re-executes earlier picks 2^(i-1) times — measured
-    # 4.9 s for the 4 steps; with the pins each pick evaluates once.
-    sel = pin(
-        pool.orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            "vec_id",
-            "label",
-            "rel_ppm",
-            F.lit(0).cast("bigint").alias("maxsim_ppm"),
-            (_MMR_LAM_REL * F.col("rel_ppm")).cast("bigint").alias("mmr_score"),
-            F.lit(1).alias("pick"),
-        )
+    # Collect the metadata-sized pool (12 rows) and pair table (132 rows)
+    # into single-row arrays and run the whole selection as one fold —
+    # see the docstring for the plan rationale. collect_list order is
+    # irrelevant: every step is an argmax with a total (score, vec_id)
+    # tie-break.
+    poolarr = pool.agg(
+        F.collect_list(F.struct("vec_id", "label", "rel_ppm")).alias("ps")
     )
-    for i in range(2, MMR_K + 1):
-        chosen = sel.select("vec_id")
-        cand = pool.join(chosen, "vec_id", "left_anti")
-        ms = (
-            pairs.join(chosen.withColumnRenamed("vec_id", "b_id"), "b_id")
-            .groupBy("a_id")
-            .agg(F.max("sim_ppm").alias("maxsim_ppm"))
-        )
-        pick = (
-            cand.join(ms, cand["vec_id"] == ms["a_id"])
-            .select(
-                "vec_id",
-                "label",
-                "rel_ppm",
-                "maxsim_ppm",
-                (
-                    _MMR_LAM_REL * F.col("rel_ppm")
-                    - _MMR_LAM_DIV * F.col("maxsim_ppm")
-                )
-                .cast("bigint")
-                .alias("mmr_score"),
+    pairsarr = pairs.agg(
+        F.collect_list(F.struct("a_id", "b_id", "sim_ppm")).alias("prs")
+    )
+    one = poolarr.crossJoin(pairsarr)
+
+    def best_first(ps):
+        # argmax by (rel_ppm DESC, vec_id ASC) → array_max of structs
+        # keyed (rel_ppm, −vec_id, …): struct ordering compares fields
+        # left-to-right and −vec_id is unique, so trailing fields never
+        # decide — they just ride along to avoid a second lookup.
+        key = F.array_max(
+            F.transform(
+                ps,
+                lambda p: F.struct(
+                    p["rel_ppm"].alias("rel_ppm"),
+                    (-p["vec_id"]).alias("ni"),
+                    p["label"].alias("label"),
+                ),
             )
-            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-            .limit(1)
-            .withColumn("pick", F.lit(i))
         )
-        sel = pin(sel.unionByName(pick))
-    return sel.select(
-        "pick", "vec_id", "label", "rel_ppm", "maxsim_ppm", "mmr_score"
+        return F.array(
+            F.struct(
+                F.lit(1).alias("pick"),
+                (-key["ni"]).alias("vec_id"),
+                key["label"].alias("label"),
+                key["rel_ppm"].alias("rel_ppm"),
+                F.lit(0).cast("bigint").alias("maxsim_ppm"),
+                (_MMR_LAM_REL * key["rel_ppm"]).cast("bigint").alias("mmr_score"),
+            )
+        )
+
+    def step(acc, i):
+        ps, prs = F.col("ps"), F.col("prs")
+        chosen_has = lambda vid: F.exists(acc, lambda c: c["vec_id"] == vid)
+        cand = F.filter(ps, lambda p: ~chosen_has(p["vec_id"]))
+        # stage 1: per candidate, max sim against the chosen set (every
+        # candidate has ≥1 pair row with a chosen b_id, as in the former
+        # inner join); stage 2: the MMR score, argmax'd as a struct key
+        # (mmr_score DESC, vec_id ASC via −vec_id) with the row's fields
+        # trailing.
+        withms = F.transform(
+            cand,
+            lambda p: F.struct(
+                p["vec_id"].alias("vec_id"),
+                p["label"].alias("label"),
+                p["rel_ppm"].alias("rel_ppm"),
+                F.array_max(
+                    F.transform(
+                        F.filter(
+                            prs,
+                            lambda pr: (pr["a_id"] == p["vec_id"])
+                            & chosen_has(pr["b_id"]),
+                        ),
+                        lambda pr: pr["sim_ppm"],
+                    )
+                ).alias("ms"),
+            ),
+        )
+        key = F.array_max(
+            F.transform(
+                withms,
+                lambda w: F.struct(
+                    (
+                        _MMR_LAM_REL * w["rel_ppm"]
+                        - _MMR_LAM_DIV * w["ms"]
+                    )
+                    .cast("bigint")
+                    .alias("mmr_score"),
+                    (-w["vec_id"]).alias("ni"),
+                    w["label"].alias("label"),
+                    w["rel_ppm"].alias("rel_ppm"),
+                    w["ms"].alias("ms"),
+                ),
+            )
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    i.cast("int").alias("pick"),
+                    (-key["ni"]).alias("vec_id"),
+                    key["label"].alias("label"),
+                    key["rel_ppm"].alias("rel_ppm"),
+                    key["ms"].cast("bigint").alias("maxsim_ppm"),
+                    key["mmr_score"].alias("mmr_score"),
+                )
+            ),
+        )
+
+    picks = F.aggregate(
+        F.sequence(F.lit(2), F.lit(MMR_K)), best_first(F.col("ps")), step
+    )
+    return (
+        one.select(F.explode(picks).alias("s"))
+        .select(
+            F.col("s.pick").alias("pick"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.label").alias("label"),
+            F.col("s.rel_ppm").alias("rel_ppm"),
+            F.col("s.maxsim_ppm").alias("maxsim_ppm"),
+            F.col("s.mmr_score").alias("mmr_score"),
+        )
     )
 
 
