@@ -229,32 +229,69 @@ def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow per-row argmax — the corpus NEVER shuffles for assignment — and
     the update is one partial-agg shuffle keyed by (centroid, dim). The
     whole loop is k·dims·rounds of exchanged state against an unmoved
-    corpus, which is exactly how distributed k-means must be laid out."""
+    corpus, which is exactly how distributed k-means must be laid out.
+
+    r14: the per-row argmax is literally that now — the k centroids
+    collect into ONE broadcast array row and each corpus row picks its
+    centroid via an ``array_max`` over (cosine, −centroid_id) structs,
+    a pure map. The former shape expanded corpus×k rows and ran a
+    ``row_number`` window partitioned by vec_id: a full corpus×k hash
+    exchange + sort PER ROUND that the docstring's own scale claim said
+    shouldn't exist. Cosines are the identical sequential double folds
+    (zip_with/aggregate), so assignments are bit-identical."""
     tune(spark)
-    from .similarity import _SPARK_DOT, _SPARK_NORM, _emb
+    from .similarity import _emb
     from ..functions import exact_avg
 
     e = spread(_emb(spark, sf_dir))
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") < K_TRAIN).select(
-            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    cent = e.filter(F.col("vec_id") < K_TRAIN).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    )
-    cos = F.round(
-        F.expr(_SPARK_DOT.replace("av", "v").replace("bv", "cv"))
-        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("cv"))),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+
+    def _norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
     assigned = None
     for _ in range(TRAIN_ROUNDS):
-        scored = e.crossJoin(cent).select(
-            "vec_id", "v", "centroid_id", cos.alias("cosine")
+        carr = F.broadcast(
+            cent.agg(
+                F.collect_list(F.struct("centroid_id", "cv")).alias("carr")
+            )
         )
-        assigned = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+        # argmax by (cosine DESC, centroid_id ASC) == array_max over
+        # (cosine, −centroid_id, …) structs; −centroid_id is unique, so
+        # the trailing payload field never decides
+        best = F.array_max(
+            F.transform(
+                F.col("carr"),
+                lambda c: F.struct(
+                    F.round(
+                        _dot(F.col("v"), c["cv"])
+                        / (_norm(F.col("v")) * _norm(c["cv"])),
+                        6,
+                    ).alias("cosine"),
+                    (-c["centroid_id"]).alias("nc"),
+                ),
+            )
+        )
+        assigned = e.crossJoin(carr).select(
+            "vec_id",
+            "v",
+            (-best["nc"]).alias("centroid_id"),
+            best["cosine"].alias("cosine"),
         )
         per_dim = (
             assigned.select("centroid_id", F.posexplode("v").alias("idx", "val"))
