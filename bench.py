@@ -457,6 +457,17 @@ def main() -> None:
     }
     result = json.dumps(record)
     print(result)
+    # Unconditional full-record artifact (VERDICT r14 #2): the driver's
+    # stdout scrape keeps only the last ~2000 chars, which for two rounds
+    # running destroyed per-query comparability (PERF per_query = {}), and
+    # the quiet-guard divert below means BENCH_LOCAL.json may deliberately
+    # NOT hold the latest run. This file always holds the full record of
+    # the MOST RECENT completed run — no quiet guard, no divert — so a
+    # driver/judge can diff per-query timings without stdout capture. It
+    # never feeds the committed quiet series (that is BENCH_LOCAL.json,
+    # still guard-protected below).
+    with open(Path(__file__).resolve().parent / "BENCH_LAST_FULL.json", "w") as fh:
+        fh.write(result + "\n")
     # Also persist to a file (VERDICT r7 #2): the committed BENCH_r07.json
     # was a truncated stderr/stdout scrape that lost 12 of 16 headline
     # timings — a file write survives any pipe-tail truncation. Path is

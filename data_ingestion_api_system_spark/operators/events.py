@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_avg, exact_avg_halfup, exact_sum, sql_exact_avg, sql_exact_avg_halfup, sql_exact_sum
 from ..tables import load_table
-from . import global_ntile, grouped_global_rank, pin, spread_by, tune
+from . import _join_null_safe, global_ntile, grouped_global_rank, pin, spread_by, tune
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -292,7 +292,21 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition rank offsets — which produces the IDENTICAL tile
     assignment (the oracle below stays plain exact ntile) from one range
     exchange per dimension and no global sort anywhere; the plan audit
-    asserts no single-partition WindowExec survives in this plan."""
+    asserts no single-partition WindowExec survives in this plan.
+
+    r15 restructure (guide §2): the three ntile dimensions are
+    INDEPENDENT, but the former chained form
+    (``global_ntile(global_ntile(global_ntile(base, R), F), M)``) range-
+    exchanged the full widening row three times SEQUENTIALLY — each
+    exchange waited on the previous score's materialization. Now each
+    dimension ranks a narrow ``(user_id, dim)`` projection of the pinned
+    rollup in its own independent subtree (the three range exchanges
+    carry 2 columns each and can overlap in one job) and the tiles
+    join back on the unique ``user_id``. Tile assignment is unchanged:
+    it depends only on the ordered (dim, user_id) pairs and the total
+    row count, both identical on the projection; the join-back is 1:1 on
+    a key that is unique by groupBy construction, null-safe so a NULL
+    user group survives exactly as it did in the chained form."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -303,15 +317,29 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_max = F.broadcast(
         ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max_date"))
     )
-    base = per_user.crossJoin(corpus_max).select(
-        "user_id",
-        F.datediff("corpus_max_date", "last_date").cast("int").alias("recency_days"),
-        F.col("n_events").cast("bigint").alias("n_events"),
-        "total_value",
+    # pinned: the events-scale rollup feeds four branches (three ntile
+    # projections + the join-back spine); without the pin each branch
+    # would rebuild it from the scan
+    base = pin(
+        per_user.crossJoin(corpus_max).select(
+            "user_id",
+            F.datediff("corpus_max_date", "last_date")
+            .cast("int")
+            .alias("recency_days"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "total_value",
+        )
     )
-    scored = global_ntile(base, ["recency_days", "user_id"], 5, "_t_r")
-    scored = global_ntile(scored, ["n_events", "user_id"], 5, "_t_f")
-    scored = global_ntile(scored, ["total_value", "user_id"], 5, "_t_m")
+    scored = base
+    for dim, tile in (
+        ("recency_days", "_t_r"),
+        ("n_events", "_t_f"),
+        ("total_value", "_t_m"),
+    ):
+        t = global_ntile(
+            base.select("user_id", dim), [dim, "user_id"], 5, tile
+        ).select("user_id", tile)
+        scored = _join_null_safe(scored, t, ["user_id"], broadcast_right=False)
     scored = scored.select(
         "*",
         (6 - F.col("_t_r")).alias("r_score"),

@@ -747,10 +747,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: the edge list shuffles ONCE to build
     (src-partitioned) adjacency with out_degree attached; each round is
     one partial-agg shuffle of (dst, contribution) — contributions
-    combine map-side — plus a node-table broadcast rank join (when the
-    node table outgrows broadcast, that join becomes a co-partitioned
-    shuffle join against the already-partitioned adjacency; the
-    adjacency itself still never moves). Rounds × one shuffle, the
+    combine map-side — plus a node-table broadcast rank join. The
+    broadcast is an EXPLICIT hint (the planner's post-aggregate size
+    estimates otherwise pick SortMergeJoin even for the ~16k-row rank
+    table — measured r14), and Spark honors explicit hints
+    unconditionally: if the node table ever outgrows the 8 GB broadcast
+    cap, the hint must be REMOVED so the join degrades to a
+    co-partitioned shuffle join against the already-partitioned
+    adjacency (the adjacency itself still never moves). A node table is
+    |vertices|-sized — ~16 bytes/row packs ~500M nodes into 8 GB, so the
+    hint holds through very large graphs, but it is not self-removing.
+    Rounds × one shuffle, the
     textbook distributed PageRank layout. Edges, degrees and the
     degree-attached adjacency are pinned: the unrolled-round lineage
     otherwise references the lineitem⋈orders derivation once per join
@@ -806,13 +813,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpack the parity-coded id back to the public 's<k>'/'c<k>' label on
     # the node-sized rank table; the tie-break order is over the LABEL
     # (string asc), exactly as before the packing
+    # integer division (r15, ADVICE r14): the former (a / 2).cast("long")
+    # round-tripped through a DOUBLE — exact only below 2^53; `a div 2`
+    # is exact at any BIGINT magnitude and skips the cast
     labeled = ranks.select(
         F.when(
             F.col("a") % 2 == 0,
-            F.concat(F.lit("s"), (F.col("a") / 2).cast("long")),
+            F.concat(F.lit("s"), F.expr("a div 2")),
         )
         .otherwise(
-            F.concat(F.lit("c"), ((F.col("a") - 1) / 2).cast("long"))
+            F.concat(F.lit("c"), F.expr("(a - 1) div 2"))
         )
         .alias("node"),
         "r",

@@ -967,57 +967,68 @@ KCORE_K = 3
 KCORE_ROUNDS = 3
 
 
-def _kcore_strong_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized adjacency of the shared top-K brand co-occurrence
-    graph (same `_brand_edges` rule as every other graph entry)."""
-    return pin(_brand_adj(_brand_edges(spark, sf_dir)))
-
-
 def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KCORE_ROUNDS}-round k-core peel (k = {KCORE_K}) of the strong
     brand co-occurrence graph: per node, its original degree, its degree
     in the peeled subgraph, and whether it sits in the (round-bounded)
     k-core.
 
-    Scale shape: each peel round is ONE node-keyed degree aggregate plus
-    two semi-joins of the adjacency against the (tiny, shrinking)
-    survivor set — the survivor list broadcasts, so the adjacency never
-    reshuffles after its first partitioning. Rounds are a FIXED unroll
-    (convergence at web scale takes O(max degree) rounds in theory but
-    a handful in practice — Montresor et al. report <60 rounds on
-    billion-edge graphs; a production run sizes the unroll or loops with
-    a convergence scalar exactly like the CC entry). The top-K edge
-    rule keeps every engine-side count integer-exact."""
+    Scale shape (r15): the graph is TOP_EDGES-bounded BY CONSTRUCTION —
+    120 edges / 240 symmetrized rows regardless of corpus size — so the
+    whole peel is metadata-sized state and folds into ONE expression over
+    a collected adjacency array (the same bounded-domain fold rule as the
+    r14 MMR selection; SCALE.md records when the fold applies). The
+    former shape paid, per round, a pinned degree aggregate plus two
+    broadcast semi-joins of the 240-row adjacency — 3 pin
+    materialization jobs and 6 broadcast builds of distributed machinery
+    over metadata. Each fold round recomputes per-node degrees with
+    ``size(filter(...))`` and keeps nodes with degree ≥ k — integer
+    arithmetic, identical to the aggregate/semi-join form. The
+    data-sized part (basket mining → top-K edges) is untouched: at any
+    scale the peel's input is the bounded edge list, never the corpus.
+    A peel over a DATA-sized adjacency must keep the aggregate +
+    semi-join rounds (see the CC entry) — this fold is valid only
+    because TOP_EDGES bounds the domain."""
     tune(spark)
-    adj = _kcore_strong_adj(spark, sf_dir)
-    deg0 = adj.groupBy("src").agg(F.count("*").alias("deg0"))
-    surv = adj
-    for _ in range(KCORE_ROUNDS):
-        # pin each round's survivor list: round r+1's degree aggregate and
-        # BOTH semi-join broadcast builds re-read the round-r survivor
-        # lineage, so without materialization the unrolled rounds
-        # re-execute earlier peels geometrically (same fix as the MMR
-        # selection pins; the list is ≤ |brands| rows)
-        keep = pin(
-            surv.groupBy("src")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("src")
+    adj = _brand_adj(_brand_edges(spark, sf_dir))
+    one = adj.agg(F.collect_list(F.struct("src", "dst")).alias("a0"))
+
+    def _peel(cur):
+        keep = F.filter(
+            F.array_distinct(F.transform(cur, lambda e: e["src"])),
+            lambda s: F.size(F.filter(cur, lambda e: e["src"] == s))
+            >= F.lit(KCORE_K),
         )
-        surv = surv.join(F.broadcast(keep), "src", "left_semi").join(
-            F.broadcast(keep.select(F.col("src").alias("dst"))),
-            "dst",
-            "left_semi",
+        return F.filter(
+            cur,
+            lambda e: F.array_contains(keep, e["src"])
+            & F.array_contains(keep, e["dst"]),
         )
-    degf = surv.groupBy("src").agg(F.count("*").alias("degf"))
-    return (
-        deg0.join(degf, "src", "left")
-        .select(
-            F.col("src").alias("node"),
-            F.col("deg0").cast("bigint").alias("degree0"),
-            F.coalesce("degf", F.lit(0)).cast("bigint").alias("final_degree"),
-            (F.coalesce("degf", F.lit(0)) >= KCORE_K).cast("int").alias("in_kcore"),
-        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(KCORE_ROUNDS)),
+        F.col("a0"),
+        lambda acc, _r: _peel(acc),
+    )
+    withf = one.select("a0", folded.alias("af"))
+    nodes = F.array_distinct(F.transform(F.col("a0"), lambda e: e["src"]))
+    per_node = F.transform(
+        nodes,
+        lambda s: F.struct(
+            s.alias("node"),
+            F.size(F.filter(F.col("a0"), lambda e: e["src"] == s))
+            .cast("bigint")
+            .alias("degree0"),
+            F.size(F.filter(F.col("af"), lambda e: e["src"] == s))
+            .cast("bigint")
+            .alias("final_degree"),
+        ),
+    )
+    return withf.select(F.explode(per_node).alias("s")).select(
+        F.col("s.node").alias("node"),
+        F.col("s.degree0").alias("degree0"),
+        F.col("s.final_degree").alias("final_degree"),
+        (F.col("s.final_degree") >= KCORE_K).cast("int").alias("in_kcore"),
     )
 
 

@@ -384,26 +384,63 @@ def q_sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     update is one partial-agg shuffle keyed by centroid — the textbook
     distributed k-means round. Iterating = re-running this plan with the
     updated centroids (a driver loop of k-row exchanges, corpus never
-    moves)."""
+    moves).
+
+    r15: the per-row argmax is literally that now, the same fold
+    ``sim_kmeans_train`` got in r14 — the k centroids collect into ONE
+    broadcast array row and each corpus row picks its centroid via
+    ``array_max`` over (cosine, −centroid_id) structs, a pure map. The
+    former shape expanded corpus×k rows and ranked them with a
+    ``row_number`` window partitioned by vec_id: a full corpus×k hash
+    exchange + sort that the docstring's own scale claim said shouldn't
+    exist. Cosines are the identical sequential double folds
+    (zip_with/aggregate), so assignments are bit-identical; argmax by
+    (cosine DESC, centroid_id ASC) == array_max over
+    (cosine, −centroid_id) structs — field-order struct comparison with
+    the unique −centroid_id tie-break."""
     tune(spark)
     e = _emb(spark, sf_dir)
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("centroid_id"), F.col("v").alias("bv")
+    carr = F.broadcast(
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("bv"))
+        .agg(F.collect_list(F.struct("centroid_id", "bv")).alias("carr"))
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    best = F.array_max(
+        F.transform(
+            F.col("carr"),
+            lambda c: F.struct(
+                F.round(
+                    _dot(F.col("v"), c["bv"])
+                    / (_norm(F.col("v")) * _norm(c["bv"])),
+                    6,
+                ).alias("cosine"),
+                (-c["centroid_id"]).alias("nc"),
+            ),
         )
     )
-    cos = F.round(
-        F.expr(_SPARK_DOT.replace("av", "v"))
-        / (F.expr(_SPARK_NORM.format("v")) * F.expr(_SPARK_NORM.format("bv"))),
-        6,
+    assigned = e.crossJoin(carr).select(
+        "vec_id",
+        "v",
+        (-best["nc"]).alias("centroid_id"),
+        best["cosine"].alias("cosine"),
     )
-    scored = e.crossJoin(cent).select(
-        "vec_id", "label", "v", "centroid_id", cos.alias("cosine")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
-    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_assigned"),
         exact_avg("cosine", scale=6).alias("avg_cosine"),
@@ -1809,6 +1846,11 @@ FROM per_np LEFT JOIN hits USING (nprobe), tot
 # 7·rel_ppm − 3·maxsim_ppm is exact integer arithmetic end to end.
 MMR_POOL = 12  # candidate pool: the ANN stage's top-k
 MMR_K = 5  # diversified picks
+# The selection fold iterates F.sequence(2, MMR_K): Spark's sequence()
+# auto-steps -1 when start > stop, so MMR_K = 1 would silently produce a
+# DESCENDING [2, 1] and two bogus picks where the old unrolled loop
+# produced none (ADVICE r14). Guard the constant, not the call site.
+assert MMR_K >= 2, "MMR_K must be >= 2: the selection fold iterates sequence(2, MMR_K)"
 _MMR_LAM_REL = 7  # λ=0.7 (×10)
 _MMR_LAM_DIV = 3  # 1−λ (×10)
 

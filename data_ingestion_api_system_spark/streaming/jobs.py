@@ -51,7 +51,12 @@ def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     partition-count-invariant (hash aggregation / dropDuplicates /
     symmetric hash join all are); only the state-store commit fan-out
     changes."""
-    target_mb = int(os.environ.get("SPARK_GRAFT_STREAM_TARGET_MB", "32"))
+    try:
+        target_mb = int(os.environ.get("SPARK_GRAFT_STREAM_TARGET_MB", "32"))
+    except ValueError:
+        # a malformed env value must degrade to the default, not fail
+        # every streaming entry (ADVICE r14)
+        target_mb = 32
     p = Path(sf_dir) / "events.parquet"
     if p.is_file():
         nbytes = p.stat().st_size

@@ -24,18 +24,27 @@ def test_derivation_floor_is_one_for_tiny_input(spark):
 
 
 def test_derivation_scales_with_bytes(spark, monkeypatch, tmp_path):
-    # synthesize input sizes via the env target instead of giant files:
-    # with a 1 MB target, a ~2 MB file must get 2 partitions (ceil),
-    # and a huge input must clamp at 4x defaultParallelism
-    src = Path(SF_DIR) / "events.parquet"
+    # a genuinely multi-MB input (ADVICE r14: sf0.001 events.parquet is
+    # under 1 MB, so the old form of this test only re-proved the floor):
+    # write a ~3.5 MB events.parquet under tmp_path and assert the derived
+    # count is >1 and matches the ceiling formula exactly
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"\0" * (3 * 1024 * 1024 + 512 * 1024))
     nbytes = src.stat().st_size
     target_mb = 1
     monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_MB", str(target_mb))
-    expect = -(-nbytes // (target_mb * 1024 * 1024))
+    expect = -(-nbytes // (target_mb * 1024 * 1024))  # ceil -> 4
     cap = spark.sparkContext.defaultParallelism * 4
-    assert _stream_shuffle_partitions(spark, SF_DIR) == max(
-        1, min(cap, expect)
-    )
+    got = _stream_shuffle_partitions(spark, str(tmp_path))
+    assert got == max(1, min(cap, expect))
+    assert got > 1
+
+
+def test_derivation_tolerates_malformed_env_target(spark, monkeypatch):
+    # a malformed env value falls back to the 32 MB default instead of
+    # raising and failing every streaming entry (ADVICE r14)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TARGET_MB", "not-a-number")
+    assert _stream_shuffle_partitions(spark, SF_DIR) == 1
 
 
 def test_derivation_caps_at_4x_parallelism(spark, monkeypatch):
