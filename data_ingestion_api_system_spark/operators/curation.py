@@ -1154,10 +1154,17 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(lt, j + 1)").alias("w2"),
         )
     )
+    # r15 (guide §2.3/§2.4): attach the unigram total to the bigram table
+    # FIRST — a vocab²-vs-vocab join — and precompute p_ppm per (w1, w2),
+    # so the corpus-sized passage-bigram stream exchanges ONCE against the
+    # finished LM instead of twice (the former pinst⋈c2⋈c1 chain shuffled
+    # the big side by (w1,w2) and then again by w1). p_ppm is a function
+    # of corpus counts only, so per-instance values are identical.
+    lm = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("(1000000 * c2) DIV c1").alias("p_ppm")
+    )
     scored = (
-        pinst.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .withColumn("p_ppm", F.expr("(1000000 * c2) DIV c1"))
+        pinst.join(lm, ["w1", "w2"])
         .groupBy("doc_id", "lang", "pos")
         .agg(F.expr("CAST(sum(p_ppm) DIV count(*) AS BIGINT)").alias("score_ppm"))
     )
@@ -1295,25 +1302,29 @@ def q_text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("g"),
             )
         )
-        gc = pin(inst.groupBy("doc_id", "g").agg(F.count("*").alias("cnt")))
+        # r15 (guide §2.4): the per-doc argmax ("max count, then
+        # lexicographically smallest gram") folds into the SAME per-doc
+        # aggregation as min over (−cnt, g) structs — field-order struct
+        # comparison picks the largest cnt first, then the smallest gram —
+        # where the former shape pinned the (doc_id, gram) counts and
+        # joined them back against their own max to break ties: one
+        # aggregation replaces a pin materialization + join + second
+        # aggregation per n, and the join's doc_id exchange is gone.
+        gc = inst.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
         per_doc = gc.groupBy("doc_id").agg(
             F.sum("cnt").alias("n_inst"),
             F.count("*").alias("n_distinct"),
-            F.max("cnt").alias("top_cnt"),
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g"))
+            ).alias("top"),
         )
-        top_g = (
-            gc.join(per_doc.select("doc_id", "top_cnt"), "doc_id")
-            .filter(F.col("cnt") == F.col("top_cnt"))
-            .groupBy("doc_id")
-            .agg(F.min("g").alias("top_g"))
-        )
-        stats = per_doc.join(top_g, "doc_id").select(
+        stats = per_doc.select(
             "doc_id",
             F.expr(
                 "CAST((n_inst - n_distinct) * 1000000 DIV n_inst AS BIGINT)"
             ).alias(f"dup{n}_ppm"),
-            F.col("top_cnt").cast("bigint").alias(f"top{n}_cnt"),
-            F.length("top_g").alias(f"__len{n}"),
+            (-F.col("top.nc")).cast("bigint").alias(f"top{n}_cnt"),
+            F.length("top.g").alias(f"__len{n}"),
         )
         out = out.join(stats, "doc_id", "left").withColumn(
             f"top{n}_char_ppm",

@@ -985,11 +985,21 @@ def q_orders_class_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("o_custkey", out)
 
     both = classed("p1", "class_p1").join(classed("p2", "class_p2"), "o_custkey")
-    total = F.broadcast(both.agg(F.count("*").cast("bigint").alias("n_both")))
+    # r15 (guide §2.4): the migrating-customer total is the SUM of the ≤9
+    # matrix cells — the former broadcast count over `both` re-derived the
+    # customers-sized period join a second time just to count its rows.
+    # The matrix is pinned (9 rows) so the total and the output read one
+    # materialization and the join runs once.
+    mat = pin(
+        both.groupBy("class_p1", "class_p2").agg(
+            F.count("*").cast("bigint").alias("n_customers")
+        )
+    )
+    total = F.broadcast(
+        mat.agg(F.sum("n_customers").cast("bigint").alias("n_both"))
+    )
     return (
-        both.groupBy("class_p1", "class_p2")
-        .agg(F.count("*").cast("bigint").alias("n_customers"))
-        .crossJoin(total)
+        mat.crossJoin(total)
         .select(
             F.col("class_p1").cast("int").alias("class_p1"),
             F.col("class_p2").cast("int").alias("class_p2"),
