@@ -339,7 +339,14 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = global_ntile(
             base.select("user_id", dim), [dim, "user_id"], 5, tile
         ).select("user_id", tile)
-        scored = _join_null_safe(scored, t, ["user_id"], broadcast_right=False)
+        # SHUFFLE_HASH, not sort-merge, for the 1:1 join-backs: both sides
+        # are narrow user-keyed rows (the tile side is 2 ints), so the
+        # per-partition hash build is tiny at any scale and the SMJ's two
+        # sorts per join are pure waste (guide §3.1). Broadcast stays
+        # wrong here: the tile table is |users|-sized.
+        scored = _join_null_safe(
+            scored, t.hint("shuffle_hash"), ["user_id"], broadcast_right=False
+        )
     scored = scored.select(
         "*",
         (6 - F.col("_t_r")).alias("r_score"),

@@ -694,12 +694,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"CartesianProduct", r"SortMergeJoin"],
     ),
     "sim_mmr_diversify": (
-        # pool construction is a top-k (TakeOrderedAndProject); the
-        # selection unroll is a Union of bounded top-1 steps over the
-        # 12-row pool; pool×pool and query-vector joins broadcast (BNLJ
-        # allowed like every sim entry)
-        [r"TakeOrderedAndProject", r"Union"],
-        [r"CartesianProduct"],
+        # r14 fold: pool construction is a top-k (TakeOrderedAndProject);
+        # the selection runs as ONE aggregate() expression over collected
+        # pool/pairs arrays (ObjectHashAggregate collect + Generate
+        # explode of the picks) — the former Union-of-top-1-steps unroll
+        # is GONE and must stay gone (a Union reappearing means the
+        # 827 KB unrolled plan is back). This expectation was stale for
+        # one round (still required the pre-fold Union); fixed r15.
+        [r"TakeOrderedAndProject", r"ObjectHashAggregate", r"Generate"],
+        [r"CartesianProduct", r"Union"],
     ),
     # ---- round 13 ----
     "dedup_exact_substr": (
